@@ -1,0 +1,46 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the engine's standard table set (TESTDATA.md): a TPC-H-ish
+  * star schema plus an `events` stream table, a `documents` text corpus and
+  * an `embeddings` vector table. One parquet per table under `dir`.
+  *
+  * All reads go through `spark.read.parquet` so Catalyst's vectorized reader,
+  * filter pushdown and column pruning apply; never pre-materialize.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def t(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = t("region")
+  def nation: DataFrame     = t("nation")
+  def customer: DataFrame   = t("customer")
+  def supplier: DataFrame   = t("supplier")
+  def part: DataFrame       = t("part")
+  def orders: DataFrame     = t("orders")
+  def lineitem: DataFrame   = t("lineitem")
+  /** events.ts is parquet TIMESTAMP(NANOS); with
+    * spark.sql.legacy.parquet.nanosAsLong=true it arrives as nano-epoch long
+    * and is rebuilt here as a proper TimestampType (truncated to micros).
+    */
+  def events: DataFrame = {
+    val raw = t("events")
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    else raw
+  }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so `spark.sql` is a first-class
+    * entry point (SURVEY.md §3.3).
+    */
+  def registerAll(): Unit =
+    names.foreach(n => t(n).createOrReplaceTempView(n))
+}
