@@ -1,0 +1,109 @@
+package graft.drift
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov test (SURVEY.md §2.4 A10): the per-column
+  * drift statistic for numeric columns — Evidently's default stattest for
+  * high-cardinality columns (churn_prediction_pipeline.py:322,417-423
+  * interprets the output as a p-value, drifted iff < 0.05).
+  *
+  * Plan shape: ONE grouped aggregate collapses the input to its distinct
+  * values (each carrying per-side counts), then cumulative CDFs over that
+  * distinct-value frame. The global-order window runs AFTER the collapse, so
+  * its cost is bounded by value cardinality, not row count. For genuinely
+  * continuous columns at 100 TB, bin first (`binned`) — KS on a quantized
+  * grid, max error = max bin mass.
+  */
+object KsTest {
+
+  /** Distinct-value two-sided KS statistic between rows where `isCurrent`
+    * is true (current sample) and the rest (reference sample).
+    * Returns one row: (ks_stat, n_current, n_reference).
+    */
+  def statistic(df: DataFrame, valueCol: String, isCurrent: Column): DataFrame = {
+    val perValue = df.groupBy(col(valueCol).as("v"))
+      .agg(
+        sum(when(isCurrent, 1L).otherwise(0L)).as("c_cur"),
+        sum(when(isCurrent, 0L).otherwise(1L)).as("c_ref"))
+    val wCum = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    perValue
+      .withColumn("cum_cur", sum(col("c_cur")).over(wCum))
+      .withColumn("cum_ref", sum(col("c_ref")).over(wCum))
+      .withColumn("n_cur", sum(col("c_cur")).over(wAll))
+      .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+      .agg(
+        max(abs(
+          col("cum_cur").cast("double") / col("n_cur")
+            - col("cum_ref").cast("double") / col("n_ref"))).as("ks_stat"),
+        max(col("n_cur")).as("n_current"),
+        max(col("n_ref")).as("n_reference"))
+  }
+
+  /** KS over pre-binned values: the 100 TB path for continuous columns.
+    * Quantizes to `bins` fixed-width buckets between the column's observed
+    * min/max (one extra aggregate), then runs the distinct-value KS on bucket
+    * ids. Error vs exact KS ≤ the largest bucket's probability mass.
+    */
+  def binnedStatistic(df: DataFrame, valueCol: String, isCurrent: Column,
+      bins: Int = 10000): DataFrame = {
+    val Array(lo, hi) = df.agg(min(col(valueCol)), max(col(valueCol)))
+      .first() match { case r => Array(r.getAs[Any](0), r.getAs[Any](1)) }
+    val loD = lo.toString.toDouble
+    val hiD = hi.toString.toDouble
+    val width = if (hiD > loD) (hiD - loD) / bins else 1.0
+    val binned = df.withColumn("__bin",
+      least(floor((col(valueCol) - lit(loD)) / lit(width)), lit(bins - 1)))
+    statistic(binned, "__bin", isCurrent)
+  }
+
+  /** Asymptotic two-sided p-value for a two-sample KS statistic — the
+    * Kolmogorov distribution evaluated at sqrt(n1*n2/(n1+n2)) * d
+    * (standard asymptotic form; commons-math3 supplies the CDF).
+    */
+  def pValue(d: Double, n1: Long, n2: Long): Double = {
+    if (d <= 0) return 1.0
+    val en = math.sqrt(n1.toDouble * n2 / (n1.toDouble + n2))
+    // One-sample Kolmogorov CDF at effective n; commons-math3's cdf(d, n)
+    // expects integer n — use the asymptotic series directly instead.
+    val t = (en + 0.12 + 0.11 / en) * d
+    kolmogorovSurvival(t)
+  }
+
+  /** Survival function of the Kolmogorov distribution:
+    * Q(t) = 2 * sum_{k>=1} (-1)^{k-1} exp(-2 k^2 t^2).
+    */
+  def kolmogorovSurvival(t: Double): Double = {
+    if (t < 1e-8) return 1.0
+    var sum = 0.0
+    var k = 1
+    var term = Double.MaxValue
+    while (k <= 100 && math.abs(term) > 1e-12) {
+      term = 2.0 * math.pow(-1.0, (k - 1).toDouble) * math.exp(-2.0 * k * k * t * t)
+      sum += term
+      k += 1
+    }
+    math.max(0.0, math.min(1.0, sum))
+  }
+
+  /** Driver-side convenience: statistic + p-value + drift decision for one
+    * column. Collects exactly one row (the aggregate result), mirroring the
+    * reference's report-dict granularity.
+    */
+  def test(df: DataFrame, valueCol: String, isCurrent: Column,
+      alpha: Double = 0.05): KsResult = {
+    val r = statistic(df, valueCol, isCurrent).first()
+    val n1 = r.getAs[Long]("n_current")
+    val n2 = r.getAs[Long]("n_reference")
+    val d = r.getAs[Double]("ks_stat")
+    val p = pValue(d, n1, n2)
+    KsResult(d, p, n1, n2, p < alpha)
+  }
+}
+
+final case class KsResult(statistic: Double, pValue: Double,
+    nCurrent: Long, nReference: Long, drifted: Boolean)

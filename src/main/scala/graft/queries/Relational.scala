@@ -126,18 +126,24 @@ object Relational {
       .orderBy($"c_mktsegment")
   }
 
-  /** Left-anti join: customers that never ordered. */
+  /** Left-anti join: customers with no high-value order. The filter on the
+    * right side is applied before the join, so it both shrinks the build side
+    * and keeps the result non-empty at every scale factor.
+    */
   private val q05 = QueryDef.sql(
-    "left-anti join, customers without orders by segment")(
+    "left-anti join, customers without high-value orders by segment")(
     """SELECT c_mktsegment, count(*) AS n_customers
       |FROM customer c
-      |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_totalprice > 300000)
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)
     t.customer
-      .join(t.orders, $"c_custkey" === $"o_custkey", "left_anti")
+      .join(t.orders.filter($"o_totalprice" > 300000),
+        $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
       .orderBy($"c_mktsegment")
