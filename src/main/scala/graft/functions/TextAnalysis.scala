@@ -1,0 +1,94 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders (training-data-pipeline surface): token
+  * counting, subword-ish token counting, stopword/quality features, word
+  * n-gram shingles, language scoring and deterministic fingerprints.
+  *
+  * Everything here is composed from codegen'd Catalyst built-ins — no UDFs —
+  * so the operators scale linearly over the documents table with whole-stage
+  * codegen intact. All helpers are plain `Column` transforms: usable in any
+  * select/groupBy, streaming or batch.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (single-space convention of the documents table). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: runs of letters, runs of digits, or single
+    * non-alphanumeric marks — the usual cheap proxy for LLM token counts.
+    */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** Number of tokens that appear in `words` (duplicates counted). */
+  def wordHitCount(text: Column, words: Seq[String]): Column = {
+    val arr = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(arr, t)))
+  }
+
+  /** Default English stopword sample used by the quality score. */
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  def stopwordRatio(text: Column): Column =
+    wordHitCount(text, Stopwords).cast("double") / tokenCount(text)
+
+  /** Mean token length, derived from char count (single-space separation:
+    * chars = sum(len) + n_tokens - 1).
+    */
+  def meanTokenLength(text: Column): Column =
+    (length(text) - tokenCount(text) + lit(1)).cast("double") / tokenCount(text)
+
+  /** Distinct word n-gram shingles, the MinHash/Jaccard unit. Guarded to an
+    * empty array for texts shorter than n tokens.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val t = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(t) - lit(n - 1)),
+      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
+    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+  }
+
+  /** Marker lexicons for the lightweight language-ID heuristic. Order is the
+    * deterministic tie-break (first wins on >=).
+    */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a"),
+    "de" -> Seq("der", "die", "und"),
+    "es" -> Seq("el", "la", "los"),
+    "fr" -> Seq("le", "la", "les"))
+
+  /** Predicted language = argmax of marker hit counts, ties resolved in
+    * LangMarkers order, final fallback = first language.
+    */
+  def predictLang(text: Column): Column = {
+    val scores = LangMarkers.map { case (l, ws) => l -> wordHitCount(text, ws) }
+    // when-chain: lang_i wins iff its score >= every later score.
+    scores.zipWithIndex.init.foldRight(lit(scores.last._1)) {
+      case ((((l, s), i)), elseCol) =>
+        val later = scores.drop(i + 1).map(_._2)
+        when(later.map(s >= _).reduce(_ && _), lit(l)).otherwise(elseCol)
+    }
+  }
+
+  /** Deterministic 128-bit content fingerprint (hex md5 of the utf-8 text) —
+    * the exact-dedup key. Identical across engines (md5 is md5).
+    */
+  def fingerprint(text: Column): Column = md5(text.cast("binary"))
+
+  /** Polynomial rolling hash of the text (base 31, mod 1e9+7) via the
+    * higher-order aggregate — a seedless, portable alternative fingerprint
+    * usable where a numeric key is wanted. Codegen-friendly (no UDF).
+    */
+  def rollingHash(text: Column): Column =
+    aggregate(
+      split(text, ""),
+      lit(0L),
+      (h, c) => pmod(h * lit(31L) + ascii(c), lit(1000000007L)))
+}

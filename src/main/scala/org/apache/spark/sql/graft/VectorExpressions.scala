@@ -1,0 +1,97 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for dense float-vector math (SURVEY.md §7.9:
+  * embedding similarity). A codegen'd expression keeps the inner loop inside
+  * whole-stage codegen — no UDF boxing, no per-row closure dispatch — which is
+  * what makes brute-force scoring of billions of candidate pairs viable.
+  *
+  * Inputs are `array<float>` (the storage type of the embeddings table);
+  * accumulation is in double, sequential order, matching the obvious
+  * single-pass C loop (and DuckDB's list_cosine_similarity on DOUBLE[]).
+  * Null elements are not expected (dense embeddings) and read as 0.0.
+  *
+  * Lives under org.apache.spark.sql because `AbstractDataType` is
+  * private[sql]; the public facade is graft.functions.VectorFunctions.
+  */
+abstract class FloatVectorBinaryOp extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DoubleType
+
+  /** Combine (dot, normLeft, normRight) into the final value. */
+  protected def finish(dot: Double, na: Double, nb: Double): Double
+  /** Java call combining accumulators `dot`, `na`, `nb` into the target. */
+  protected def finishCode(args: String): String
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    finish(dot, na, nb)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $x = $a.getFloat($i);
+         |  float $y = $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = ${finishCode(s"$dot, $na, $nb")};
+       """.stripMargin
+    })
+}
+
+/** cos(a, b) = dot / sqrt(|a|^2 * |b|^2); 0.0 when either norm is 0. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends FloatVectorBinaryOp {
+  override def prettyName: String = "cosine_sim"
+  protected def finish(dot: Double, na: Double, nb: Double): Double =
+    CosineSimilarity.finishJava(dot, na, nb)
+  protected def finishCode(args: String): String =
+    s"org.apache.spark.sql.graft.CosineSimilarity.finishJava($args)"
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object CosineSimilarity {
+  /** Called from generated code. */
+  def finishJava(dot: Double, na: Double, nb: Double): Double =
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+}
+
+/** Plain dot product (used for LSH hyperplane projections). */
+case class DotProduct(left: Expression, right: Expression)
+    extends FloatVectorBinaryOp {
+  override def prettyName: String = "dot_product"
+  protected def finish(dot: Double, na: Double, nb: Double): Double = dot
+  protected def finishCode(args: String): String = {
+    val dot = args.split(",")(0)
+    s"($dot)"
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

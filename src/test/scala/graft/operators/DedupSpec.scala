@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs: DataFrame = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy cat"), // near dup of 1/2
+      (4L, "completely different text about spark engines here now"),
+      (5L, "short text")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup keeps lowest id as survivor") {
+    val r = Dedup.exact(docs, "doc_id", "text")
+      .select("doc_id", "is_survivor").collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
+  }
+
+  test("jaccardPairs computes exact shingle jaccard") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // docs 1,2 identical: 7 shingles each, jaccard 1.0
+    assert(pairs((1L, 2L)) == 1.0)
+    // docs 1,3 differ in last token: shingles 7 each, 6 shared -> 6/8
+    assert(pairs((1L, 3L)) == 0.75)
+    assert(pairs((2L, 3L)) == 0.75)
+    // unrelated docs share no shingle -> absent
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 5L)))
+  }
+
+  test("minHash near-dups at 0.7 finds exactly the near-dup cluster") {
+    val got = Dedup.minHashNearDups(docs, "doc_id", "text", n = 3, minJaccard = 0.7)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("verifyPairs matches exact jaccardPairs on its candidates") {
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val s = spark
+    import s.implicits._
+    val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
+    val got = Dedup.verifyPairs(cand, sh)
+      .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(got == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.75))
+  }
+
+  test("simHash is deterministic and identical for identical text") {
+    val h = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(1L) == h(2L))
+    assert(h(1L) != h(4L))
+    assert(h.values.forall(v => v >= 0 && v < (1L << 60)))
+  }
+
+  test("simHashNearDups finds hamming-0 pairs via chunk banding") {
+    val sims = Dedup.simHash(docs, "doc_id", "text")
+    val got = Dedup.simHashNearDups(sims, maxHamming = 3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.contains((1L, 4L)))
+  }
+}
