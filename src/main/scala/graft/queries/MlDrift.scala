@@ -1,0 +1,145 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.drift.{ChiSquared, KsTest}
+import graft.ml.Classification
+
+/** Drift statistics and classification metrics (SURVEY.md §2.4 A4–A11)
+  * exercised over the events table: the two-sample tests split events into a
+  * "current" and a "reference" population, exactly the J2 shape of the
+  * reference pipeline (current batch vs model reference data).
+  *
+  * Scale notes: both test statistics collapse the input with one grouped
+  * aggregate (distinct values / categories) before any windowing, so the
+  * global-order window cost is bounded by value cardinality, not row count;
+  * classification metrics are single-pass conditional aggregates shuffling
+  * four longs per partition.
+  */
+object MlDrift {
+
+  /** Two-sample KS statistic: click events vs all others on `value`. */
+  private val q24 = QueryDef.sql(
+    "two-sample KS drift statistic on events.value (click vs rest)")(
+    """WITH pv AS (SELECT value AS v,
+      |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c_cur,
+      |    sum(CASE WHEN event_type <> 'click' THEN 1 ELSE 0 END) AS c_ref
+      |  FROM events WHERE value IS NOT NULL GROUP BY 1),
+      |c AS (SELECT v,
+      |    sum(c_cur) OVER (ORDER BY v) AS cum_cur,
+      |    sum(c_ref) OVER (ORDER BY v) AS cum_ref,
+      |    sum(c_cur) OVER () AS n_cur,
+      |    sum(c_ref) OVER () AS n_ref
+      |  FROM pv)
+      |SELECT max(abs(cum_cur::DOUBLE / n_cur - cum_ref::DOUBLE / n_ref)) AS ks_stat,
+      |  max(n_cur) AS n_current, max(n_ref) AS n_reference
+      |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    KsTest.statistic(
+      Tables(s, dir).events.filter($"value".isNotNull),
+      "value", $"event_type" === "click")
+  }
+
+  /** Two-sample chi-squared homogeneity statistic on the event_type
+    * distribution, split by even/odd user id.
+    */
+  private val q25 = QueryDef.sql(
+    "chi-squared homogeneity statistic on event_type (even vs odd users)")(
+    """WITH obs AS (SELECT event_type AS cat,
+      |    sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS o_cur,
+      |    sum(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS o_ref
+      |  FROM events GROUP BY 1),
+      |m AS (SELECT *, sum(o_cur) OVER () AS n_cur, sum(o_ref) OVER () AS n_ref FROM obs),
+      |e AS (SELECT *, n_cur + n_ref AS total, o_cur + o_ref AS col_tot FROM m),
+      |x AS (SELECT *,
+      |    col_tot::DOUBLE * n_cur / total AS e_cur,
+      |    col_tot::DOUBLE * n_ref / total AS e_ref FROM e)
+      |SELECT cast(sum(pow(o_cur - e_cur, 2) / e_cur
+      |             + pow(o_ref - e_ref, 2) / e_ref) AS REAL) AS chi2_stat,
+      |  count(*) - 1 AS dof, max(n_cur) AS n_current, max(n_ref) AS n_reference
+      |FROM x""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    ChiSquared.statistic(Tables(s, dir).events, "event_type", $"user_id" % 2 === 0)
+      .withColumn("chi2_stat", $"chi2_stat".cast("float"))
+  }
+
+  /** Headline classification metrics (accuracy/precision/recall/f1score) on
+    * a deterministic synthetic labeling of events: label = value > 50,
+    * prediction = user_id % 3 = 0. All values are ratios of exact integer
+    * counts — bit-deterministic.
+    */
+  private val q26 = QueryDef.sql(
+    "binary classification metrics from confusion counts")(
+    """WITH s AS (SELECT
+      |    sum(CASE WHEN value > 50 AND user_id % 3 = 0 THEN 1 ELSE 0 END) AS tp,
+      |    sum(CASE WHEN value <= 50 AND user_id % 3 = 0 THEN 1 ELSE 0 END) AS fp,
+      |    sum(CASE WHEN value > 50 AND user_id % 3 <> 0 THEN 1 ELSE 0 END) AS fn,
+      |    sum(CASE WHEN value <= 50 AND user_id % 3 <> 0 THEN 1 ELSE 0 END) AS tn
+      |  FROM events)
+      |SELECT * FROM (
+      |  SELECT 'accuracy' AS metric_name, (tp + tn)::DOUBLE / (tp + fp + fn + tn) AS value FROM s
+      |  UNION ALL SELECT 'precision', tp::DOUBLE / (tp + fp) FROM s
+      |  UNION ALL SELECT 'recall', tp::DOUBLE / (tp + fn) FROM s
+      |  UNION ALL SELECT 'f1score', (2 * tp)::DOUBLE / (2 * tp + fp + fn) FROM s)
+      |ORDER BY metric_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val scored = Tables(s, dir).events.select(
+      ($"value" > 50).cast("int").as("label"),
+      ($"user_id" % 3 === 0).cast("int").as("prediction"))
+    Classification.metrics(scored, "label", "prediction")
+      .orderBy($"metric_name")
+  }
+
+  /** Confusion matrix counts (A4): one row per (label, prediction) cell. */
+  private val q27 = QueryDef.sql(
+    "confusion matrix counts")(
+    """SELECT (value > 50)::INT AS label, (user_id % 3 = 0)::INT AS prediction,
+      |  count(*) AS n
+      |FROM events WHERE value IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Classification.confusionCounts(
+      Tables(s, dir).events.filter($"value".isNotNull)
+        .select(($"value" > 50).cast("int").as("label"),
+          ($"user_id" % 3 === 0).cast("int").as("prediction")),
+      "label", "prediction")
+      .orderBy($"label", $"prediction")
+  }
+
+  /** Decision-threshold sweep (M7): F1 at a fixed candidate grid, computed
+    * in ONE pass via a broadcast cross join — no per-threshold rescan.
+    */
+  private val q28 = {
+    val grid = Seq(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)
+    val gridSql = grid.map(t => s"($t)").mkString(", ")
+    QueryDef.sql("F1 threshold sweep over a candidate grid")(
+      s"""WITH t(threshold) AS (VALUES $gridSql),
+         |sc AS (SELECT (event_type = 'purchase')::INT AS label, value / 100.0 AS prob
+         |  FROM events),
+         |agg AS (SELECT threshold,
+         |    sum(CASE WHEN label = 1 AND prob >= threshold THEN 1 ELSE 0 END) AS tp,
+         |    sum(CASE WHEN label = 0 AND prob >= threshold THEN 1 ELSE 0 END) AS fp,
+         |    sum(CASE WHEN label = 1 AND prob < threshold THEN 1 ELSE 0 END) AS fn
+         |  FROM sc, t GROUP BY threshold)
+         |SELECT threshold, tp, fp, fn,
+         |  (2 * tp)::DOUBLE / (2 * tp + fp + fn) AS f1
+         |FROM agg ORDER BY threshold""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val scored = Tables(s, dir).events.select(
+        ($"event_type" === "purchase").cast("int").as("label"),
+        ($"value" / 100.0).as("prob"))
+      Classification.thresholdSweep(scored, "label", "prob", grid)
+        .select($"threshold", $"tp", $"fp", $"fn", $"f1")
+        .orderBy($"threshold")
+    }
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q24_ks_drift" -> q24,
+    "q25_chi2_drift" -> q25,
+    "q26_classification_metrics" -> q26,
+    "q27_confusion_matrix" -> q27,
+    "q28_threshold_sweep" -> q28
+  )
+}

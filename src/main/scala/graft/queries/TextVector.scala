@@ -1,0 +1,227 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{TextAnalysis, VectorFunctions}
+import graft.operators.Dedup
+
+/** Training-data-pipeline operator surface over the documents/embeddings
+  * tables: text features, language ID, exact + near dedup, and
+  * similarity search (brute-force cosine as the correctness baseline).
+  *
+  * Scale notes:
+  *  - all text features are codegen'd Column transforms: one narrow scan,
+  *    no UDFs, no shuffle except where an aggregate/join demands one;
+  *  - dedup never shuffles raw text — fingerprints (16 bytes) and shingle
+  *    inverted indexes carry the joins;
+  *  - cosine scoring is a native Catalyst expression inside whole-stage
+  *    codegen; the query side of a top-k sim search broadcasts, keeping
+  *    the big side shuffle-free (at 100 TB the LSH/IVF candidate path in
+  *    Dedup/ANN cuts the candidate set, same verify-exact pattern).
+  */
+object TextVector {
+
+  /** Stopword IN-list shared verbatim with the oracle. */
+  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-document text feature vector (token counts, subword count,
+    * stopword ratio, mean token length, md5 fingerprint) — SURVEY.md §7.9
+    * "text analysis" surface.
+    */
+  private val q16 = QueryDef.sql(
+    "per-document text features (token/subword counts, ratios, fingerprint)")(
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
+       |SELECT doc_id,
+       |  len(t) AS n_tokens,
+       |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
+       |  len(list_filter(t, x -> x IN ($stopList)))::DOUBLE / len(t) AS stop_ratio,
+       |  (length(text) - len(t) + 1)::DOUBLE / len(t) AS mean_tok_len,
+       |  md5(text) AS fp
+       |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documents.select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+      TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
+      TextAnalysis.stopwordRatio($"text").as("stop_ratio"),
+      TextAnalysis.meanTokenLength($"text").as("mean_tok_len"),
+      TextAnalysis.fingerprint($"text").as("fp"))
+      .orderBy($"doc_id")
+  }
+
+  /** Language-ID distribution: marker-lexicon argmax per document, counted
+    * per predicted language.
+    */
+  private val q17 = {
+    def hits(words: Seq[String]) =
+      words.map(w => s"'$w'").mkString(", ")
+    val en = hits(Seq("the", "a")); val de = hits(Seq("der", "die", "und"))
+    val es = hits(Seq("el", "la", "los")); val fr = hits(Seq("le", "la", "les"))
+    QueryDef.sql("language-ID via marker-word argmax, counted per language")(
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sc AS (SELECT doc_id,
+         |  len(list_filter(t, x -> x IN ($en))) AS s_en,
+         |  len(list_filter(t, x -> x IN ($de))) AS s_de,
+         |  len(list_filter(t, x -> x IN ($es))) AS s_es,
+         |  len(list_filter(t, x -> x IN ($fr))) AS s_fr
+         |FROM tok)
+         |SELECT CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         |            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         |            WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS lang_pred,
+         |  count(*) AS n_docs
+         |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir).documents
+        .groupBy(TextAnalysis.predictLang($"text").as("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy($"lang_pred")
+    }
+  }
+
+  /** Exact-dedup groups: md5-fingerprint hash aggregate; the grouping key is
+    * 16 bytes regardless of document size (the raw text never shuffles).
+    */
+  private val q18 = QueryDef.sql(
+    "exact dedup groups by md5 fingerprint")(
+    """SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS survivor
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documents
+      .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
+      .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("survivor"))
+      .orderBy($"fp")
+  }
+
+  /** Exact pairwise n-gram Jaccard near-dups (threshold 0.5) via the shingle
+    * inverted-index self-join — the correctness oracle for the LSH path.
+    */
+  private val q19 = QueryDef.sql(
+    "exact 3-gram Jaccard near-dup pairs (j >= 0.5)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter, na.n AS na, nb.n AS nb,
+      |  inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
+      |           JOIN sizes nb ON pairs.db = nb.doc_id
+      |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.5
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", n = 3)
+      .filter($"jaccard" >= 0.5)
+      .select($"da", $"db", $"inter", $"na", $"nb", $"jaccard")
+      .orderBy($"da", $"db")
+  }
+
+  /** MinHash+LSH near-dup pairs at j >= 0.9 with exact verification; the
+    * oracle is the exact pairwise computation (LSH false-negative probability
+    * at j=0.9 with 16 bands x 4 rows is ~4e-8).
+    */
+  private val q20 = QueryDef.sql(
+    "MinHash+LSH near-dup pairs (j >= 0.9), exact-verified")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter::DOUBLE / (na.n + nb.n - inter) AS jaccard
+      |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
+      |           JOIN sizes nb ON pairs.db = nb.doc_id
+      |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Dedup.minHashNearDups(Tables(s, dir).documents, "doc_id", "text",
+        n = 3, minJaccard = 0.9)
+      .select($"da", $"db", $"jaccard")
+      .orderBy($"da", $"db")
+  }
+
+  /** SimHash near-dup pairs (hamming <= 3 on 60-bit signatures). Seedless and
+    * deterministic (md5 token hashes) but not reasonably SQL-expressible —
+    * rows-only check; the SimHashSpec unit tests carry correctness.
+    */
+  private val q21 = QueryDef.rowsOnly(
+    "SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk banding") { (s, dir) =>
+    import s.implicits._
+    val sims = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
+    Dedup.simHashNearDups(sims, maxHamming = 3)
+      .orderBy($"da", $"db")
+  }
+
+  /** Brute-force cosine top-k: nearest 10 vectors to the vec_id=0 query.
+    * The query vector broadcasts; scoring is the codegen'd native
+    * expression over one scan of embeddings.
+    */
+  private val q22 = QueryDef.sql(
+    "cosine top-10 similarity search from a query vector")(
+    """SELECT e.vec_id,
+      |  cast(list_cosine_similarity(
+      |    list_transform(e.embedding, x -> x::DOUBLE),
+      |    (SELECT list_transform(embedding, x -> x::DOUBLE)
+      |     FROM embeddings WHERE vec_id = 0)) AS REAL) AS sim
+      |FROM embeddings e
+      |ORDER BY sim DESC, e.vec_id
+      |LIMIT 10""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    emb.crossJoin(broadcast(query))
+      .select($"vec_id",
+        VectorFunctions.cosineSim($"embedding", $"q").cast("float").as("sim"))
+      .orderBy($"sim".desc, $"vec_id")
+      .limit(10)
+  }
+
+  /** Batch k-NN join: top-3 neighbors for each of the first 10 vectors —
+    * the brute-force baseline of an ANN batch lookup. Queries broadcast;
+    * ranking is one window over the scored frame.
+    */
+  private val q23 = QueryDef.sql(
+    "brute-force k-NN join: top-3 neighbors for 10 query vectors")(
+    """WITH scored AS (
+      |  SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+      |    cast(list_cosine_similarity(
+      |      list_transform(e.embedding, x -> x::DOUBLE),
+      |      list_transform(q.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  WHERE e.vec_id <> q.vec_id)
+      |SELECT qid, vec_id, sim, rn FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored) WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+    val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    emb.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        VectorFunctions.cosineSim($"embedding", $"qe").cast("float").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .orderBy($"qid", $"rn")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q16_text_features" -> q16,
+    "q17_lang_id" -> q17,
+    "q18_exact_dedup" -> q18,
+    "q19_jaccard_pairs" -> q19,
+    "q20_minhash_neardups" -> q20,
+    "q21_simhash_neardups" -> q21,
+    "q22_cosine_topk" -> q22,
+    "q23_knn_join" -> q23
+  )
+}

@@ -34,7 +34,8 @@ abstract class FloatVectorBinaryOp extends BinaryExpression with ExpectsInputTyp
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = x.getFloat(i); val yi = y.getFloat(i)
+      // promote BEFORE multiplying: float*float would round the product
+      val xi = x.getFloat(i).toDouble; val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
       i += 1
     }
@@ -54,8 +55,8 @@ abstract class FloatVectorBinaryOp extends BinaryExpression with ExpectsInputTyp
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  float $x = $a.getFloat($i);
-         |  float $y = $b.getFloat($i);
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
          |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
          |}
          |${ev.value} = ${finishCode(s"$dot, $na, $nb")};
