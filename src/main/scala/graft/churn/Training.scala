@@ -1,0 +1,201 @@
+package graft.churn
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.classification.{GBTClassifier, LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Model training (SURVEY.md §2.8 M1-M9), Spark-first.
+  *
+  * The reference trains XGBoost (churn_model_training.py:100-107,246-251);
+  * the public-API equivalent is MLlib's GBTClassifier — same algorithm
+  * family (gradient-boosted decision trees, histogram splits via maxBins).
+  * Exact XGBoost numeric parity is out of scope (SURVEY.md §7 hard-parts);
+  * the contract is the classifier interface + the published quality bars.
+  *
+  * Param mapping (churn_model_training.py:229-244 → GBTClassifier):
+  * n_estimators→maxIter, learning_rate→stepSize, max_depth→maxDepth,
+  * subsample→subsamplingRate, colsample_bytree→featureSubsetStrategy,
+  * min_child_weight→minInstancesPerNode, gamma→minInfoGain,
+  * scale_pos_weight→per-row weightCol. reg_alpha/reg_lambda/max_delta_step
+  * have no GBT equivalent (documented gap).
+  */
+object Training {
+
+  val FeaturesCol = "features"
+  val RawPredictionCol = "rawPrediction"
+  val ProbabilityCol = "probability"
+
+  final case class GbtParams(
+      maxIter: Int = 374,             // n_estimators best-to-date (TRAIN:349)
+      stepSize: Double = 0.06277193144197914, // learning_rate (TRAIN:350)
+      maxDepth: Int = 3,              // max_depth (TRAIN:351)
+      minInstancesPerNode: Int = 1,   // min_child_weight (TRAIN:352)
+      minInfoGain: Double = 0.0,      // gamma-ish (TRAIN:353)
+      subsamplingRate: Double = 0.8280956289121524, // subsample (TRAIN:354)
+      featureSubsetStrategy: String = "0.7587172587106015", // colsample_bytree (TRAIN:355)
+      scalePosWeight: Double = 1.0,   // scale_pos_weight → weightCol
+      seed: Long = 42L)
+
+  def assembler: VectorAssembler = new VectorAssembler()
+    .setInputCols(ChurnSchema.NumericalColumns.toArray)
+    .setOutputCol(FeaturesCol)
+
+  /** train_model (churn_model_training.py:100-107): fit the GBT pipeline on
+    * a prepared frame (11 double features + int churn).
+    */
+  def trainModel(prepared: DataFrame, params: GbtParams = GbtParams()): PipelineModel = {
+    val gbt = new GBTClassifier()
+      .setLabelCol(ChurnSchema.TargetColumn)
+      .setFeaturesCol(FeaturesCol)
+      .setPredictionCol("__prediction")
+      .setRawPredictionCol(RawPredictionCol)
+      .setProbabilityCol(ProbabilityCol)
+      .setMaxIter(params.maxIter)
+      .setStepSize(params.stepSize)
+      .setMaxDepth(params.maxDepth)
+      .setMinInstancesPerNode(params.minInstancesPerNode)
+      .setMinInfoGain(params.minInfoGain)
+      .setSubsamplingRate(params.subsamplingRate)
+      .setFeatureSubsetStrategy(params.featureSubsetStrategy)
+      .setSeed(params.seed)
+      .setWeightCol("__weight")
+    val weighted = new Pipeline().setStages(Array(assembler, gbt))
+    weighted.fit(prepared.withColumn("__weight",
+      when(col(ChurnSchema.TargetColumn) === 1, params.scalePosWeight).otherwise(1.0)))
+  }
+
+  /** M4+M5: model.transform with the reference's output contract — int
+    * `churn_prediction` appended in-plan (never positional zip,
+    * SURVEY.md §7 hard-parts) plus the positive-class probability.
+    */
+  def score(model: PipelineModel, prepared: DataFrame): DataFrame =
+    model.transform(prepared.withColumn("__weight", lit(1.0)))
+      .withColumn(ChurnSchema.TargetPredictionColumn,
+        col("__prediction").cast("int"))
+      .withColumn("churn_probability",
+        vector_to_array(col(ProbabilityCol)).getItem(1))
+      .drop("__prediction", "__weight", FeaturesCol, RawPredictionCol, ProbabilityCol)
+
+  /** Margin (log-odds-ish score) of the GBT: rawPrediction[1]. */
+  private def withMargin(model: PipelineModel, prepared: DataFrame): DataFrame =
+    model.transform(prepared.withColumn("__weight", lit(1.0)))
+      .withColumn("__margin", vector_to_array(col(RawPredictionCol)).getItem(1))
+      .drop("__prediction", "__weight", FeaturesCol, RawPredictionCol, ProbabilityCol)
+
+  /** M6: Platt scaling = 1-D logistic regression on the frozen model's
+    * margin (CalibratedClassifierCV(method="sigmoid"),
+    * churn_model_training.py:261-264).
+    */
+  def fitPlatt(model: PipelineModel, train: DataFrame): LogisticRegressionModel = {
+    val margins = withMargin(model, train)
+      .select(col("__margin"), col(ChurnSchema.TargetColumn))
+    val asm = new VectorAssembler()
+      .setInputCols(Array("__margin")).setOutputCol("__mvec")
+    new LogisticRegression()
+      .setLabelCol(ChurnSchema.TargetColumn)
+      .setFeaturesCol("__mvec")
+      .setPredictionCol("__cal_pred")
+      .setRawPredictionCol("__cal_raw")
+      .setProbabilityCol("__cal_prob")
+      .fit(asm.transform(margins))
+  }
+
+  /** Calibrated positive-class probability for a scored frame. */
+  def calibratedProbability(model: PipelineModel,
+      calibrator: LogisticRegressionModel, df: DataFrame): DataFrame = {
+    val margins = withMargin(model, df)
+    val asm = new VectorAssembler()
+      .setInputCols(Array("__margin")).setOutputCol("__mvec")
+    calibrator.transform(asm.transform(margins))
+      .withColumn("churn_probability",
+        vector_to_array(col("__cal_prob")).getItem(1))
+      .drop("__margin", "__mvec", "__cal_pred", "__cal_raw", "__cal_prob")
+  }
+
+  /** M1: train_test_split(test_size=0.2, random_state=42)
+    * (churn_model_training.py:335-337).
+    */
+  def trainTestSplit(prepared: DataFrame, seed: Long = 42L): (DataFrame, DataFrame) = {
+    val Array(train, test) = prepared.randomSplit(Array(0.8, 0.2), seed)
+    (train, test)
+  }
+
+  /** M2: stratified k-fold assignment — per-class round-robin over a seeded
+    * random order (StratifiedKFold(shuffle=True),
+    * churn_model_training.py:254-257). Adds an int `fold` column in
+    * [0, k); usable as MLlib CrossValidator foldCol.
+    */
+  def stratifiedFolds(prepared: DataFrame, k: Int = 3, seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(ChurnSchema.TargetColumn).orderBy(rand(seed))
+    prepared.withColumn("fold", (row_number().over(w) - 1) % k)
+  }
+
+  /** F1 of thresholded probabilities (positive label 1). */
+  private def f1At(scored: DataFrame, threshold: Double): Double = {
+    val r = scored.agg(
+      sum(when(col(ChurnSchema.TargetColumn) === 1 &&
+        col("churn_probability") >= threshold, 1L).otherwise(0L)).as("tp"),
+      sum(when(col(ChurnSchema.TargetColumn) === 0 &&
+        col("churn_probability") >= threshold, 1L).otherwise(0L)).as("fp"),
+      sum(when(col(ChurnSchema.TargetColumn) === 1 &&
+        col("churn_probability") < threshold, 1L).otherwise(0L)).as("fn"))
+      .first()
+    val tp = r.getAs[Long]("tp").toDouble
+    val fp = r.getAs[Long]("fp").toDouble
+    val fn = r.getAs[Long]("fn").toDouble
+    if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+  }
+
+  /** One CV objective evaluation (churn_model_training.py:252-273): k-fold
+    * stratified CV; per fold train GBT → Platt-calibrate → threshold →
+    * F1; returns the fold-mean.
+    */
+  def crossValF1(prepared: DataFrame, params: GbtParams, threshold: Double,
+      k: Int = 3, seed: Long = 42L): Double = {
+    val folded = stratifiedFolds(prepared, k, seed).cache()
+    try {
+      val scores = (0 until k).map { i =>
+        val train = folded.filter(col("fold") =!= i).drop("fold")
+        val valid = folded.filter(col("fold") === i).drop("fold")
+        val model = trainModel(train, params)
+        val calibrator = fitPlatt(model, train)
+        f1At(calibratedProbability(model, calibrator, valid), threshold)
+      }
+      scores.sum / k
+    } finally { folded.unpersist(); () }
+  }
+
+  /** M8 as public-API random search (the reference uses Optuna TPE,
+    * churn_model_training.py:277-289; the engine contract is
+    * "objective(params) → score, argmax" per SURVEY.md §2.8). Samples the
+    * narrowed 13-dim space with a fixed seed.
+    */
+  def randomSearch(prepared: DataFrame, nTrials: Int, k: Int = 3,
+      seed: Long = 42L,
+      maxIterCap: Int = 1000): (GbtParams, Double, Double) = {
+    val rnd = new scala.util.Random(seed)
+    def logUniform(lo: Double, hi: Double): Double =
+      math.exp(math.log(lo) + rnd.nextDouble() * (math.log(hi) - math.log(lo)))
+    var best: (GbtParams, Double, Double) = (GbtParams(), 0.1, Double.NegativeInfinity)
+    for (_ <- 0 until nTrials) {
+      val p = GbtParams(
+        maxIter = 100 + rnd.nextInt(math.max(maxIterCap - 100, 1) + 1),
+        stepSize = logUniform(0.001, 0.3),
+        maxDepth = 3 + rnd.nextInt(10),
+        minInstancesPerNode = 1 + rnd.nextInt(10),
+        minInfoGain = logUniform(1e-8, 5.0),
+        subsamplingRate = 0.5 + rnd.nextDouble() * 0.5,
+        featureSubsetStrategy = (0.5 + rnd.nextDouble() * 0.5).toString,
+        scalePosWeight = 1.0 + rnd.nextDouble() * 19.0,
+        seed = 42L)
+      val threshold = 0.1 + rnd.nextDouble() * 0.8
+      val score = crossValF1(prepared, p, threshold, k)
+      if (score > best._3) best = (p, threshold, score)
+    }
+    best
+  }
+}

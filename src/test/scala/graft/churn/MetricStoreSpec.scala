@@ -1,0 +1,66 @@
+package graft.churn
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+class MetricStoreSpec extends SparkSpec {
+
+  private def sampleReport: Seq[ReportMetric] = Seq(
+    ReportMetric("Accuracy()", scalar = Some(0.9)),
+    ReportMetric("F1Score(conf_matrix=True)", scalar = Some(0.8)),
+    ReportMetric("F1ByLabel()", dict = Map("0" -> 0.85, "1" -> 0.8)),
+    ReportMetric("ValueDrift(column=age_group)", scalar = Some(0.03)),
+    ReportMetric("DriftedColumnsCount(drift_share=0.5)",
+      dict = Map("count" -> 1.0, "share" -> 1.0 / 12)))
+
+  test("toRows flattens with the exact metric-name contract") {
+    val df = MetricStore.toRows(spark, sampleReport, new Timestamp(1000L))
+    val names = df.collect().map(_.getString(0)).toSeq
+    assert(names == Seq(
+      "accuracy", "f1score", "f1bylabel[0]", "f1bylabel[1]",
+      "valuedrift_age_group",
+      "driftedcolumnscount[count]", "driftedcolumnscount[share]"))
+    assert(df.columns.toSeq == Seq("metric_name", "value", "created_at"))
+  }
+
+  test("append + view + all 22 dashboard queries run verbatim") {
+    val path = Files.createTempDirectory("graft-metrics").toString + "/store"
+    // three runs with increasing created_at; f1score rises so latest != first
+    Seq(0.5, 0.6, 0.7).zipWithIndex.foreach { case (v, i) =>
+      val report = Seq(
+        ReportMetric("F1Score(conf_matrix=True)", scalar = Some(v)),
+        ReportMetric("Precision()", scalar = Some(v + 0.1)),
+        ReportMetric("Recall()", scalar = Some(v + 0.05)),
+        ReportMetric("Accuracy()", scalar = Some(v + 0.2)),
+        ReportMetric("DriftedColumnsCount(drift_share=0.5)",
+          dict = Map("count" -> i.toDouble, "share" -> i / 12.0))) ++
+        MetricStore.pValueMetrics.map { m =>
+          val col = m.stripPrefix("valuedrift_")
+          ReportMetric(s"ValueDrift(column=$col)", scalar = Some(0.5 - i * 0.1))
+        }
+      MetricStore.append(
+        MetricStore.toRows(spark, report, new Timestamp(1000L * (i + 1))), path)
+    }
+    MetricStore.registerView(spark, path)
+
+    // W1 semantics: latest f1score is the third run's 0.7
+    assert(MetricStore.latestValue(spark, "f1score").first().getDouble(0) == 0.7)
+    // W2 semantics: series in ascending created_at
+    val series = MetricStore.series(spark, "f1score").collect().map(_.getDouble(1))
+    assert(series.toSeq == Seq(0.5, 0.6, 0.7))
+
+    // all 22 Grafana rawSql texts run verbatim through spark.sql
+    val qs = MetricStore.dashboardQueries
+    assert(qs.size == 22)
+    qs.foreach { sql =>
+      val rows = MetricStore.runDashboardQuery(spark, sql).collect()
+      assert(rows.nonEmpty, s"no rows for: $sql")
+    }
+    // p-value rename resolves as a column name, not a string literal
+    val pq = qs.last
+    val df = MetricStore.runDashboardQuery(spark, pq)
+    assert(df.columns.contains("p-value"))
+  }
+}
