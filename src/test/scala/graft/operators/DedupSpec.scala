@@ -45,14 +45,15 @@ class DedupSpec extends SparkSpec {
   }
 
   test("verifyPairs matches exact jaccardPairs on its candidates") {
-    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     val s = spark
     import s.implicits._
     val cand = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("da", "db")
-    val got = Dedup.verifyPairs(cand, sh)
+    val got = Dedup.verifyPairs(cand, sets)
       .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
         r.getAs[Double]("jaccard")).toMap
-    assert(got == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.75))
+    // pair (1,4) shares nothing: jaccard 0, still verified (present)
+    assert(got == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.75, (1L, 4L) -> 0.0))
   }
 
   test("simHash is deterministic and identical for identical text") {
