@@ -1,0 +1,91 @@
+package graft.churn
+
+import org.apache.spark.ml.PipelineModel
+import org.apache.spark.ml.classification.GBTClassificationModel
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ml.Classification
+
+/** Model evaluation suite (SURVEY.md §2.8 M10): the engine-native
+  * equivalent of `mlflow.models.evaluate(model_type="classifier")`
+  * (churn_model_training.py:144-168) — headline scores, log-loss, ROC/PR
+  * AUC, confusion counts, calibration and lift tables, and feature
+  * importances (the public-API stand-in for SHAP, SURVEY.md §7
+  * hard-parts).
+  *
+  * Everything is one or two conditional-aggregation passes over the scored
+  * frame; curve tables group by probability decile, so their size is fixed
+  * regardless of input rows.
+  */
+object Evaluation {
+
+  final case class EvalResult(
+      metrics: Map[String, Double],
+      confusion: Seq[(Int, Int, Long)],
+      calibration: DataFrame,
+      lift: DataFrame,
+      featureImportances: Seq[(String, Double)])
+
+  /** Probability-decile table shared by calibration and lift. */
+  private def deciles(scored: DataFrame): DataFrame = {
+    val d = least(floor(col("churn_probability") * 10), lit(9)).cast("int")
+    scored.groupBy(d.as("decile")).agg(
+      count(lit(1)).as("n"),
+      avg(col("churn_probability")).as("avg_predicted"),
+      avg(col(ChurnSchema.TargetColumn).cast("double")).as("avg_actual"))
+  }
+
+  /** Evaluate a scored frame (churn + churn_prediction + churn_probability
+    * columns, as produced by Training.score).
+    */
+  def evaluate(model: PipelineModel, scored: DataFrame): EvalResult = {
+    val stats = Classification.binaryStats(scored,
+      ChurnSchema.TargetColumn, ChurnSchema.TargetPredictionColumn).first()
+    val tp = stats.getAs[Long]("tp").toDouble
+    val fp = stats.getAs[Long]("fp").toDouble
+    val fn = stats.getAs[Long]("fn").toDouble
+    val tn = stats.getAs[Long]("tn").toDouble
+    val n = tp + fp + fn + tn
+
+    val logLoss = Classification.logLoss(scored,
+      ChurnSchema.TargetColumn, "churn_probability").first().getDouble(0)
+
+    // ROC/PR AUC from the probability column (MLlib binary metrics)
+    val evaluator = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol(ChurnSchema.TargetColumn)
+      .setRawPredictionCol("churn_probability")
+    val rocAuc = evaluator.setMetricName("areaUnderROC").evaluate(scored)
+    val prAuc = evaluator.setMetricName("areaUnderPR").evaluate(scored)
+
+    val confusion = Classification.confusionCounts(scored,
+        ChurnSchema.TargetColumn, ChurnSchema.TargetPredictionColumn)
+      .collect().map(r => (r.getAs[Int]("label"),
+        r.getAs[Int]("prediction"), r.getAs[Long]("n"))).toSeq.sorted
+
+    val dec = deciles(scored)
+    val overallRate = (tp + fn) / math.max(n, 1.0)
+    val lift = dec.withColumn("lift",
+      col("avg_actual") / lit(math.max(overallRate, 1e-12)))
+
+    // feature importances: GBT split-gain importances, the SHAP stand-in
+    val importances = model.stages.collectFirst {
+      case m: GBTClassificationModel =>
+        ChurnSchema.NumericalColumns.zip(m.featureImportances.toArray)
+    }.getOrElse(Seq.empty)
+
+    EvalResult(
+      metrics = Map(
+        "accuracy" -> (tp + tn) / math.max(n, 1.0),
+        "precision" -> (if (tp + fp == 0) 0.0 else tp / (tp + fp)),
+        "recall" -> (if (tp + fn == 0) 0.0 else tp / (tp + fn)),
+        "f1score" -> (if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)),
+        "log_loss" -> logLoss,
+        "roc_auc" -> rocAuc,
+        "pr_auc" -> prAuc),
+      confusion = confusion,
+      calibration = dec.orderBy("decile"),
+      lift = lift.orderBy("decile"),
+      featureImportances = importances)
+  }
+}

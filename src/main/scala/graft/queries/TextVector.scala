@@ -214,6 +214,62 @@ object TextVector {
       .orderBy($"qid", $"rn")
   }
 
+  /** Multimodal binary-column plumbing (decode stub, SURVEY brief): treat
+    * the utf-8 text bytes as an opaque blob; byte length, 128-bit
+    * fingerprint and a header peek — all on BinaryType end to end.
+    */
+  private val q29 = QueryDef.sql(
+    "binary-column metadata: byte length, fingerprint, header peek")(
+    """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+      |  md5(text) AS fp,
+      |  hex(encode(substring(text, 1, 8))) AS head_hex
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val content = $"text".cast("binary")
+    Tables(s, dir).documents.select(
+      $"doc_id",
+      length(content).cast("long").as("byte_len"),
+      md5(content).as("fp"),
+      hex(substring(content, 1, 8)).as("head_hex"))
+      .orderBy($"doc_id")
+  }
+
+  /** Stub image pipeline (rows-only: the synthetic pack/decode round-trip
+    * is not SQL-expressible): pack a fake image per document, decode its
+    * metadata back, histogram the payload bytes, frame-sample. Correctness
+    * carried by MultimodalSpec; this exercises the plumbing at scale.
+    */
+  private val q30 = QueryDef.rowsOnly(
+    "multimodal stub pipeline: pack -> decode meta -> byte histogram") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Multimodal
+    val packed = Tables(s, dir).documents.select(
+      $"doc_id",
+      Multimodal.packImage(
+        pmod($"n_chars", lit(64)) + 1, pmod($"doc_id", lit(64)) + 1, lit(3),
+        $"text").as("content"))
+    packed.select(
+      $"doc_id",
+      Multimodal.decodeImageMeta($"content").as("meta"),
+      Multimodal.byteHistogram(Multimodal.imagePayload($"content")).as("hist"),
+      size(Multimodal.sampleFrames($"content", 16, 4)).as("n_frames"))
+      .orderBy($"doc_id")
+  }
+
+  /** LSH-bucketed ANN top-k (rows-only: hyperplane seeds are engine
+    * internals; recall vs the q23 brute-force baseline is asserted in
+    * AnnSpec). The 100 TB path of q23.
+    */
+  private val q31 = QueryDef.rowsOnly(
+    "LSH-bucketed approximate nearest neighbors, top-3 for 10 queries") { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Ann
+    val emb = Tables(s, dir).embeddings
+    Ann.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 3, numPlanes = 6)
+      .orderBy($"qid", $"rn")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -222,6 +278,9 @@ object TextVector {
     "q20_minhash_neardups" -> q20,
     "q21_simhash_neardups" -> q21,
     "q22_cosine_topk" -> q22,
-    "q23_knn_join" -> q23
+    "q23_knn_join" -> q23,
+    "q29_binary_meta" -> q29,
+    "q30_multimodal_stub" -> q30,
+    "q31_ann_topk" -> q31
   )
 }

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.VectorFunctions
+
+class AnnSpec extends SparkSpec {
+
+  private lazy val emb = graft.core.Tables(spark, sf("sf0.01")).embeddings.cache()
+
+  test("bucket ids are deterministic and within range") {
+    val planes = Ann.hyperplanes(64, 8)
+    val b1 = emb.select(Ann.bucketId(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0))
+    val b2 = emb.select(Ann.bucketId(col("embedding"), planes).as("b"))
+      .collect().map(_.getLong(0))
+    assert(b1.toSeq == b2.toSeq)
+    assert(b1.forall(b => b >= 0 && b < 256))
+    // buckets actually partition the space (more than one bucket in use)
+    assert(b1.distinct.length > 4)
+  }
+
+  test("annTopK returns <= k ranked neighbors per query from shared buckets") {
+    val got = Ann.annTopK(emb, emb.filter(col("vec_id") < 10),
+      "vec_id", "embedding", k = 3, numPlanes = 4)
+    val rows = got.collect()
+    assert(rows.nonEmpty)
+    val perQ = rows.groupBy(_.getAs[Long]("qid"))
+    perQ.values.foreach { rs =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getAs[Int]("rn")).sorted.toSeq == (1 to rs.length))
+    }
+    // no self matches
+    assert(rows.forall(r => r.getAs[Long]("qid") != r.getAs[Long]("vec_id")))
+  }
+
+  test("recall@1 vs brute force is reasonable for few planes") {
+    // brute-force top-1 per query
+    val queries = emb.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineSim(col("embedding"), col("qemb")).as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+
+    val ann = Ann.annTopK(emb, emb.filter(col("vec_id") < 50),
+      "vec_id", "embedding", k = 1, numPlanes = 2)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+
+    val hits = brute.count { case (q, v) => ann.get(q).contains(v) }
+    // the synthetic embeddings are near-orthogonal (top-1 cosine ~0.37), the
+    // hard case for sign-LSH: per-plane collision ~0.62, so 2 planes give
+    // ~38% expected recall@1. Assert a safe floor; brute force (q23) stays
+    // the correctness oracle, and high-similarity corpora (the near-dup use
+    // case) collide with probability ~1.
+    assert(hits >= brute.size / 10, s"recall@1 hits=$hits of ${brute.size}")
+  }
+
+  test("cosineNearDupPairs finds duplicated vectors if any bucket shares them") {
+    val s = spark
+    import s.implicits._
+    val dup = Seq(
+      (1000L, Array.fill(64)(0.5f)),
+      (1001L, Array.fill(64)(0.5f)),
+      (1002L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(dup, "vec_id", "embedding", minSim = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1000L, 1001L)))
+  }
+}
