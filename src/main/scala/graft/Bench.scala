@@ -5,11 +5,13 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = graft.core.GraftSession
+    val builder = graft.core.GraftSession
       .configure(
         SparkSession.builder().master(s"local[$cpus]"),
         shufflePartitions = cpus.toInt)
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
+      builder.config("spark.sql.adaptive.enabled", v))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timings: prime codegen, shuffle machinery and
     // parquet footers so the first measured query isn't charged for JVM
