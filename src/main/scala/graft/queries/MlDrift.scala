@@ -135,11 +135,64 @@ object MlDrift {
     }
   }
 
+  /** As-of join (time-series attribution): each purchase matched to the
+    * user's latest prior click. Union+running-window implementation — one
+    * sort per user, no range-join blowup (operators.AsOfJoin); DuckDB's
+    * native ASOF JOIN is the oracle. No raw ts in the output (nanos
+    * truncation differs between engines).
+    */
+  private val q32 = QueryDef.sql(
+    "as-of join: latest prior click per purchase")(
+    """SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
+      |  c.event_id AS click_id, c.value AS click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id", $"ts",
+        $"value".as("purchase_value"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"),
+        $"value".as("click_value"))
+    graft.operators.AsOfJoin.latestPrior(
+      purchases, clicks, Seq("user_id"), "ts",
+      rightPayload = Seq("click_id", "click_value"))
+      .select($"purchase_id", $"user_id", $"purchase_value",
+        $"click_id", $"click_value")
+      .orderBy($"purchase_id")
+  }
+
+  /** Semi-structured props column: JSON field extraction + grouped
+    * aggregate — get_json_object stays inside codegen; the cast to int and
+    * the integer sum are exact.
+    */
+  private val q33 = QueryDef.sql(
+    "JSON field extraction from events.props + grouped aggregate")(
+    """SELECT event_type, count(*) AS n,
+      |  sum(json_extract(props, '$.k')::INT) AS sum_k,
+      |  cast(avg(json_extract(props, '$.k')::INT) AS REAL) AS avg_k
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val k = get_json_object($"props", "$.k").cast("int")
+    Tables(s, dir).events
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(k).as("sum_k"),
+        avg(k).cast("float").as("avg_k"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q24_ks_drift" -> q24,
     "q25_chi2_drift" -> q25,
     "q26_classification_metrics" -> q26,
     "q27_confusion_matrix" -> q27,
-    "q28_threshold_sweep" -> q28
+    "q28_threshold_sweep" -> q28,
+    "q32_asof_join" -> q32,
+    "q33_json_extract" -> q33
   )
 }
