@@ -73,13 +73,8 @@ object Multimodal {
     * byte, bucket = first nibble).
     */
   def byteHistogram(content: Column): Column = {
-    // high-nibble string: first char of every hex pair
-    val nib = regexp_replace(hex(content), "(.).", "$1")
-    val buckets = (0 until 16).map { b =>
-      val ch = "0123456789ABCDEF".charAt(b).toString
-      (length(nib) - length(translate(nib, ch, ""))).cast("int")
-    }
-    array(buckets: _*)
+    import org.apache.spark.sql.graft.{Bridge, ByteHistogram}
+    Bridge.column(ByteHistogram(Bridge.expression(content)))
   }
 
   /** "Resize" stub: truncate/pad payload to the target byte size and

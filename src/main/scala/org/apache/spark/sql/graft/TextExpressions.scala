@@ -80,6 +80,44 @@ object TextHitCount {
   }
 }
 
+/** 16-bucket high-nibble byte histogram of a binary column — the
+  * deterministic "feature extraction" kernel of the multimodal stub
+  * pipeline. One compiled pass over the raw bytes; the composed form
+  * (hex → regexp_replace → 16 translate scans) re-reads the payload 17
+  * times.
+  */
+case class ByteHistogram(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(org.apache.spark.sql.types.BinaryType)
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "byte_histogram"
+
+  override def nullSafeEval(input: Any): Any =
+    ByteHistogram.compute(input.asInstanceOf[Array[Byte]])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.ByteHistogram.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ByteHistogram {
+  def compute(bytes: Array[Byte]): ArrayData = {
+    val counts = new Array[Int](16)
+    var i = 0
+    while (i < bytes.length) {
+      counts((bytes(i) & 0xF0) >>> 4) += 1
+      i += 1
+    }
+    new GenericArrayData(counts.map(Int.box(_): Any))
+  }
+}
+
 object WordShingles {
   /** One pass: split on single spaces (regex-equivalent to Spark's
     * split(text, " ") with limit -1), emit first-occurrence-ordered distinct
