@@ -186,6 +186,27 @@ object MlDrift {
       .orderBy($"event_type")
   }
 
+  /** Range join: event pairs of the same user within 10 minutes, counted
+    * per type pair. Banded equi-join (operators.RangeJoin), never a theta
+    * join; DuckDB computes the same via a plain inequality join.
+    */
+  private val q34 = QueryDef.sql(
+    "banded range join: same-user event pairs within 10 minutes")(
+    """SELECT a.event_type AS type_a, b.event_type AS type_b,
+      |  count(*) AS n_pairs
+      |FROM events a JOIN events b
+      |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+      |  AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 600000000
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.RangeJoin.pairsWithin(
+      Tables(s, dir).events, Seq("user_id"), "ts", "event_id",
+      toleranceMicros = 600000000L, payload = Seq("event_type"))
+      .groupBy($"event_type_a".as("type_a"), $"event_type_b".as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy($"type_a", $"type_b")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q24_ks_drift" -> q24,
     "q25_chi2_drift" -> q25,
@@ -193,6 +214,7 @@ object MlDrift {
     "q27_confusion_matrix" -> q27,
     "q28_threshold_sweep" -> q28,
     "q32_asof_join" -> q32,
-    "q33_json_extract" -> q33
+    "q33_json_extract" -> q33,
+    "q34_range_join" -> q34
   )
 }
