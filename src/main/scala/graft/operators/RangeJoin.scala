@@ -31,20 +31,19 @@ object RangeJoin {
     val probes = base
       .withColumn("__probe",
         explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
+    // payload aliased per side up front — duplicate output names fail fast
+    // in analysis instead of silently clobbering id_a/us_a
     val a = base.select(
-      keyCols.map(col) :+ col("__band").as("__probe") :+
-        col("__id").as("id_a") :+ col("__us").as("us_a") :+
-        struct(payload.map(col): _*).as("__pa"): _*)
+      (keyCols.map(col) :+ col("__band").as("__probe") :+
+        col("__id").as("id_a") :+ col("__us").as("us_a")) ++
+        payload.map(c => col(c).as(s"${c}_a")): _*)
     val b = probes.select(
-      keyCols.map(col) :+ col("__probe") :+
-        col("__id").as("id_b") :+ col("__us").as("us_b") :+
-        struct(payload.map(col): _*).as("__pb"): _*)
-    val joined = a.join(b, keyCols :+ "__probe")
+      (keyCols.map(col) :+ col("__probe") :+
+        col("__id").as("id_b") :+ col("__us").as("us_b")) ++
+        payload.map(c => col(c).as(s"${c}_b")): _*)
+    a.join(b, keyCols :+ "__probe")
       .filter(col("id_a") < col("id_b") &&
         abs(col("us_a") - col("us_b")) <= toleranceMicros)
-    payload.foldLeft(joined) { (d, c) =>
-      d.withColumn(s"${c}_a", col("__pa").getField(c))
-        .withColumn(s"${c}_b", col("__pb").getField(c))
-    }.drop("__pa", "__pb", "__probe")
+      .drop("__probe")
   }
 }
