@@ -25,13 +25,17 @@ object Bench {
       val t0 = System.nanoTime()
       // noop write materializes every output column — count() would let the
       // optimizer prune the very expressions being measured
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH FAIL $name: $e"); false
+        }
+      // -1 sentinel: a crashed query must not read as a fast one
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

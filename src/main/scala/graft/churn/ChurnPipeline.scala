@@ -135,7 +135,8 @@ final class ChurnPipeline(
       .map(_.getPath).find(_.getName.startsWith("part-"))
       .getOrElse(throw new java.io.IOException(s"no part file in $staging"))
     if (fs.exists(target)) fs.delete(target, false)
-    fs.rename(part, target)
+    if (!fs.rename(part, target))
+      throw new java.io.IOException(s"rename $part -> $target failed")
     fs.delete(staging, true)
     ()
   }

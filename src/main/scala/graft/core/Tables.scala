@@ -10,8 +10,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * filter pushdown and column pruning apply; never pre-materialize.
   */
 final case class Tables(spark: SparkSession, dir: String) {
+  // Memoized per (session, dir, name): spark.read.parquet re-lists the
+  // directory and re-reads footers on every call, a fixed per-query tax that
+  // dominates small-SF benchmarks. DataFrames are immutable plans — safe to
+  // share across queries of the same session.
   private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    Tables.cache.computeIfAbsent((spark, dir, name),
+      _ => spark.read.parquet(s"$dir/$name.parquet"))
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -26,10 +31,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def events: DataFrame = {
     val raw = t("events")
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    import org.apache.spark.sql.functions.{expr, timestamp_micros}
     import org.apache.spark.sql.types.LongType
+    // `div` is exact long division; a double-division round trip shifts
+    // nano-epoch values (~1.7e18 > 2^53) by ±1µs and diverges from the
+    // oracle's exact epoch_us truncation.
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents: DataFrame  = t("documents")
@@ -43,4 +51,9 @@ final case class Tables(spark: SparkSession, dir: String) {
     */
   def registerAll(): Unit =
     names.foreach(n => t(n).createOrReplaceTempView(n))
+}
+
+object Tables {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 }

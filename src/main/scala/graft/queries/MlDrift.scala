@@ -33,7 +33,8 @@ object MlDrift {
       |    sum(c_ref) OVER () AS n_ref
       |  FROM pv)
       |SELECT max(abs(cum_cur::DOUBLE / n_cur - cum_ref::DOUBLE / n_ref)) AS ks_stat,
-      |  max(n_cur) AS n_current, max(n_ref) AS n_reference
+      |  cast(max(n_cur) AS BIGINT) AS n_current,
+      |  cast(max(n_ref) AS BIGINT) AS n_reference
       |FROM c""".stripMargin) { (s, dir) =>
     import s.implicits._
     KsTest.statistic(
@@ -57,7 +58,9 @@ object MlDrift {
       |    col_tot::DOUBLE * n_ref / total AS e_ref FROM e)
       |SELECT cast(sum(pow(o_cur - e_cur, 2) / e_cur
       |             + pow(o_ref - e_ref, 2) / e_ref) AS REAL) AS chi2_stat,
-      |  count(*) - 1 AS dof, max(n_cur) AS n_current, max(n_ref) AS n_reference
+      |  count(*) - 1 AS dof,
+      |  cast(max(n_cur) AS BIGINT) AS n_current,
+      |  cast(max(n_ref) AS BIGINT) AS n_reference
       |FROM x""".stripMargin) { (s, dir) =>
     import s.implicits._
     ChiSquared.statistic(Tables(s, dir).events, "event_type", $"user_id" % 2 === 0)
@@ -122,7 +125,9 @@ object MlDrift {
          |    sum(CASE WHEN label = 0 AND prob >= threshold THEN 1 ELSE 0 END) AS fp,
          |    sum(CASE WHEN label = 1 AND prob < threshold THEN 1 ELSE 0 END) AS fn
          |  FROM sc, t GROUP BY threshold)
-         |SELECT threshold, tp, fp, fn,
+         |SELECT threshold::DOUBLE AS threshold,
+         |  cast(tp AS BIGINT) AS tp, cast(fp AS BIGINT) AS fp,
+         |  cast(fn AS BIGINT) AS fn,
          |  (2 * tp)::DOUBLE / (2 * tp + fp + fn) AS f1
          |FROM agg ORDER BY threshold""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -172,7 +177,7 @@ object MlDrift {
   private val q33 = QueryDef.sql(
     "JSON field extraction from events.props + grouped aggregate")(
     """SELECT event_type, count(*) AS n,
-      |  sum(json_extract(props, '$.k')::INT) AS sum_k,
+      |  cast(sum(json_extract(props, '$.k')::INT) AS BIGINT) AS sum_k,
       |  cast(avg(json_extract(props, '$.k')::INT) AS REAL) AS avg_k
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>

@@ -375,8 +375,8 @@ object Relational {
     """SELECT count(*) AS n_docs,
       |  count(DISTINCT text) AS n_unique_text,
       |  count(*) - count(DISTINCT text) AS n_dup_text,
-      |  sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS n_null_text,
-      |  sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS n_null_lang,
+      |  cast(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+      |  cast(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_lang,
       |  count(DISTINCT lang) AS n_langs,
       |  cast(avg(n_chars) AS REAL) AS avg_chars
       |FROM documents""".stripMargin) { (s, dir) =>

@@ -146,12 +146,38 @@ object TextVector {
       .orderBy($"da", $"db")
   }
 
-  /** SimHash near-dup pairs (hamming <= 3 on 60-bit signatures). Seedless and
-    * deterministic (md5 token hashes) but not reasonably SQL-expressible —
-    * rows-only check; the SimHashSpec unit tests carry correctness.
+  /** SimHash near-dup pairs (hamming <= 3 on 60-bit signatures). Seedless
+    * and deterministic (md5 token hashes), so DuckDB replays the whole
+    * pipeline: token hash = leading 15 md5 hex digits parsed by strpos
+    * arithmetic, 60 occurrence-weighted bit sums via an unnested 0..59
+    * range, pigeonhole 4x15-bit chunk banding, bit_count(xor) verify. All
+    * integer arithmetic — bit-exact across engines.
     */
-  private val q21 = QueryDef.rowsOnly(
-    "SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk banding") { (s, dir) =>
+  private val q21 = QueryDef.sql(
+    "SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk banding")(
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) AS h
+      |  FROM tok),
+      |bits AS (SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY 1, 2),
+      |sim AS (SELECT doc_id,
+      |    cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1),
+      |ck AS (SELECT doc_id, simhash, (simhash >> (15 * ci)) & 32767 AS cv, ci
+      |  FROM sim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM ck a JOIN ck b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+      |SELECT da, db,
+      |  cast(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      |FROM cand JOIN sim sa ON cand.da = sa.doc_id
+      |          JOIN sim sb ON cand.db = sb.doc_id
+      |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     val sims = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
     Dedup.simHashNearDups(sims, maxHamming = 3)
@@ -234,26 +260,52 @@ object TextVector {
       .orderBy($"doc_id")
   }
 
-  /** Stub image pipeline (rows-only: the synthetic pack/decode round-trip
-    * is not SQL-expressible): pack a fake image per document, decode its
-    * metadata back, histogram the payload bytes, frame-sample. Correctness
-    * carried by MultimodalSpec; this exercises the plumbing at scale.
+  /** Stub image pipeline, scalar outputs: pack a fake image per document,
+    * decode its metadata back (the roundtrip is the test — the oracle
+    * derives width/height directly from the source columns), histogram the
+    * payload bytes (CSV string so it hashes), frame-sample byte total.
+    * The payload is exactly the utf-8 text bytes, so DuckDB reproduces the
+    * high-nibble histogram from hex(encode(text)).
     */
-  private val q30 = QueryDef.rowsOnly(
-    "multimodal stub pipeline: pack -> decode meta -> byte histogram") { (s, dir) =>
-    import s.implicits._
-    import graft.operators.Multimodal
-    val packed = Tables(s, dir).documents.select(
-      $"doc_id",
-      Multimodal.packImage(
-        pmod($"n_chars", lit(64)) + 1, pmod($"doc_id", lit(64)) + 1, lit(3),
-        $"text").as("content"))
-    packed.select(
-      $"doc_id",
-      Multimodal.decodeImageMeta($"content").as("meta"),
-      Multimodal.byteHistogram(Multimodal.imagePayload($"content")).as("hist"),
-      size(Multimodal.sampleFrames($"content", 16, 4)).as("n_frames"))
-      .orderBy($"doc_id")
+  private val q30 = {
+    // count of hex digit d among high nibbles (odd positions of the hex str)
+    val nibbleCounts = (0 until 16)
+      .map(d => f"length(hn) - length(replace(hn, '$d%X', ''))")
+      .mkString(",\n      |    ")
+    QueryDef.sql(
+      "multimodal stub pipeline: pack -> decode meta -> byte histogram")(
+      s"""WITH h AS (SELECT doc_id, n_chars,
+         |    regexp_replace(hex(encode(text)), '(.).', '\\1', 'g') AS hn,
+         |    octet_length(encode(text)) AS payload_len
+         |  FROM documents)
+         |SELECT doc_id,
+         |  (n_chars % 64 + 1)::INT AS width,
+         |  (doc_id % 64 + 1)::INT AS height,
+         |  3::INT AS channels,
+         |  concat_ws(',',
+         |    $nibbleCounts) AS hist_csv,
+         |  least(6 + payload_len, 64) AS frame_bytes
+         |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      import graft.operators.Multimodal
+      val packed = Tables(s, dir).documents.select(
+        $"doc_id",
+        Multimodal.packImage(
+          pmod($"n_chars", lit(64)) + 1, pmod($"doc_id", lit(64)) + 1, lit(3),
+          $"text").as("content"))
+      val meta = Multimodal.decodeImageMeta($"content")
+      packed.select(
+        $"doc_id",
+        meta.getField("width").as("width"),
+        meta.getField("height").as("height"),
+        meta.getField("channels").as("channels"),
+        concat_ws(",",
+          Multimodal.byteHistogram(Multimodal.imagePayload($"content"))
+            .cast("array<string>")).as("hist_csv"),
+        aggregate(Multimodal.sampleFrames($"content", 16, 4), lit(0),
+          (acc, f) => acc + length(f)).cast("long").as("frame_bytes"))
+        .orderBy($"doc_id")
+    }
   }
 
   /** LSH-bucketed ANN top-k (rows-only: hyperplane seeds are engine

@@ -24,11 +24,19 @@ final class HistogramBuffer(val maxBins: Int) {
   val counts: ArrayBuffer[Long] = ArrayBuffer.empty
 
   def insert(v: Double, n: Long = 1L): Unit = {
-    var idx = java.util.Arrays.binarySearch(centroids.toArray, v)
-    if (idx >= 0) { counts(idx) += n; return }
-    idx = -idx - 1
-    centroids.insert(idx, v)
-    counts.insert(idx, n)
+    // binary search in place — copying to an array per row would allocate
+    // O(maxBins) on the hottest path of the aggregate
+    var lo = 0
+    var hi = centroids.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      val c = centroids(mid)
+      if (c < v) lo = mid + 1
+      else if (c > v) hi = mid
+      else { counts(mid) += n; return }
+    }
+    centroids.insert(lo, v)
+    counts.insert(lo, n)
     if (centroids.length > maxBins) collapseClosest()
   }
 
