@@ -21,10 +21,10 @@ final case class ReportMetric(
   * Scale design: ALL per-column drift statistics are computed in ONE Spark
   * job — the 12 columns are melted into a tall (col_name, value, side)
   * frame, collapsed by (col_name, value) with per-side counts, then KS and
-  * chi² statistics come from windows partitioned by col_name over that
-  * collapsed frame. Cost is one shuffle of per-distinct-value counts,
-  * independent of the number of columns; the reference loops Evidently
-  * column-by-column in Python.
+  * chi² statistics come from fully parallel running sums (ParallelRank)
+  * over that collapsed frame. Cost is one shuffle of per-distinct-value
+  * counts, independent of the number of columns and with no single-task
+  * sort; the reference loops Evidently column-by-column in Python.
   *
   * Only the final per-column statistics (a dozen rows) and the 2×2 confusion
   * counts are collected — the same granularity the reference materializes as
@@ -56,16 +56,18 @@ object DriftReport {
         sum(when(col("is_cur"), 1L).otherwise(0L)).as("c_cur"),
         sum(when(not(col("is_cur")), 1L).otherwise(0L)).as("c_ref"))
 
-    val wCum = Window.partitionBy("col_name").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy("col_name")
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    // Running CDFs via ParallelRank (no one-task-per-column window sort;
+    // a continuous column's distinct-value frame is linear in row count);
+    // per-column totals ride a broadcast join — perValue's shuffle is
+    // shared across all three branches by ReuseExchange.
+    val cum = graft.operators.ParallelRank.runningSums(
+      perValue, Seq("col_name"), "v",
+      Seq("c_cur", "c_ref"), Seq("cum_cur", "cum_ref"))
+    val totals = perValue.groupBy(col("col_name")).agg(
+      sum(col("c_cur")).as("n_cur"), sum(col("c_ref")).as("n_ref"))
 
-    val enriched = perValue
-      .withColumn("cum_cur", sum(col("c_cur")).over(wCum))
-      .withColumn("cum_ref", sum(col("c_ref")).over(wCum))
-      .withColumn("n_cur", sum(col("c_cur")).over(wAll))
-      .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+    val enriched = cum
+      .join(broadcast(totals), "col_name")
       .withColumn("col_tot", col("c_cur") + col("c_ref"))
       .withColumn("e_cur",
         col("col_tot").cast("double") * col("n_cur") / (col("n_cur") + col("n_ref")))

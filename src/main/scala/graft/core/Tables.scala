@@ -40,8 +40,29 @@ final case class Tables(spark: SparkSession, dir: String) {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  /** The text corpus and vector table feed the per-row-heavy kernels
+    * (shingling, md5, minhash, cosine): fan those scans out to the
+    * session's parallelism. The agg-only tables are NOT fanned out — for a
+    * plain aggregate the extra shuffle costs more than the serial scan
+    * saves (measured at sf0.1).
+    */
+  def documents: DataFrame  = fanOut(t("documents"))
+  def embeddings: DataFrame = fanOut(t("embeddings"))
+
+  /** Fan an under-split scan out to the session's parallelism: the test
+    * files are single-row-group parquet, which reads as ONE task no matter
+    * the split size, serializing every scan-side kernel. Filters and
+    * pruning push through the repartition, so the shuffle moves only the
+    * rows/columns a query actually reads. A real lake read has many row
+    * groups per executor and the guard makes this a no-op. Public so
+    * compute-heavy query paths (e.g. the q12 melt) can opt in for other
+    * tables.
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = spark.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions * 2 > target) df
+    else df.repartition(target)
+  }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")

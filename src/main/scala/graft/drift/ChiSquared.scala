@@ -20,16 +20,16 @@ object ChiSquared {
     * (chi2_stat, dof, n_current, n_reference).
     */
   def statistic(df: DataFrame, catCol: String, isCurrent: Column): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val obs = df.groupBy(col(catCol).as("cat"))
       .agg(
         sum(when(isCurrent, 1L).otherwise(0L)).as("o_cur"),
         sum(when(isCurrent, 0L).otherwise(1L)).as("o_ref"))
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val withMarginals = obs
-      .withColumn("n_cur", sum(col("o_cur")).over(wAll))
-      .withColumn("n_ref", sum(col("o_ref")).over(wAll))
+    // marginals via a broadcast cross join on obs' shared shuffle — not a
+    // global window (single-partition by construction, even if harmless on
+    // a contingency table this small)
+    val totals = obs.agg(
+      sum(col("o_cur")).as("n_cur"), sum(col("o_ref")).as("n_ref"))
+    val withMarginals = obs.crossJoin(broadcast(totals))
       .withColumn("total", col("n_cur") + col("n_ref"))
       .withColumn("col_tot", col("o_cur") + col("o_ref"))
       .withColumn("e_cur",

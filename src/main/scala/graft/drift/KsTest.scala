@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Plan shape: ONE grouped aggregate collapses the input to its distinct
   * values (each carrying per-side counts), then cumulative CDFs over that
-  * distinct-value frame. The global-order window runs AFTER the collapse, so
-  * its cost is bounded by value cardinality, not row count. For genuinely
-  * continuous columns at 100 TB, bin first (`binned`) — KS on a quantized
-  * grid, max error = max bin mass.
+  * distinct-value frame via ParallelRank.runningSums — every stage parallel
+  * even when cardinality is linear in row count (continuous doubles).
+  * `binnedStatistic` additionally quantizes first, trading a bounded error
+  * for a fixed-size intermediate when even the distinct-value frame is
+  * unwanted.
   */
 object KsTest {
 
@@ -27,15 +28,16 @@ object KsTest {
       .agg(
         sum(when(isCurrent, 1L).otherwise(0L)).as("c_cur"),
         sum(when(isCurrent, 0L).otherwise(1L)).as("c_ref"))
-    val wCum = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    perValue
-      .withColumn("cum_cur", sum(col("c_cur")).over(wCum))
-      .withColumn("cum_ref", sum(col("c_ref")).over(wCum))
-      .withColumn("n_cur", sum(col("c_cur")).over(wAll))
-      .withColumn("n_ref", sum(col("c_ref")).over(wAll))
+    // Running CDFs via ParallelRank, never Window.orderBy(v): a global-order
+    // window is single-partition by construction, and for continuous
+    // columns the distinct-value frame is linear in row count. Totals ride
+    // a broadcast cross join; perValue's shuffle is shared between the
+    // cumulative, totals and final branches by ReuseExchange.
+    val cum = graft.operators.ParallelRank.runningSums(
+      perValue, Nil, "v", Seq("c_cur", "c_ref"), Seq("cum_cur", "cum_ref"))
+    val totals = perValue.agg(
+      sum(col("c_cur")).as("n_cur"), sum(col("c_ref")).as("n_ref"))
+    cum.crossJoin(broadcast(totals))
       .agg(
         max(abs(
           col("cum_cur").cast("double") / col("n_cur")

@@ -104,26 +104,23 @@ object Classification {
     * observed scores" rather than a fixed grid.
     */
   def thresholdSweepAllScores(df: DataFrame, labelCol: String, probCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val byP = df.groupBy(col(probCol).as("threshold"))
       .agg(
         sum(col(labelCol).cast("long")).as("pos"),
         count(lit(1)).as("n"))
     // Descending cumulative counts: predicting positive iff prob >= t.
-    // The window runs over distinct probabilities only (post-aggregation),
-    // so the single-partition sort is bounded by score cardinality.
-    val w = Window.orderBy(col("threshold").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val totals = df.agg(
-      sum(col(labelCol).cast("long")).as("total_pos")).first()
-    val totalPos = totals.getLong(0)
-    byP
-      .withColumn("tp", sum(col("pos")).over(w))
-      .withColumn("predicted_pos", sum(col("n")).over(w))
+    // ParallelRank keeps every stage parallel even when score cardinality
+    // is linear in row count; the positives total rides a broadcast cross
+    // join on byP's shared shuffle instead of a separate full scan.
+    val cum = graft.operators.ParallelRank.runningSums(
+      byP, Nil, "threshold", Seq("pos", "n"), Seq("tp", "predicted_pos"),
+      descending = true)
+    val totals = byP.agg(sum(col("pos")).as("total_pos"))
+    cum.crossJoin(broadcast(totals))
       .select(col("threshold"),
         col("tp"),
         (col("predicted_pos") - col("tp")).as("fp"),
-        (lit(totalPos) - col("tp")).as("fn"))
+        (col("total_pos") - col("tp")).as("fn"))
       .withColumn("f1", expr("cast(2 * tp AS DOUBLE) / (2 * tp + fp + fn)"))
   }
 }

@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Fully parallel order statistics: global per-group `row_number` and
+  * running sums WITHOUT a one-task-per-group window sort.
+  *
+  * `Window.partitionBy(group).orderBy(v)` plans exactly one sort task per
+  * group — 4 tasks for a 4-column describe regardless of cluster size; at
+  * 100 TB one task sorts the whole group and OOMs. This operator keeps the
+  * same semantics with every stage parallel:
+  *
+  *   1. range-repartition on (group, order) — partition p holds a
+  *      contiguous slice of each group's value range (Spark samples the
+  *      boundaries; parallelism = shuffle partitions, not group count);
+  *   2. per-(partition, group) totals — a tiny aggregate (P × G rows);
+  *   3. exclusive prefix sums over partition id per group = the global
+  *      offset of each partition's slice (window over the TINY frame);
+  *   4. broadcast the offsets back; local rank/running-sum within each
+  *      (partition, group) cell + offset = exact global value.
+  *
+  * The range exchange appears in both the totals branch and the final
+  * branch of the plan; Catalyst's ReuseExchange collapses them into one
+  * physical shuffle (asserted in ParallelRankSpec — the offsets are only
+  * correct against the exact partitioning they were computed from).
+  */
+object ParallelRank {
+
+  private val Pid = "__pr_pid"
+
+  private def bucketed(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      descending: Boolean): DataFrame = {
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val keys = groupCols.map(col) :+ ord
+    df.repartitionByRange(parts, keys: _*).withColumn(Pid, spark_partition_id())
+  }
+
+  /** Per-(partition, group) totals of `terms`, named __t0..__tN. */
+  private def partitionTotals(b: DataFrame, groupCols: Seq[String],
+      terms: Seq[Column]): DataFrame = {
+    val aggs = terms.zipWithIndex.map { case (t, i) => sum(t).as(s"__t$i") }
+    b.groupBy((col(Pid) +: groupCols.map(col)): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exclusive prefix sums of the totals over partition id, per group: the
+    * number of earlier-partition rows (or value mass) of the same group.
+    * Computed as a self-join aggregate over the TINY totals frame (P × G
+    * rows) — a window would need a global order in the group-less case,
+    * and even a cosmetic single-partition window is banned from these paths.
+    */
+  private def offsets(totals: DataFrame, groupCols: Seq[String], n: Int): DataFrame = {
+    val earlier = totals.select(
+      (col(Pid).as("__e_pid") +: groupCols.map(c => col(c).as(s"__e_$c"))) ++
+        (0 until n).map(i => col(s"__t$i").as(s"__e_t$i")): _*)
+    val cond = (groupCols.map(c => col(c) === col(s"__e_$c")) :+
+      (col("__e_pid") < col(Pid))).reduce(_ && _)
+    val aggs = (0 until n).map { i =>
+      coalesce(sum(col(s"__e_t$i")), lit(0L)).as(s"__off$i")
+    }
+    totals.join(earlier, cond, "left")
+      .groupBy((col(Pid) +: groupCols.map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Exact global `row_number() over (partition by groupCols order by
+    * orderCol)` as `rankCol`, every stage parallel. Tie order within equal
+    * `orderCol` values is arbitrary (as with any non-keyed row_number).
+    */
+  def rowNumber(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      rankCol: String = "rn", descending: Boolean = false): DataFrame = {
+    val b = bucketed(df, groupCols, orderCol, descending)
+    val off = offsets(partitionTotals(b, groupCols, Seq(lit(1L))), groupCols, 1)
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val wLocal = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
+      .orderBy(ord)
+    b.join(broadcast(off), Pid +: groupCols)
+      .withColumn(rankCol, row_number().over(wLocal) + col("__off0"))
+      .drop(Pid, "__off0")
+  }
+
+  /** Exact running (inclusive) sums of `sumCols` over `orderCol` within each
+    * group: out column i = `sum(sumCols(i)) over (partition by groupCols
+    * order by orderCol range unbounded preceding)`. Rows tied on `orderCol`
+    * all receive the full tied mass (RANGE frame semantics) — callers
+    * aggregate to distinct order values first when that matters.
+    */
+  /** Exact interpolated per-group quantiles (the `(n-1)*q` two-row
+    * interpolation, matching DuckDB's quantile_cont) WITHOUT ranking every
+    * row: one range exchange; the per-cell counts locate, for each
+    * (group, quantile bound), the single (partition, group) cell and local
+    * index holding it; only located cells are re-shuffled and locally
+    * ranked. Pass-2 volume is O(#bounds × cell size) — independent of total
+    * row count, so the plan's second shuffle stays negligible at any scale.
+    * Nulls must be pre-filtered; output = groupCols ++ one column per
+    * (name, q) entry.
+    */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      qs: Seq[(String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val b = bucketed(df, groupCols, valueCol, descending = false)
+    val cellCnt = partitionTotals(b, groupCols, Seq(lit(1L)))
+    val off = offsets(cellCnt, groupCols, 1)
+    val cellBounds = off.join(cellCnt, Pid +: groupCols).select(
+      (col(Pid).as("__c_pid") +: groupCols.map(c => col(c).as(s"__c_$c"))) ++
+        Seq(col("__off0").as("__c_off"), col("__t0").as("__c_cnt")): _*)
+    val totals = cellCnt.groupBy(gcols: _*).agg(sum(col("__t0")).as("__n"))
+    // Two bound rows per quantile: rank floor(k)+1 with weight 1-frac and
+    // rank ceil(k)+1 with weight frac, k = (n-1)*q. frac = 0 degenerates to
+    // a zero-weight duplicate — harmless in the weighted sum.
+    val targetStructs = qs.flatMap { case (name, q) =>
+      val k = (col("__n") - 1) * lit(q)
+      val frac = k - floor(k)
+      Seq(
+        struct(lit(name).as("qname"),
+          (floor(k) + 1).cast("long").as("trank"), (lit(1.0) - frac).as("w")),
+        struct(lit(name).as("qname"),
+          (ceil(k) + 1).cast("long").as("trank"), frac.as("w")))
+    }
+    val targets = totals
+      .select(gcols :+ explode(array(targetStructs: _*)).as("__t"): _*)
+      .select(gcols ++ Seq(col("__t.qname").as("__qname"),
+        col("__t.trank").as("__trank"), col("__t.w").as("__w")): _*)
+    // locate: the cell whose [off, off+cnt] covers the target rank
+    val locCond = groupCols.map(c => col(c) === col(s"__c_$c"))
+      .foldLeft(col("__trank") > col("__c_off") &&
+        col("__trank") <= col("__c_off") + col("__c_cnt"))(_ && _)
+    val located = targets.join(cellBounds, locCond).select(
+      (col("__c_pid").as("__l_pid") +:
+        groupCols.map(c => col(c).as(s"__l_$c"))) ++
+        Seq(col("__qname").as("__l_qname"),
+          (col("__trank") - col("__c_off")).as("__l_lk"),
+          col("__w").as("__l_w")): _*)
+    // pass 2: local rank ONLY inside located cells, then pick the bounds
+    val cellKeys = located.select(
+      (col("__l_pid").as(Pid) +:
+        groupCols.map(c => col(s"__l_$c").as(c))): _*).distinct()
+    val cellRows = b.join(broadcast(cellKeys), Pid +: groupCols)
+    val wLocal = Window.partitionBy((col(Pid) +: gcols): _*)
+      .orderBy(col(valueCol))
+    val ranked = cellRows.withColumn("__lrn", row_number().over(wLocal))
+    val pickCond = groupCols.map(c => col(c) === col(s"__l_$c"))
+      .foldLeft(col(Pid) === col("__l_pid") &&
+        col("__lrn") === col("__l_lk"))(_ && _)
+    val picked = ranked.join(broadcast(located), pickCond)
+    val vals = picked.groupBy(gcols :+ col("__l_qname"): _*)
+      .agg(sum(col(valueCol) * col("__l_w")).as("__qv"))
+    val aggCols = qs.map { case (name, _) =>
+      max(when(col("__l_qname") === name, col("__qv"))).as(name)
+    }
+    vals.groupBy(gcols: _*).agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  def runningSums(df: DataFrame, groupCols: Seq[String], orderCol: String,
+      sumCols: Seq[String], outCols: Seq[String],
+      descending: Boolean = false): DataFrame = {
+    require(sumCols.length == outCols.length, "sumCols/outCols length mismatch")
+    val b = bucketed(df, groupCols, orderCol, descending)
+    val off = offsets(
+      partitionTotals(b, groupCols, sumCols.map(col)), groupCols, sumCols.length)
+    val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+    val wLocal = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
+      .orderBy(ord)
+    val joined = b.join(broadcast(off), Pid +: groupCols)
+    val outs = sumCols.zip(outCols).zipWithIndex.map { case ((c, out), i) =>
+      (sum(col(c)).over(wLocal) + col(s"__off$i")).as(out)
+    }
+    joined.select(df.columns.map(col) ++ outs: _*)
+  }
+}

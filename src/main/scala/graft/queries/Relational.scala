@@ -281,43 +281,25 @@ object Relational {
     QueryDef.sql("describe-style summary stats per lineitem column")(
       oracleParts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
       import s.implicits._
-      // Exact percentiles via sort-based window ranking, not the built-in
-      // Percentile aggregate: Percentile buffers a value->count map of every
-      // distinct value per partition (~600k doubles per column here), which
-      // is both slow and the classic 100 TB OOM. A partitioned sort ranks
-      // each melted column once; the interpolated quantile is then a
-      // two-row lookup. Plan: melt (stack) -> one grouped agg for the
-      // moments -> one window sort for ranks -> broadcast-join + one
-      // conditional agg for the quantiles.
+      // Exact percentiles + moments via DistributedQuantiles.describe, not
+      // the built-in Percentile aggregate (buffers a value->count map of
+      // every distinct value per partition — slow and the classic 100 TB
+      // OOM) and not Window.partitionBy(col_name).orderBy(v) (exactly ONE
+      // sort task per column, any cluster size). The melt collapses to
+      // distinct (col, value) counts map-side, one range shuffle, two
+      // light jobs; moments come from the same job-1 partials.
       val li = Tables(s, dir).lineitem
       val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
       val melted = li
         .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
         .filter($"v".isNotNull)
-      val moments = melted.groupBy($"col_name").agg(
-        count($"v").as("n"),
-        avg($"v").cast("float").as("mean"),
-        stddev_samp($"v").cast("float").as("std"),
-        min($"v").as("vmin"),
-        max($"v").as("vmax"))
-      val w = Window.partitionBy($"col_name").orderBy($"v")
-      val ranked = melted.withColumn("rn", row_number().over(w))
-        .join(broadcast(moments.select($"col_name", $"n")), "col_name")
-      def quantile(q: Double) = {
-        val k = ($"n" - 1) * q          // zero-based fractional index
-        val lo = floor(k) + 1           // 1-based row_number of lower bound
-        val hi = ceil(k) + 1
-        val frac = k - floor(k)
-        sum(when($"rn" === lo, $"v" * (lit(1) - frac)).otherwise(0.0)
-          + when($"rn" === hi, $"v" * frac).otherwise(0.0))
-      }
-      val quantiles = ranked.groupBy($"col_name").agg(
-        quantile(0.25).cast("float").as("p25"),
-        quantile(0.50).cast("float").as("p50"),
-        quantile(0.75).cast("float").as("p75"))
-      moments.join(quantiles, "col_name")
-        .select($"col_name", $"n", $"mean", $"std", $"vmin",
-          $"p25", $"p50", $"p75", $"vmax")
+      graft.operators.DistributedQuantiles
+        .describe(melted, Seq("col_name"), "v",
+          Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+        .select($"col_name", $"n", $"mean".cast("float").as("mean"),
+          $"std".cast("float").as("std"), $"vmin",
+          $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
+          $"p75".cast("float").as("p75"), $"vmax")
         .orderBy($"col_name")
     }
   }
@@ -335,35 +317,17 @@ object Relational {
       |GROUP BY event_type
       |ORDER BY event_type""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // Same sort-based exact-percentile shape as q12 (see there): one grouped
-    // agg for moments + one partitioned sort for ranks; no value-buffering
-    // Percentile aggregate.
+    // Same two-job exact-describe shape as q12 (see there): no per-group
+    // single sort task, no value-buffering Percentile aggregate.
     val ev = Tables(s, dir).events.select($"event_type", $"value")
       .filter($"value".isNotNull)
-    val moments = ev.groupBy($"event_type").agg(
-      count(lit(1)).as("n"),
-      avg($"value").cast("float").as("mean"),
-      stddev_samp($"value").cast("float").as("std"),
-      min($"value").as("vmin"),
-      max($"value").as("vmax"))
-    val w = Window.partitionBy($"event_type").orderBy($"value")
-    val ranked = ev.withColumn("rn", row_number().over(w))
-      .join(broadcast(moments.select($"event_type", $"n")), "event_type")
-    def quantile(q: Double) = {
-      val k = ($"n" - 1) * q
-      val lo = floor(k) + 1
-      val hi = ceil(k) + 1
-      val frac = k - floor(k)
-      sum(when($"rn" === lo, $"value" * (lit(1) - frac)).otherwise(0.0)
-        + when($"rn" === hi, $"value" * frac).otherwise(0.0))
-    }
-    val quantiles = ranked.groupBy($"event_type").agg(
-      quantile(0.25).cast("float").as("p25"),
-      quantile(0.50).cast("float").as("p50"),
-      quantile(0.75).cast("float").as("p75"))
-    moments.join(quantiles, "event_type")
-      .select($"event_type", $"n", $"mean", $"std", $"vmin",
-        $"p25", $"p50", $"p75", $"vmax")
+    graft.operators.DistributedQuantiles
+      .describe(ev, Seq("event_type"), "value",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+      .select($"event_type", $"n", $"mean".cast("float").as("mean"),
+        $"std".cast("float").as("std"), $"vmin",
+        $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
+        $"p75".cast("float").as("p75"), $"vmax")
       .orderBy($"event_type")
   }
 
