@@ -45,6 +45,62 @@ object MetricStore {
   def registerView(spark: SparkSession, path: String): Unit =
     spark.read.parquet(path).createOrReplaceTempView(TableName)
 
+  // --- JDBC store (S7/S8/S9) --------------------------------------------
+  // The reference's metric store is a Postgres table written with
+  // df.write-style appends (churn_prediction_pipeline.py:78-84,529-530) and
+  // read by Grafana over JDBC. Same surface here: DDL bootstrap on first
+  // write, GRANT pass-through, append via df.write.jdbc. Exercised against
+  // embedded Derby (on the Spark classpath) in MetricStoreSpec; the code
+  // path is identical for any JDBC url + driver.
+
+  /** S8: create the metric table if it does not exist (first-write DDL).
+    * Unquoted identifiers so the engine's own case normalization applies —
+    * Spark's JDBC reader/writer then resolves them case-insensitively.
+    */
+  def ensureJdbcTable(url: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val rs = conn.getMetaData.getTables(null, null, "%", Array("TABLE"))
+      var exists = false
+      while (rs.next())
+        if (rs.getString("TABLE_NAME").equalsIgnoreCase(TableName)) exists = true
+      if (!exists)
+        conn.createStatement().executeUpdate(
+          s"CREATE TABLE $TableName (" +
+            "metric_name VARCHAR(255), value DOUBLE, created_at TIMESTAMP)")
+    } finally conn.close()
+  }
+
+  /** S9: statement pass-through for GRANT / custom DDL, the analog of the
+    * reference's post-bootstrap `GRANT SELECT ... TO grafana` statements
+    * (churn_prediction_pipeline.py:797-801).
+    */
+  def executeJdbcStatements(url: String, statements: Seq[String],
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val st = conn.createStatement()
+      statements.foreach(st.executeUpdate)
+    } finally conn.close()
+  }
+
+  /** S7: append metric rows over JDBC (bootstraps the table first). The
+    * frame is a handful of rows per pipeline run — single-partition write.
+    */
+  def appendJdbc(df: DataFrame, url: String,
+      props: java.util.Properties = new java.util.Properties): Unit = {
+    ensureJdbcTable(url, props)
+    df.coalesce(1).write.mode("append").jdbc(url, TableName, props)
+  }
+
+  /** Register the JDBC-backed store as the `drift_metrics` view, so W1/W2
+    * and the 22 dashboard queries run unchanged against it.
+    */
+  def registerJdbcView(spark: SparkSession, url: String,
+      props: java.util.Properties = new java.util.Properties): Unit =
+    spark.read.jdbc(url, TableName, props).createOrReplaceTempView(TableName)
+
   /** W1: latest value for one metric. */
   def latestValue(spark: SparkSession, metricName: String): DataFrame =
     spark.table(TableName)

@@ -48,7 +48,16 @@ object Training {
     * a prepared frame (11 double features + int churn).
     */
   def trainModel(prepared: DataFrame, params: GbtParams = GbtParams()): PipelineModel = {
+    // Deep boosting chains (374 iterations) grow the RDD lineage per
+    // iteration; without periodic checkpoints task deserialization
+    // recurses past the thread stack (StackOverflowError ~iteration 350)
+    // and at cluster scale the DAG itself becomes the bottleneck.
+    val sc = prepared.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        java.nio.file.Files.createTempDirectory("graft-gbt-ckpt").toString)
     val gbt = new GBTClassifier()
+      .setCheckpointInterval(10)
       .setLabelCol(ChurnSchema.TargetColumn)
       .setFeaturesCol(FeaturesCol)
       .setPredictionCol("__prediction")

@@ -40,41 +40,106 @@ object Ann {
         .otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** PORTABLE hyperplanes: component (p, j) derives from the md5 of
+    * "plane_p_j" — leading 15 hex digits as a long, mapped to the exact
+    * rational grid (h % 2001 - 1000) / 1000 in [-1, 1]. Seedless and
+    * reproducible in any engine with md5 + integer arithmetic, so an
+    * external oracle can replay the exact bucketing (q31). Uniform rather
+    * than Gaussian components — fine for sign-LSH (only the projection
+    * sign matters).
+    */
+  def portableHyperplanes(dim: Int, numPlanes: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(numPlanes) { p =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"plane_${p}_$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        ((h % 2001L) - 1000L).toDouble / 1000.0
+      }
+    }
+  }
+
+  /** Bucket id against double-precision portable planes: the projection is
+    * float-promoted-to-double times exact double weights, sequentially
+    * accumulated — bit-identical to `list_sum(list_transform(...))` over
+    * the same numbers, so the sign (and therefore the bucket) matches the
+    * SQL oracle exactly.
+    */
+  def bucketIdPortable(emb: Column, planes: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.{Bridge, DotProductFD}
+    def dot(p: Array[Double]): Column =
+      Bridge.column(DotProductFD(
+        Bridge.expression(emb), Bridge.expression(typedLit(p))))
+    planes.zipWithIndex.map { case (p, i) =>
+      when(dot(p) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Exact top-k per query among same-bucket candidates. Input frames:
     * `data` (idCol, embCol), `queries` (idCol, embCol; broadcast).
     * Returns (qid, vec_id, sim, rn). Recall is governed by numPlanes; the
     * brute-force baseline (TextVector q23) is the oracle for recall specs.
     */
   def annTopK(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
+      k: Int, numPlanes: Int = 8, dim: Int = 64, seed: Long = 42L,
+      portable: Boolean = false): DataFrame = {
+    def bucketOf(c: Column): Column =
+      if (portable) bucketIdPortable(c, portableHyperplanes(dim, numPlanes))
+      else bucketId(c, hyperplanes(dim, numPlanes, seed))
     val bucketed = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-      .withColumn("bucket", bucketId(col("emb"), planes))
+      .withColumn("bucket", bucketOf(col("emb")))
     val qBucketed = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
-      .withColumn("bucket", bucketId(col("qemb"), planes))
+      .withColumn("bucket", bucketOf(col("qemb")))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    // rank on the float32-rounded similarity (the published value) so the
+    // ordering is reproducible across engines — same shape as q23
     bucketed.join(broadcast(qBucketed), "bucket")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
-        VectorFunctions.cosineSim(col("emb"), col("qemb")).as("sim"))
+        VectorFunctions.cosineSim(col("emb"), col("qemb"))
+          .cast("float").as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }
 
-  /** All near-neighbor PAIRS above a similarity threshold, LSH-bucketed:
-    * the embedding-cosine near-dup operator. One shuffle to buckets,
-    * pairwise scoring within buckets only.
+  /** All near-neighbor PAIRS above a similarity threshold via MULTI-BAND
+    * sign-LSH: `bands` independent plane sets (seeded per band), a pair is
+    * a candidate iff it collides in at least one band — narrow per-band
+    * buckets (2^planesPerBand) keep candidate sets small while the band
+    * union keeps recall. Candidates come from the shared one-shuffle
+    * group-and-explode generator (Dedup.pairsWithinGroups) — never a
+    * bucket self-join, which would re-evaluate the bucketing on both
+    * sides and blow up quadratically on a hot bucket. `maxBucketSize`
+    * drops over-occupied buckets entirely (standard, slightly lossy,
+    * off by default) — the skew cap for near-duplicate-heavy corpora.
     */
   def cosineNearDupPairs(data: DataFrame, idCol: String, embCol: String,
-      minSim: Double, numPlanes: Int = 6, dim: Int = 64, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(dim, numPlanes, seed)
-    val bucketed = data.select(col(idCol).as("id"), col(embCol).as("emb"))
-      .withColumn("bucket", bucketId(col("emb"), planes))
-    bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("da"), col("b.id").as("db"),
-        VectorFunctions.cosineSim(col("a.emb"), col("b.emb")).as("sim"))
+      minSim: Double, bands: Int = 4, planesPerBand: Int = 12,
+      dim: Int = 64, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None): DataFrame = {
+    val base = data.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        bucketId(col("emb"), hyperplanes(dim, planesPerBand, seed + b))
+          .as("bucket"))
+    }
+    val banded = base
+      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val capped = maxBucketSize match {
+      case Some(m) =>
+        val hot = banded.groupBy("band", "bucket").count()
+          .filter(col("count") > m).select("band", "bucket")
+        banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
+      case None => banded
+    }
+    val cand = Dedup.pairsWithinGroups(capped, Seq("band", "bucket")).distinct()
+    cand
+      .join(base.select(col("id").as("da"), col("emb").as("ea")), "da")
+      .join(base.select(col("id").as("db"), col("emb").as("eb")), "db")
+      .select(col("da"), col("db"),
+        VectorFunctions.cosineSim(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= minSim)
   }
 }

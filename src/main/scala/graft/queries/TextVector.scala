@@ -308,17 +308,49 @@ object TextVector {
     }
   }
 
-  /** LSH-bucketed ANN top-k (rows-only: hyperplane seeds are engine
-    * internals; recall vs the q23 brute-force baseline is asserted in
-    * AnnSpec). The 100 TB path of q23.
+  /** LSH-bucketed ANN top-k — the 100 TB path of q23. PORTABLE hyperplanes
+    * (md5-derived exact-rational components, Ann.portableHyperplanes) make
+    * the bucketing reproducible in SQL: the oracle replays hash → weight →
+    * sequential double dot → sign → bucket → same-bucket top-3 bit-exactly.
+    * Recall vs the q23 brute-force baseline is additionally asserted in
+    * AnnSpec.
     */
-  private val q31 = QueryDef.rowsOnly(
-    "LSH-bucketed approximate nearest neighbors, top-3 for 10 queries") { (s, dir) =>
+  private val q31 = QueryDef.sql(
+    "LSH-bucketed approximate nearest neighbors, top-3 for 10 queries")(
+    """WITH pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 6)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |b AS (SELECT e.vec_id,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id),
+      |scored AS (SELECT bq.vec_id AS qid, be.vec_id AS vec_id,
+      |    cast(list_cosine_similarity(
+      |      list_transform(e2.embedding, x -> x::DOUBLE),
+      |      list_transform(q2.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |  FROM b bq JOIN b be ON bq.bucket = be.bucket AND be.vec_id <> bq.vec_id
+      |  JOIN embeddings q2 ON q2.vec_id = bq.vec_id
+      |  JOIN embeddings e2 ON e2.vec_id = be.vec_id
+      |  WHERE bq.vec_id < 10)
+      |SELECT qid, vec_id, sim, rn FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored) WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.Ann
     val emb = Tables(s, dir).embeddings
     Ann.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
-      k = 3, numPlanes = 6)
+      k = 3, numPlanes = 6, portable = true)
       .orderBy($"qid", $"rn")
   }
 

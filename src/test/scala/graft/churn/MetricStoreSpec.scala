@@ -25,6 +25,51 @@ class MetricStoreSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("metric_name", "value", "created_at"))
   }
 
+  test("JDBC store: DDL bootstrap + append + GRANT + W1/W2 + dashboard SQL") {
+    val dir = Files.createTempDirectory("graft-derby")
+    System.setProperty("derby.stream.error.file",
+      dir.resolve("derby.log").toString)
+    val db = dir.resolve("metricsdb").toString
+    def conn(attrs: String) =
+      java.sql.DriverManager.getConnection(s"jdbc:derby:$db$attrs")
+    // create the db with SQL authorization so GRANT is a real statement
+    val c0 = conn(";create=true")
+    c0.createStatement().executeUpdate(
+      "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(" +
+        "'derby.database.sqlAuthorization', 'true')")
+    c0.close()
+    intercept[java.sql.SQLException](conn(";shutdown=true")) // reboot for the property
+    val url = s"jdbc:derby:$db"
+
+    // two appends with rising created_at (S7 + S8 first-write DDL)
+    Seq(0.5, 0.7).zipWithIndex.foreach { case (v, i) =>
+      val report = Seq(
+        ReportMetric("F1Score(conf_matrix=True)", scalar = Some(v)),
+        ReportMetric("DriftedColumnsCount(drift_share=0.5)",
+          dict = Map("count" -> i.toDouble, "share" -> i / 12.0)))
+      MetricStore.appendJdbc(
+        MetricStore.toRows(spark, report, new Timestamp(1000L * (i + 1))), url)
+    }
+    // S9: GRANT pass-through, verified against the catalog
+    MetricStore.executeJdbcStatements(url,
+      Seq(s"GRANT SELECT ON ${MetricStore.TableName} TO grafana"))
+    val cg = conn("")
+    val rs = cg.createStatement().executeQuery(
+      "SELECT COUNT(*) FROM SYS.SYSTABLEPERMS WHERE GRANTEE = 'GRAFANA'")
+    rs.next()
+    assert(rs.getInt(1) == 1, "GRANT not recorded in SYSTABLEPERMS")
+    cg.close()
+
+    // W1/W2 + a Grafana rawSql text against the JDBC-backed view
+    MetricStore.registerJdbcView(spark, url)
+    assert(MetricStore.latestValue(spark, "f1score").first().getDouble(0) == 0.7)
+    assert(MetricStore.series(spark, "f1score").collect().map(_.getDouble(1))
+      .toSeq == Seq(0.5, 0.7))
+    val rows = MetricStore.runDashboardQuery(spark,
+      MetricStore.dashboardQueries.head).collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(0.7))
+  }
+
   test("append + view + all 22 dashboard queries run verbatim") {
     val path = Files.createTempDirectory("graft-metrics").toString + "/store"
     // three runs with increasing created_at; f1score rises so latest != first

@@ -74,4 +74,38 @@ class AnnSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.toSeq == Seq((1000L, 1001L)))
   }
+
+  test("cosineNearDupPairs bucket-occupancy cap drops a hot bucket") {
+    val s = spark
+    import s.implicits._
+    // 40 identical vectors = one hot bucket in every band (and true dups)
+    val hot = (0L until 40L).map(i => (i, Array.fill(64)(0.7f))) :+
+      (99L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    val df = hot.toDF("vec_id", "embedding")
+    val uncapped = Ann.cosineNearDupPairs(df, "vec_id", "embedding", minSim = 0.99)
+    assert(uncapped.count() == 40L * 39 / 2) // all pairs found
+    // cap below the clump size: the hot bucket is dropped in every band
+    val capped = Ann.cosineNearDupPairs(df, "vec_id", "embedding",
+      minSim = 0.99, maxBucketSize = Some(10))
+    assert(capped.count() == 0L)
+  }
+
+  test("cosineNearDupPairs recall across bands: near-dups split by one plane") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    // pairs of slightly-perturbed vectors: high cosine, may straddle a
+    // hyperplane in one band but collide in another
+    val rows = (0 until 30).flatMap { i =>
+      val base = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val eps = base.map(x => x + rnd.nextGaussian().toFloat * 0.01f)
+      Seq((i * 2L, base), (i * 2L + 1, eps))
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val found = Ann.cosineNearDupPairs(df, "vec_id", "embedding", minSim = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 30).map(i => (i * 2L, i * 2L + 1)).toSet
+    val recall = expected.count(found.contains).toDouble / expected.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
 }

@@ -44,6 +44,20 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("minHash non-default numPerm/bands: same near-dup set, sig length follows") {
+    val sig = Dedup.minHashSignatures(
+      Dedup.shingles(docs, "doc_id", "text", 3), numPerm = 32)
+    assert(sig.select("sig").collect()
+      .forall(_.getAs[scala.collection.Seq[Long]](0).length == 32))
+    val got = Dedup.minHashNearDups(docs, "doc_id", "text", n = 3,
+      minJaccard = 0.7, numPerm = 32, bands = 8)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // bands must divide numPerm — fail fast, not silent empty band keys
+    intercept[IllegalArgumentException](
+      Dedup.lshCandidates(sig, bands = 10, numPerm = 32))
+  }
+
   test("verifyPairs matches exact jaccardPairs on its candidates") {
     val sets = Dedup.shingleSets(docs, "doc_id", "text", 3)
     val s = spark
