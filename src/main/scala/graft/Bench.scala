@@ -21,6 +21,15 @@ object Bench {
     t.events.limit(1).count()
     t.documents.limit(1).count()
     t.embeddings.limit(1).count()
+    // JIT/codegen warm-up: run the full query surface once at the smallest
+    // SF so measured timings reflect steady-state execution, not first-call
+    // Janino compilation (cold-vs-warm measured 5.0s vs 1.1s on q19).
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop write materializes every output column — count() would let the
