@@ -33,7 +33,8 @@ final class ChurnPipeline(
     metricStorePath: String,
     reportUrl: String = "http://evidently.local/report",
     scoreThreshold: Double = 0.70,
-    alertSink: Alerts.Alert => Unit = _ => ()) {
+    alertSink: Alerts.Alert => Unit = _ => (),
+    workspace: Option[ReportWorkspace] = None) {
 
   private def abs(key: String): String =
     new Path(new Path(rootDir), key).toString
@@ -88,6 +89,12 @@ final class ChurnPipeline(
           val reference = registry.loadReferenceData(
             spark, ChurnSchema.ModelName, ChurnSchema.ModelAlias)
           val report = DriftReport.run(reference, predictionsDurable)
+          // add report run to the workspace UI (R7, PIPE:329-347):
+          // get-or-create project with the memoized id, then add_run
+          workspace.foreach { ws =>
+            ws.addRun(ws.getOrCreateProject(), report,
+              System.currentTimeMillis())
+          }
           MetricStore.append(
             MetricStore.toRows(spark, report,
               new Timestamp(System.currentTimeMillis())),

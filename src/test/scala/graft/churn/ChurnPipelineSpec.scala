@@ -32,10 +32,13 @@ class ChurnPipelineSpec extends SparkSpec {
     (root, registry, lifecycle, metricStore)
   }
 
+  private lazy val workspace =
+    new ReportWorkspace(s"${env._1}/evidently_workspace")
+
   private def pipeline(alerts: scala.collection.mutable.Buffer[Alerts.Alert]) = {
     val (root, registry, lifecycle, metricStore) = env
     new ChurnPipeline(spark, lifecycle, registry, root, metricStore,
-      alertSink = alerts += _)
+      alertSink = alerts += _, workspace = Some(workspace))
   }
 
   private def drop(name: String, from: String): Unit = {
@@ -64,6 +67,12 @@ class ChurnPipelineSpec extends SparkSpec {
     assert(out.columns.toSeq ==
       ChurnSchema.NumericalColumns :+ "churn" :+ "churn_prediction")
     assert(out.count() > 900)
+
+    // the report run landed in the workspace under the memoized project (R7)
+    val pid = workspace.getVariable(workspace.ProjectIdVariable).get
+    assert(workspace.runIds(pid).size == 1)
+    assert(workspace.readRun(pid, workspace.runIds(pid).head)
+      .map(_.metricId).contains("Accuracy()"))
 
     // metric store has one full report: 4 scores + 2 f1bylabel + 12
     // valuedrift + 2 driftedcolumnscount = 20 rows

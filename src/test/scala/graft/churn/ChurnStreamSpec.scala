@@ -35,7 +35,9 @@ class ChurnStreamSpec extends SparkSpec {
     val pipeline = new ChurnPipeline(spark, lifecycle, registry, root,
       s"$root/metric_store")
     val q = ChurnStream.start(spark, root, pipeline, s"$root/_checkpoint")
-    q.awaitTermination(120000)
+    // generous: suites share the session and may run concurrently with the
+    // slow model-quality fit — a timeout here must mean a real hang
+    assert(q.awaitTermination(300000), "stream did not drain in 300s")
 
     assert(lifecycle.list("processed").toSet == Set(
       "customer_churn_1_predictions_XGBoostChurnModel_v1.csv",
@@ -46,7 +48,7 @@ class ChurnStreamSpec extends SparkSpec {
 
     // restart with the same checkpoint: no files reprocessed (exactly once)
     val q2 = ChurnStream.start(spark, root, pipeline, s"$root/_checkpoint")
-    q2.awaitTermination(60000)
+    assert(q2.awaitTermination(300000), "restarted stream did not drain in 300s")
     assert(spark.read.parquet(s"$root/metric_store").count() == 40)
   }
 }
