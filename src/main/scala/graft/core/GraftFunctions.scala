@@ -31,6 +31,22 @@ object GraftFunctions {
       exprs => HistogramSketchAgg(exprs(0),
         foldableInt(exprs(1), "histogram_sketch(maxBins)"))
         .toAggregateExpression(), "built-in")
+    registry.createOrReplaceTempFunction("byte_histogram",
+      exprs => ByteHistogram(exprs(0)), "built-in")
+    registry.createOrReplaceTempFunction("dot_product_fd",
+      exprs => DotProductFD(exprs(0), exprs(1)), "built-in")
+    // minhash_signature(hashedToken, numPerm, seed): same permutation
+    // family as Dedup.minHashSignatures (seeded universal hashes mod p)
+    registry.createOrReplaceTempFunction("minhash_signature",
+      exprs => {
+        val numPerm = foldableInt(exprs(1), "minhash_signature(numPerm)")
+        val seed = foldableInt(exprs(2), "minhash_signature(seed)").toLong
+        MinHashSigAgg(exprs(0),
+          graft.operators.Dedup.permParams(numPerm, seed),
+          graft.operators.Dedup.Modulus).toAggregateExpression()
+      }, "built-in")
+    registry.createOrReplaceTempFunction("simhash",
+      exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
   }
 
   private def foldableInt(

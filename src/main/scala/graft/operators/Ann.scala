@@ -117,12 +117,20 @@ object Ann {
   def cosineNearDupPairs(data: DataFrame, idCol: String, embCol: String,
       minSim: Double, bands: Int = 4, planesPerBand: Int = 12,
       dim: Int = 64, seed: Long = 42L,
-      maxBucketSize: Option[Int] = None): DataFrame = {
+      maxBucketSize: Option[Int] = None,
+      portable: Boolean = false): DataFrame = {
     val base = data.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // portable mode: one global md5-derived plane family sliced per band
+    // (global plane index = band * planesPerBand + bit), replayable in SQL
+    val allPortable =
+      if (portable) portableHyperplanes(dim, bands * planesPerBand) else Nil
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        bucketId(col("emb"), hyperplanes(dim, planesPerBand, seed + b))
-          .as("bucket"))
+      val bid =
+        if (portable)
+          bucketIdPortable(col("emb"),
+            allPortable.slice(b * planesPerBand, (b + 1) * planesPerBand))
+        else bucketId(col("emb"), hyperplanes(dim, planesPerBand, seed + b))
+      struct(lit(b).as("band"), bid.as("bucket"))
     }
     val banded = base
       .select(col("id"), explode(array(bandStructs: _*)).as("bk"))

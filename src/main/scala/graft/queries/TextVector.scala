@@ -354,6 +354,54 @@ object TextVector {
       .orderBy($"qid", $"rn")
   }
 
+  /** Embedding-cosine near-neighbor pairs (sim >= 0.35) via multi-band
+    * portable sign-LSH — the vector-space member of the dedup family
+    * (operators.Ann.cosineNearDupPairs). Candidates from 8 bands of 6
+    * md5-derived hyperplanes each (replayed bit-exactly in SQL: global
+    * plane index p -> band p/6, bit p%6), verified with the exact
+    * cosine; the double-precision threshold compare happens pre-cast in
+    * both engines.
+    */
+  private val q35 = QueryDef.sql(
+    "embedding cosine near-neighbor pairs via multi-band portable sign-LSH")(
+    """WITH pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 48)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT da, db,
+      |  cast(list_cosine_similarity(
+      |    list_transform(ea.embedding, x -> x::DOUBLE),
+      |    list_transform(eb.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |FROM cand
+      |JOIN embeddings ea ON cand.da = ea.vec_id
+      |JOIN embeddings eb ON cand.db = eb.vec_id
+      |WHERE list_cosine_similarity(
+      |    list_transform(ea.embedding, x -> x::DOUBLE),
+      |    list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Ann
+    Ann.cosineNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+      minSim = 0.35, bands = 8, planesPerBand = 6, portable = true)
+      .select($"da", $"db", $"sim".cast("float").as("sim"))
+      .orderBy($"da", $"db")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -365,6 +413,7 @@ object TextVector {
     "q23_knn_join" -> q23,
     "q29_binary_meta" -> q29,
     "q30_multimodal_stub" -> q30,
-    "q31_ann_topk" -> q31
+    "q31_ann_topk" -> q31,
+    "q35_cosine_pairs" -> q35
   )
 }

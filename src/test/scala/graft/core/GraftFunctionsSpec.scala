@@ -33,5 +33,41 @@ class GraftFunctionsSpec extends SparkSpec {
       .first().getSeq[org.apache.spark.sql.Row](0)
     assert(sketch.length <= 4)
     assert(sketch.map(_.getLong(1)).sum == 6L)
+
+    val bh = spark.sql("SELECT byte_histogram(cast('aA' as binary)) AS h")
+      .first().getSeq[Int](0)
+    assert(bh.length == 16 && bh(6) == 1 && bh(4) == 1)
+
+    val dfd = spark.sql(
+      """SELECT dot_product_fd(array(cast(2 as float), cast(3 as float)),
+        |                      array(cast(0.5 as double), cast(1 as double))) AS d""".stripMargin)
+      .first().getDouble(0)
+    assert(dfd == 4.0)
+
+    // minhash_signature/simhash agree with the operator-level aggregates
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.createOrReplaceTempView("gf_docs")
+    val sqlSig = spark.sql(
+      """SELECT minhash_signature(
+        |  cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)
+        |    % 2147483647, 64, 42) AS sig
+        |FROM (SELECT explode(word_shingles(text, 3)) AS s FROM gf_docs)""".stripMargin)
+      .first().getSeq[Long](0)
+    val opSig = graft.operators.Dedup.minHashSignatures(
+      graft.operators.Dedup.shingles(docs, "doc_id", "text", 3))
+      .first().getSeq[Long](1)
+    assert(sqlSig == opSig)
+
+    val sqlSim = spark.sql(
+      """SELECT simhash(
+        |  cast(conv(substring(md5(cast(t as binary)), 1, 15), 16, 10) as bigint)) AS h
+        |FROM (SELECT explode(split(text, ' ')) AS t FROM gf_docs)""".stripMargin)
+      .first().getLong(0)
+    val opSim = graft.operators.Dedup.simHash(docs, "doc_id", "text")
+      .first().getLong(1)
+    assert(sqlSim == opSim)
   }
 }
