@@ -24,26 +24,52 @@ object KsTest {
     * Returns one row: (ks_stat, n_current, n_reference).
     */
   def statistic(df: DataFrame, valueCol: String, isCurrent: Column): DataFrame = {
+    val spark = df.sparkSession
     val perValue = df.groupBy(col(valueCol).as("v"))
       .agg(
         sum(when(isCurrent, 1L).otherwise(0L)).as("c_cur"),
         sum(when(isCurrent, 0L).otherwise(1L)).as("c_ref"))
-    // Running CDFs via ParallelRank, never Window.orderBy(v): a global-order
-    // window is single-partition by construction, and for continuous
-    // columns the distinct-value frame is linear in row count. Totals ride
-    // a broadcast cross join; perValue's shuffle is shared between the
-    // cumulative, totals and final branches by ReuseExchange.
-    val cum = graft.operators.ParallelRank.runningSums(
-      perValue, Nil, "v", Seq("c_cur", "c_ref"), Seq("cum_cur", "cum_ref"))
-    val totals = perValue.agg(
-      sum(col("c_cur")).as("n_cur"), sum(col("c_ref")).as("n_ref"))
-    cum.crossJoin(broadcast(totals))
-      .agg(
-        max(abs(
-          col("cum_cur").cast("double") / col("n_cur")
-            - col("cum_ref").cast("double") / col("n_ref"))).as("ks_stat"),
-        max(col("n_cur")).as("n_current"),
-        max(col("n_ref")).as("n_reference"))
+    // Never Window.orderBy(v): a global-order window is single-partition by
+    // construction, and for continuous columns the distinct-value frame is
+    // linear in row count. Two light jobs over ONE range shuffle instead
+    // (the DistributedQuantiles skeleton): job 1 = per-partition side
+    // totals; driver = exclusive prefix offsets; job 2 = per-partition max
+    // CDF gap seeded with its offset. Job 2 reuses job 1's shuffle files
+    // (same RDD object), every stage parallel.
+    val parts = spark.sessionState.conf.numShufflePartitions
+    val sorted = perValue.repartitionByRange(parts, col("v"))
+      .sortWithinPartitions(col("v"))
+      .select(col("c_cur"), col("c_ref"))
+    val rdd = sorted.rdd
+    val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var sc = 0L; var sr = 0L
+      it.foreach { r => sc += r.getLong(0); sr += r.getLong(1) }
+      Iterator.single((pid, sc, sr))
+    }.collect().sortBy(_._1)
+    val nCur = partials.map(_._2).sum
+    val nRef = partials.map(_._3).sum
+    val offsets = partials.scanLeft((0, 0L, 0L)) { case ((_, c, r), (pid, sc, sr)) =>
+      (pid, c + sc, r + sr)
+    }.init // exclusive: offsets(i) = totals of partitions before partition i
+    val offByPid = partials.map(_._1).zip(offsets.map(o => (o._2, o._3))).toMap
+    val bc = spark.sparkContext.broadcast(offByPid)
+    val d =
+      if (nCur == 0L || nRef == 0L) 0.0
+      else {
+        val maxima = rdd.mapPartitionsWithIndex { (pid, it) =>
+          var (cc, cr) = bc.value(pid)
+          var best = 0.0
+          it.foreach { r =>
+            cc += r.getLong(0); cr += r.getLong(1)
+            val gap = math.abs(cc.toDouble / nCur - cr.toDouble / nRef)
+            if (gap > best) best = gap
+          }
+          Iterator.single(best)
+        }.collect()
+        if (maxima.isEmpty) 0.0 else maxima.max
+      }
+    import spark.implicits._
+    Seq((d, nCur, nRef)).toDF("ks_stat", "n_current", "n_reference")
   }
 
   /** KS over pre-binned values: the 100 TB path for continuous columns.
