@@ -47,6 +47,27 @@ object TextAnalysis {
   def stopwordRatio(text: Column): Column =
     wordHitCount(text, Stopwords).cast("double") / tokenCount(text)
 
+  /** Share of non-alphanumeric, non-space characters — the punctuation/
+    * symbol density feature of the quality score.
+    */
+  def punctRatio(text: Column): Column =
+    regexp_count(text, lit("[^a-z0-9 ]")).cast("double") / length(text)
+
+  /** Heuristic document-quality score in [0, 1] (builder brief: "quality
+    * scoring — length/punct/stopword ratios"): prose-like stopword share
+    * (peak at 0.35), natural mean token length (peak at 5 chars) and low
+    * symbol density, linearly penalized and weighted 0.4/0.3/0.3. All
+    * codegen'd built-ins; deterministic double arithmetic, so SQL oracles
+    * reproduce it bit-exactly.
+    */
+  def qualityScore(text: Column): Column = {
+    def closeness(v: Column, peak: Double): Column =
+      lit(1.0) - least(lit(1.0), abs(v - lit(peak)) / lit(peak))
+    closeness(stopwordRatio(text), 0.35) * 0.4 +
+      closeness(meanTokenLength(text), 5.0) * 0.3 +
+      (lit(1.0) - least(lit(1.0), punctRatio(text) / lit(0.3))) * 0.3
+  }
+
   /** Mean token length, derived from char count (single-space separation:
     * chars = sum(len) + n_tokens - 1).
     */

@@ -31,15 +31,23 @@ object TextVector {
     * "text analysis" surface.
     */
   private val q16 = QueryDef.sql(
-    "per-document text features (token/subword counts, ratios, fingerprint)")(
-    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)
-       |SELECT doc_id,
+    "per-document text features (token/subword counts, ratios, quality, fingerprint)")(
+    s"""WITH tok AS (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+       |f AS (SELECT doc_id, text,
        |  len(t) AS n_tokens,
        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subwords,
        |  len(list_filter(t, x -> x IN ($stopList)))::DOUBLE / len(t) AS stop_ratio,
        |  (length(text) - len(t) + 1)::DOUBLE / len(t) AS mean_tok_len,
+       |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio,
        |  md5(text) AS fp
-       |FROM tok ORDER BY doc_id""".stripMargin) { (s, dir) =>
+       |FROM tok)
+       |SELECT doc_id, n_tokens, n_subwords, stop_ratio, mean_tok_len,
+       |  punct_ratio,
+       |  (1.0::DOUBLE - least(1.0::DOUBLE, abs(stop_ratio - 0.35::DOUBLE) / 0.35::DOUBLE)) * 0.4::DOUBLE
+       |    + (1.0::DOUBLE - least(1.0::DOUBLE, abs(mean_tok_len - 5.0::DOUBLE) / 5.0::DOUBLE)) * 0.3::DOUBLE
+       |    + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio / 0.3::DOUBLE)) * 0.3::DOUBLE AS quality,
+       |  fp
+       |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     Tables(s, dir).documents.select(
       $"doc_id",
@@ -47,6 +55,8 @@ object TextVector {
       TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
       TextAnalysis.stopwordRatio($"text").as("stop_ratio"),
       TextAnalysis.meanTokenLength($"text").as("mean_tok_len"),
+      TextAnalysis.punctRatio($"text").as("punct_ratio"),
+      TextAnalysis.qualityScore($"text").as("quality"),
       TextAnalysis.fingerprint($"text").as("fp"))
       .orderBy($"doc_id")
   }

@@ -37,6 +37,23 @@ class TextAnalysisSpec extends SparkSpec {
     one(wordShingles(col("text"), n), text)
       .asInstanceOf[scala.collection.Seq[String]].toList
 
+  test("punctRatio is symbol chars over length") {
+    assert(one(punctRatio(col("text")), "ab!?") == 0.5)
+    assert(one(punctRatio(col("text")), "ab cd") == 0.0)
+  }
+
+  test("qualityScore ranks prose above symbol soup and run-on tokens") {
+    def q(t: String): Double =
+      one(qualityScore(col("text")), t).asInstanceOf[Double]
+    val prose = q("the quick brown fox jumped over a lazy dog in the garden")
+    val soup = q("!!! ??? ### $$$ %%%")
+    val runOn = q("aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa")
+    assert(prose > 0.8, s"prose=$prose")
+    assert(soup < 0.4, s"soup=$soup")
+    assert(runOn < 0.4, s"runOn=$runOn")
+    assert(prose > soup && prose > runOn)
+  }
+
   test("wordShingles builds distinct n-grams, empty below n tokens") {
     assert(shingleList("a b c d", 2) == List("a b", "b c", "c d"))
     assert(shingleList("a b", 3).isEmpty)

@@ -90,6 +90,26 @@ class AnnSpec extends SparkSpec {
     assert(capped.count() == 0L)
   }
 
+  test("portable planes: deterministic, rational grid, dup detection works") {
+    val planes = Ann.portableHyperplanes(64, 6)
+    val planes2 = Ann.portableHyperplanes(64, 6)
+    assert(planes.zip(planes2).forall { case (a, b) => a.sameElements(b) })
+    // exact rational grid in [-1, 1]
+    assert(planes.flatten.forall(w =>
+      w >= -1.0 && w <= 1.0 && (w * 1000.0).isWhole))
+    val s = spark
+    import s.implicits._
+    val dup = Seq(
+      (1000L, Array.fill(64)(0.5f)),
+      (1001L, Array.fill(64)(0.5f)),
+      (1002L, Array.tabulate(64)(i => if (i % 2 == 0) 1f else -1f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Ann.cosineNearDupPairs(dup, "vec_id", "embedding",
+      minSim = 0.99, portable = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1000L, 1001L)))
+  }
+
   test("cosineNearDupPairs recall across bands: near-dups split by one plane") {
     val s = spark
     import s.implicits._
