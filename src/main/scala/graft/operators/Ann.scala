@@ -103,6 +103,58 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  /** IVF (inverted-file) ANN: a k-means coarse quantizer partitions the
+    * corpus into `nLists` cells; each query probes its `nProbe` nearest
+    * centroids and scores exactly within those cells only. The clustered
+    * counterpart to sign-LSH (better when the corpus has cluster
+    * structure; LSH when it doesn't). Scale shape: centroids are tiny and
+    * ride the plan as literals (no join against a centroid table), cell
+    * assignment is a codegen'd argmin over `nLists` dot products, probing
+    * is a plain bucket equi-join — candidate generation linear, exact
+    * verification bounded by nProbe/nLists of the corpus. With
+    * nProbe = nLists the search degenerates to exact brute force (the
+    * recall-1 correctness anchor in AnnSpec).
+    */
+  def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    require(nProbe >= 1 && nProbe <= nLists, s"nProbe $nProbe not in [1, $nLists]")
+    val train = data.select(
+      array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
+      .fit(train)
+    val centroids: Seq[Array[Double]] = model.clusterCenters.toSeq.map(_.toArray)
+
+    // squared distance to centroid c: |v|^2 - 2 v.c + |c|^2; |v|^2 is
+    // constant per row, so argmin needs only -2 v.c + |c|^2
+    def dist2(emb: Column, c: Array[Double]): Column = {
+      import org.apache.spark.sql.graft.{Bridge, DotProductFD}
+      val dot = Bridge.column(DotProductFD(
+        Bridge.expression(emb), Bridge.expression(typedLit(c))))
+      dot * -2.0 + lit(c.map(x => x * x).sum)
+    }
+    // (dist, idx) structs: array_min/array_sort order by dist with idx
+    // tiebreak — argmin and top-nProbe both stay inside codegen
+    def cells(emb: Column): Column = array(centroids.zipWithIndex.map {
+      case (c, i) => struct(dist2(emb, c).as("d"), lit(i).as("cell"))
+    }: _*)
+
+    val listed = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("cell", array_min(cells(col("emb"))).getField("cell"))
+    val probed = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+      .withColumn("cell", explode(
+        slice(array_sort(cells(col("qemb"))), 1, nProbe).getField("cell")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    listed.join(broadcast(probed), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineSim(col("emb"), col("qemb"))
+          .cast("float").as("sim"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** All near-neighbor PAIRS above a similarity threshold via MULTI-BAND
     * sign-LSH: `bands` independent plane sets (seeded per band), a pair is
     * a candidate iff it collides in at least one band — narrow per-band
