@@ -59,6 +59,28 @@ object Multimodal {
   def imagePayload(content: Column): Column =
     substring(content, 7, Int.MaxValue)
 
+  /** Synthetic audio payload: 12-byte big-endian header (sample_rate int32,
+    * n_samples int64) + payload — the audio member of the binary-column
+    * family, same stub-codec contract as packImage.
+    */
+  def packAudio(sampleRate: Column, nSamples: Column, payload: Column): Column = {
+    def intBe(c: Column, hexDigits: Int): Column =
+      unhex(lpad(hex(c.cast("bigint")), hexDigits, "0"))
+    concat(intBe(sampleRate, 8), intBe(nSamples, 16), payload.cast("binary"))
+  }
+
+  /** STUB audio decode: header fields back as a typed struct (AudioMetaType
+    * shape) via codegen'd hex/conv arithmetic.
+    */
+  def decodeAudioMeta(content: Column): Column =
+    struct(
+      conv(hex(substring(content, 1, 4)), 16, 10).cast("int").as("sample_rate"),
+      conv(hex(substring(content, 5, 8)), 16, 10).cast("long").as("n_samples"))
+
+  /** Payload bytes after the audio stub header. */
+  def audioPayload(content: Column): Column =
+    substring(content, 13, Int.MaxValue)
+
   /** Frame sampling: byte-range slices at a fixed stride — the binary
     * analog of taking every k-th video frame. Returns array<binary> of
     * `frames` slices of `frameSize` bytes each.

@@ -34,6 +34,25 @@ class MultimodalSpec extends SparkSpec {
     assert(got == Map(1L -> "payload-one", 2L -> "p2", 3L -> "third payload here"))
   }
 
+  test("audio pack/decode round-trip recovers sample_rate and n_samples") {
+    val s = spark
+    import s.implicits._
+    val audio = Seq(
+      (1L, 44100, 1234567890123L, "pcm-bytes-here"),
+      (2L, 16000, 42L, "x")
+    ).toDF("id", "sr", "n", "body")
+      .select(col("id"),
+        Multimodal.packAudio(col("sr"), col("n"), col("body")).as("content"))
+    val meta = audio.select(col("id"),
+      Multimodal.decodeAudioMeta(col("content")).as("m"),
+      Multimodal.audioPayload(col("content")).cast("string").as("p"))
+      .select(col("id"), col("m.sample_rate"), col("m.n_samples"), col("p"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(meta.toSet == Set(
+      (1L, 44100, 1234567890123L, "pcm-bytes-here"),
+      (2L, 16000, 42L, "x")))
+  }
+
   test("frame sampling yields fixed-count byte slices") {
     val frames = packed
       .select(Multimodal.sampleFrames(col("content"), 4, 3).as("f"))
