@@ -70,6 +70,31 @@ class DedupSpec extends SparkSpec {
     assert(got == Map((1L, 2L) -> 1.0, (1L, 3L) -> 0.75, (1L, 4L) -> 0.0))
   }
 
+  test("incrementalExact dedups within and across batches via the fp store") {
+    val s = spark
+    import s.implicits._
+    val store = java.nio.file.Files
+      .createTempDirectory("graft-fpstore").toString + "/fps"
+    val batch1 = Seq(
+      (1L, "alpha"), (2L, "alpha"), (3L, "beta")).toDF("doc_id", "text")
+    val out1 = Dedup.incrementalExact(batch1, "doc_id", "text", store)
+    assert(out1.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 3L)) // in-batch dup 2 dropped
+    // re-executing the RETURNED plan after the append must not change it
+    assert(out1.count() == 2)
+
+    val batch2 = Seq(
+      (10L, "alpha"),  // seen in batch 1 -> dropped
+      (11L, "gamma"), (12L, "gamma"), // new; in-batch dup dropped
+      (13L, "beta")    // seen -> dropped
+    ).toDF("doc_id", "text")
+    val out2 = Dedup.incrementalExact(batch2, "doc_id", "text", store)
+    assert(out2.select("doc_id").collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(11L))
+    // store now holds exactly the three distinct fingerprints
+    assert(spark.read.parquet(store).distinct().count() == 3)
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val h = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
