@@ -10,43 +10,51 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
 
-  def registerAll(spark: SparkSession): Unit = {
-    import org.apache.spark.sql.graft._
-    val registry = spark.sessionState.functionRegistry
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.graft._
 
-    registry.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("dot_product",
-      exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    registry.createOrReplaceTempFunction("word_shingles",
-      exprs => WordShingles(exprs(0), foldableInt(exprs(1), "word_shingles(n)")),
-      "built-in")
-    registry.createOrReplaceTempFunction("text_hit_count",
-      exprs => TextHitCount(exprs(0),
-        foldableString(exprs(1), "text_hit_count(words)").split(",").toSeq),
-      "built-in")
-    registry.createOrReplaceTempFunction("pair_combinations",
-      exprs => PairCombinations(exprs(0)), "built-in")
-    registry.createOrReplaceTempFunction("histogram_sketch",
-      exprs => HistogramSketchAgg(exprs(0),
+  /** Name → expression builder for every native function — the single
+    * source of truth shared by per-session registration (`registerAll`)
+    * and config-time injection (GraftExtensions).
+    */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" ->
+      ((exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))),
+    "dot_product" ->
+      ((exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))),
+    "dot_product_fd" ->
+      ((exprs: Seq[Expression]) => DotProductFD(exprs(0), exprs(1))),
+    "word_shingles" -> ((exprs: Seq[Expression]) =>
+      WordShingles(exprs(0), foldableInt(exprs(1), "word_shingles(n)"))),
+    "text_hit_count" -> ((exprs: Seq[Expression]) =>
+      TextHitCount(exprs(0),
+        foldableString(exprs(1), "text_hit_count(words)").split(",").toSeq)),
+    "pair_combinations" ->
+      ((exprs: Seq[Expression]) => PairCombinations(exprs(0))),
+    "byte_histogram" ->
+      ((exprs: Seq[Expression]) => ByteHistogram(exprs(0))),
+    "histogram_sketch" -> ((exprs: Seq[Expression]) =>
+      HistogramSketchAgg(exprs(0),
         foldableInt(exprs(1), "histogram_sketch(maxBins)"))
-        .toAggregateExpression(), "built-in")
-    registry.createOrReplaceTempFunction("byte_histogram",
-      exprs => ByteHistogram(exprs(0)), "built-in")
-    registry.createOrReplaceTempFunction("dot_product_fd",
-      exprs => DotProductFD(exprs(0), exprs(1)), "built-in")
+        .toAggregateExpression()),
     // minhash_signature(hashedToken, numPerm, seed): same permutation
     // family as Dedup.minHashSignatures (seeded universal hashes mod p)
-    registry.createOrReplaceTempFunction("minhash_signature",
-      exprs => {
-        val numPerm = foldableInt(exprs(1), "minhash_signature(numPerm)")
-        val seed = foldableInt(exprs(2), "minhash_signature(seed)").toLong
-        MinHashSigAgg(exprs(0),
-          graft.operators.Dedup.permParams(numPerm, seed),
-          graft.operators.Dedup.Modulus).toAggregateExpression()
-      }, "built-in")
-    registry.createOrReplaceTempFunction("simhash",
-      exprs => SimHashSigAgg(exprs(0)).toAggregateExpression(), "built-in")
+    "minhash_signature" -> ((exprs: Seq[Expression]) => {
+      val numPerm = foldableInt(exprs(1), "minhash_signature(numPerm)")
+      val seed = foldableInt(exprs(2), "minhash_signature(seed)").toLong
+      MinHashSigAgg(exprs(0),
+        graft.operators.Dedup.permParams(numPerm, seed),
+        graft.operators.Dedup.Modulus).toAggregateExpression()
+    }),
+    "simhash" ->
+      ((exprs: Seq[Expression]) => SimHashSigAgg(exprs(0)).toAggregateExpression())
+  )
+
+  def registerAll(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      registry.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   private def foldableInt(

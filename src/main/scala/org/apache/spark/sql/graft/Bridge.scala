@@ -13,4 +13,14 @@ object Bridge {
 
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' injected functions to a live session's
+    * registry (`registerFunctions` is private[sql]) — lets tests exercise
+    * the spark.sql.extensions path without booting a second SparkContext.
+    */
+  def applyInjectedFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+      spark: org.apache.spark.sql.SparkSession): Unit =
+    ext.registerFunctions(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+        .sessionState.functionRegistry)
 }
