@@ -212,6 +212,35 @@ object MlDrift {
       .orderBy($"type_a", $"type_b")
   }
 
+  /** Typed JSON parsing (from_json with an explicit schema — the
+    * schema-ful sibling of q33's path extraction) feeding exact per-group
+    * quantiles through DistributedQuantiles: the two-job order-statistics
+    * operator under the oracle gate on its own.
+    */
+  private val q36 = QueryDef.sql(
+    "typed from_json field quantiles per event_type")(
+    """SELECT event_type,
+      |  cast(quantile_cont(json_extract(props, '$.k')::INT, 0.25) AS REAL) AS p25,
+      |  cast(quantile_cont(json_extract(props, '$.k')::INT, 0.50) AS REAL) AS p50,
+      |  cast(quantile_cont(json_extract(props, '$.k')::INT, 0.75) AS REAL) AS p75
+      |FROM events
+      |WHERE json_extract(props, '$.k') IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val typed = Tables(s, dir).events.select(
+      $"event_type",
+      from_json($"props",
+        org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+        .getField("k").as("k"))
+      .filter($"k".isNotNull)
+    graft.operators.DistributedQuantiles
+      .exact(typed, Seq("event_type"), "k",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+      .select($"event_type", $"p25".cast("float").as("p25"),
+        $"p50".cast("float").as("p50"), $"p75".cast("float").as("p75"))
+      .orderBy($"event_type")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q24_ks_drift" -> q24,
     "q25_chi2_drift" -> q25,
@@ -220,6 +249,7 @@ object MlDrift {
     "q28_threshold_sweep" -> q28,
     "q32_asof_join" -> q32,
     "q33_json_extract" -> q33,
-    "q34_range_join" -> q34
+    "q34_range_join" -> q34,
+    "q36_json_quantiles" -> q36
   )
 }
