@@ -34,7 +34,12 @@ final class ChurnPipeline(
     reportUrl: String = "http://evidently.local/report",
     scoreThreshold: Double = 0.70,
     alertSink: Alerts.Alert => Unit = _ => (),
-    workspace: Option[ReportWorkspace] = None) {
+    workspace: Option[ReportWorkspace] = None,
+    /** Metric-store append strategy: parquet by default; pass e.g.
+      * `MetricStore.appendJdbc(_, url)` for the reference's
+      * Postgres-over-JDBC shape (S7).
+      */
+    metricAppend: Option[org.apache.spark.sql.DataFrame => Unit] = None) {
 
   private def abs(key: String): String =
     new Path(new Path(rootDir), key).toString
@@ -95,10 +100,11 @@ final class ChurnPipeline(
             ws.addRun(ws.getOrCreateProject(), report,
               System.currentTimeMillis())
           }
-          MetricStore.append(
-            MetricStore.toRows(spark, report,
-              new Timestamp(System.currentTimeMillis())),
-            metricStorePath)
+          val metricRows = MetricStore.toRows(spark, report,
+            new Timestamp(System.currentTimeMillis()))
+          metricAppend.getOrElse(
+            (df: org.apache.spark.sql.DataFrame) =>
+              MetricStore.append(df, metricStorePath))(metricRows)
 
           // assessments + alerts (PIPE:868-896)
           val alerts = Seq.newBuilder[Alerts.Alert]

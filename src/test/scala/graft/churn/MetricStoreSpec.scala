@@ -70,6 +70,19 @@ class MetricStoreSpec extends SparkSpec {
     assert(rows.map(_.getDouble(0)).toSeq == Seq(0.7))
   }
 
+  test("pipeline-shaped JDBC append: metricAppend strategy round-trips") {
+    val dir = Files.createTempDirectory("graft-derby2")
+    val url = s"jdbc:derby:${dir.resolve("db")};create=true"
+    // the strategy ChurnPipeline(metricAppend = ...) would receive
+    val sink: org.apache.spark.sql.DataFrame => Unit =
+      MetricStore.appendJdbc(_, url.stripSuffix(";create=true"))
+    // first connection creates the db
+    java.sql.DriverManager.getConnection(url).close()
+    sink(MetricStore.toRows(spark, sampleReport, new Timestamp(5000L)))
+    MetricStore.registerJdbcView(spark, url.stripSuffix(";create=true"))
+    assert(MetricStore.latestValue(spark, "accuracy").first().getDouble(0) == 0.9)
+  }
+
   test("append + view + all 22 dashboard queries run verbatim") {
     val path = Files.createTempDirectory("graft-metrics").toString + "/store"
     // three runs with increasing created_at; f1score rises so latest != first
