@@ -40,14 +40,18 @@ final case class Tables(spark: SparkSession, dir: String) {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
+  def documents: DataFrame  = t("documents")
+  def embeddings: DataFrame = t("embeddings")
+
   /** The text corpus and vector table feed the per-row-heavy kernels
-    * (shingling, md5, minhash, cosine): fan those scans out to the
-    * session's parallelism. The agg-only tables are NOT fanned out — for a
-    * plain aggregate the extra shuffle costs more than the serial scan
-    * saves (measured at sf0.1).
+    * (shingling, md5, minhash, plane projections): those queries opt into a
+    * fanned-out scan. Plain aggregates use the raw accessors — for an
+    * agg-only query the extra shuffle costs more than the serial scan saves
+    * (measured at sf0.1: fanning `documents` for every query regressed the
+    * one-pass fingerprint profile 0.5→1.2 s).
     */
-  def documents: DataFrame  = fanOut(t("documents"))
-  def embeddings: DataFrame = fanOut(t("embeddings"))
+  def documentsFanned: DataFrame  = fanOut(t("documents"))
+  def embeddingsFanned: DataFrame = fanOut(t("embeddings"))
 
   /** Fan an under-split scan out to the session's parallelism: the test
     * files are single-row-group parquet, which reads as ONE task no matter

@@ -36,8 +36,11 @@ object KsTest {
     // totals; driver = exclusive prefix offsets; job 2 = per-partition max
     // CDF gap seeded with its offset. Job 2 reuses job 1's shuffle files
     // (same RDD object), every stage parallel.
-    val parts = spark.sessionState.conf.numShufflePartitions
-    val sorted = perValue.repartitionByRange(parts, col("v"))
+    // No explicit partition count: AQE's coalescing sizes the range
+    // exchange to the distinct-value frame (adjacent ranges merge, so
+    // global order and the offset arithmetic are unaffected) — one task
+    // for an enum-grain column, full parallelism for continuous doubles.
+    val sorted = perValue.repartitionByRange(col("v"))
       .sortWithinPartitions(col("v"))
       .select(col("c_cur"), col("c_ref"))
     val rdd = sorted.rdd

@@ -37,32 +37,67 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   */
 object DistributedQuantiles {
 
-  /** (group..., <qname>...) exact interpolated quantiles. */
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Job 1 collects O(P × G) per-(partition, group) partials to the driver —
+    * the right trade at metric grain (G ≤ thousands), a driver OOM at
+    * millions of groups. Above this budget `run` routes to the all-DataFrame
+    * `ParallelRank.quantiles` path instead (identical results, no driver
+    * state). P is bounded by the configured shuffle partitions.
+    */
+  val DriverPartialsBudget: Long = 1L << 20
+
+  /** (group..., <qname>...) exact interpolated quantiles.
+    *
+    * `groupCountHint`: expected number of distinct groups. When absent, a
+    * one-column `approx_count_distinct` pre-pass estimates it (cheap —
+    * map-side partials only — but it is an extra scan; callers that know
+    * their grain pass the hint).
+    */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame =
-    run(df, groupCols, valueCol, qs, withMoments = false)
+      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None): DataFrame =
+    run(df, groupCols, valueCol, qs, withMoments = false, groupCountHint)
 
   /** (group..., n, mean, std, vmin, vmax, <qname>...): describe() in the
-    * same two jobs.
+    * same two jobs. `groupCountHint` as in `exact`.
     */
   def describe(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)]): DataFrame =
-    run(df, groupCols, valueCol, qs, withMoments = true)
+      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None): DataFrame =
+    run(df, groupCols, valueCol, qs, withMoments = true, groupCountHint)
 
   private final class GroupAgg(var cnt: Long = 0L, var sumV: Double = 0.0,
     var sumV2: Double = 0.0, var min: Double = Double.PositiveInfinity,
     var max: Double = Double.NegativeInfinity) extends Serializable
 
   private def run(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)], withMoments: Boolean): DataFrame = {
+      qs: Seq[(String, Double)], withMoments: Boolean,
+      groupCountHint: Option[Long]): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    val estGroups: Long =
+      if (groupCols.isEmpty) 1L
+      else groupCountHint.getOrElse {
+        df.agg(approx_count_distinct(struct(groupCols.map(col): _*)))
+          .first().getLong(0)
+      }
+    if (estGroups * parts > DriverPartialsBudget) {
+      log.info(s"DistributedQuantiles: ~$estGroups groups x $parts partitions " +
+        s"exceeds driver-partials budget $DriverPartialsBudget; dispatching to " +
+        "ParallelRank.quantiles (all-DataFrame path)")
+      return viaParallelRank(df, groupCols, valueCol, qs, withMoments)
+    }
     val gcols = groupCols.map(col)
     val perValue = df
       .groupBy(gcols :+ col(valueCol).cast("double").as("__v"): _*)
       .agg(count(lit(1)).as("__cnt"))
     val keys = gcols :+ col("__v")
-    val sorted = perValue.repartitionByRange(parts, keys: _*)
+    // No explicit partition count: AQE's partition coalescing sizes the
+    // range exchange to the actual distinct-value frame — one task when the
+    // collapse leaves kilobytes (metric-grain describe), the configured
+    // parallelism when values are near-unique. Coalescing merges ADJACENT
+    // range partitions, so global sort order across partitions is preserved
+    // and the two-job offset arithmetic below is unaffected.
+    val sorted = perValue.repartitionByRange(keys: _*)
       .sortWithinPartitions(keys: _*)
       .select(gcols ++ Seq(col("__v"), col("__cnt")): _*)
     val g = groupCols.length
@@ -168,5 +203,31 @@ object DistributedQuantiles {
       groupCols.map(c => sorted.schema(c)) ++ momentFields ++
         qs.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(outRows.asJava, schema)
+  }
+
+  /** High-group-cardinality path: quantiles from `ParallelRank.quantiles`
+    * (every stage a DataFrame op, nothing driver-resident), moments from a
+    * plain hash aggregate, joined on the group key. Same output contract as
+    * `run`'s driver path — asserted equal in QuantileDispatchSpec.
+    */
+  private def viaParallelRank(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(String, Double)],
+      withMoments: Boolean): DataFrame = {
+    val vdf = df.select(groupCols.map(col) :+
+      col(valueCol).cast("double").as("__v"): _*)
+    val quant = ParallelRank.quantiles(vdf, groupCols, "__v", qs)
+    if (!withMoments) quant
+    else {
+      val gcols = groupCols.map(col)
+      val moments = vdf.groupBy(gcols: _*).agg(
+        count(lit(1)).as("n"),
+        avg(col("__v")).as("mean"),
+        coalesce(stddev_samp(col("__v")), lit(Double.NaN)).as("std"),
+        min(col("__v")).as("vmin"),
+        max(col("__v")).as("vmax"))
+      moments.join(quant, groupCols).select(
+        gcols ++ Seq(col("n"), col("mean"), col("std"), col("vmin"),
+          col("vmax")) ++ qs.map { case (name, _) => col(name) }: _*)
+    }
   }
 }

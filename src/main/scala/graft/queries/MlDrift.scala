@@ -235,7 +235,9 @@ object MlDrift {
       .filter($"k".isNotNull)
     graft.operators.DistributedQuantiles
       .exact(typed, Seq("event_type"), "k",
-        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
+        // event taxonomy is enum-grain (bounded set of type names)
+        groupCountHint = Some(100L))
       .select($"event_type", $"p25".cast("float").as("p25"),
         $"p50".cast("float").as("p50"), $"p75".cast("float").as("p75"))
       .orderBy($"event_type")

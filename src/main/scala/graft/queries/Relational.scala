@@ -295,7 +295,9 @@ object Relational {
         .filter($"v".isNotNull)
       graft.operators.DistributedQuantiles
         .describe(melted, Seq("col_name"), "v",
-          Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+          Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
+          // the melt's group key is the 4 column-name literals
+          groupCountHint = Some(cols.size.toLong))
         .select($"col_name", $"n", $"mean".cast("float").as("mean"),
           $"std".cast("float").as("std"), $"vmin",
           $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
@@ -323,7 +325,9 @@ object Relational {
       .filter($"value".isNotNull)
     graft.operators.DistributedQuantiles
       .describe(ev, Seq("event_type"), "value",
-        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
+        // event taxonomy is enum-grain (bounded set of type names)
+        groupCountHint = Some(100L))
       .select($"event_type", $"n", $"mean".cast("float").as("mean"),
         $"std".cast("float").as("std"), $"vmin",
         $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),

@@ -49,7 +49,7 @@ object TextVector {
        |  fp
        |FROM f ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Tables(s, dir).documents.select(
+    Tables(s, dir).documentsFanned.select(
       $"doc_id",
       TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
       TextAnalysis.subwordCount($"text").cast("long").as("n_subwords"),
@@ -83,7 +83,7 @@ object TextVector {
          |  count(*) AS n_docs
          |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
       import s.implicits._
-      Tables(s, dir).documents
+      Tables(s, dir).documentsFanned
         .groupBy(TextAnalysis.predictLang($"text").as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy($"lang_pred")
@@ -124,7 +124,7 @@ object TextVector {
       |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.5
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Dedup.jaccardPairs(Tables(s, dir).documents, "doc_id", "text", n = 3)
+    Dedup.jaccardPairs(Tables(s, dir).documentsFanned, "doc_id", "text", n = 3)
       .filter($"jaccard" >= 0.5)
       .select($"da", $"db", $"inter", $"na", $"nb", $"jaccard")
       .orderBy($"da", $"db")
@@ -150,7 +150,7 @@ object TextVector {
       |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Dedup.minHashNearDups(Tables(s, dir).documents, "doc_id", "text",
+    Dedup.minHashNearDups(Tables(s, dir).documentsFanned, "doc_id", "text",
         n = 3, minJaccard = 0.9)
       .select($"da", $"db", $"jaccard")
       .orderBy($"da", $"db")
@@ -189,7 +189,7 @@ object TextVector {
       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val sims = Dedup.simHash(Tables(s, dir).documents, "doc_id", "text")
+    val sims = Dedup.simHash(Tables(s, dir).documentsFanned, "doc_id", "text")
     Dedup.simHashNearDups(sims, maxHamming = 3)
       .orderBy($"da", $"db")
   }
@@ -209,7 +209,7 @@ object TextVector {
       |ORDER BY sim DESC, e.vec_id
       |LIMIT 10""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables(s, dir).embeddings
+    val emb = Tables(s, dir).embeddingsFanned
     val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
     emb.crossJoin(broadcast(query))
       .select($"vec_id",
@@ -237,7 +237,7 @@ object TextVector {
       |  FROM scored) WHERE rn <= 3
       |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables(s, dir).embeddings
+    val emb = Tables(s, dir).embeddingsFanned
     val queries = emb.filter($"vec_id" < 10)
       .select($"vec_id".as("qid"), $"embedding".as("qe"))
     val w = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
@@ -262,7 +262,7 @@ object TextVector {
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val content = $"text".cast("binary")
-    Tables(s, dir).documents.select(
+    Tables(s, dir).documentsFanned.select(
       $"doc_id",
       length(content).cast("long").as("byte_len"),
       md5(content).as("fp"),
@@ -298,7 +298,7 @@ object TextVector {
          |FROM h ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       import graft.operators.Multimodal
-      val packed = Tables(s, dir).documents.select(
+      val packed = Tables(s, dir).documentsFanned.select(
         $"doc_id",
         Multimodal.packImage(
           pmod($"n_chars", lit(64)) + 1, pmod($"doc_id", lit(64)) + 1, lit(3),
@@ -358,7 +358,7 @@ object TextVector {
       |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.Ann
-    val emb = Tables(s, dir).embeddings
+    val emb = Tables(s, dir).embeddingsFanned
     Ann.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
       k = 3, numPlanes = 6, portable = true)
       .orderBy($"qid", $"rn")
@@ -406,7 +406,7 @@ object TextVector {
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.Ann
-    Ann.cosineNearDupPairs(Tables(s, dir).embeddings, "vec_id", "embedding",
+    Ann.cosineNearDupPairs(Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
       minSim = 0.35, bands = 8, planesPerBand = 6, portable = true)
       .select($"da", $"db", $"sim".cast("float").as("sim"))
       .orderBy($"da", $"db")

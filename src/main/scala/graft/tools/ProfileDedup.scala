@@ -11,7 +11,7 @@ object ProfileDedup {
   def main(args: Array[String]): Unit = {
     val spark = graft.core.GraftSession.local()
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val docs = Tables(spark, dir).documents
+    val docs = Tables(spark, dir).documentsFanned
     docs.count() // warmup
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()

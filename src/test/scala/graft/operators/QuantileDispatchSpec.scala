@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The high-group-cardinality guard in DistributedQuantiles: above the
+  * driver-partials budget (P × G), `run` must dispatch to the all-DataFrame
+  * `ParallelRank.quantiles` path — and both paths must return identical
+  * results so the dispatch is invisible to callers.
+  */
+class QuantileDispatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 100k groups x 4 rows each: over budget at any partition count when the
+  // hint reports the true G; values are exact in double.
+  private lazy val wide = spark.range(0, 400000L)
+    .select((col("id") % 100000L).as("g"),
+      ((col("id") * 37L) % 1000L).cast("double").as("v"))
+
+  test("both paths agree on a >=100k-group frame (describe)") {
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75)
+    // forced driver path: lie small so G * P stays under budget is NOT
+    // possible at G=100k with budget 2^20 only if P > 10 — pin the truth
+    // by hint on both sides instead: tiny hint keeps the driver path,
+    // honest hint trips the guard.
+    val driverPath = DistributedQuantiles.describe(
+      wide, Seq("g"), "v", qs, groupCountHint = Some(1L))
+    val fallbackPath = DistributedQuantiles.describe(
+      wide, Seq("g"), "v", qs, groupCountHint = Some(100000L))
+    val cols = Seq("g", "n", "mean", "std", "vmin", "vmax", "p25", "p50", "p75")
+    val a = driverPath.select(cols.map(col): _*)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    val b = fallbackPath.select(cols.map(col): _*)
+      .as[(Long, Long, Double, Double, Double, Double, Double, Double, Double)]
+      .collect().sortBy(_._1)
+    assert(a.length == 100000)
+    // n/min/max/quantiles exact-equal; mean/std to 1e-9 (different but
+    // equivalent accumulation orders)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x._1 == y._1 && x._2 == y._2)
+      assert(math.abs(x._3 - y._3) < 1e-9, s"mean mismatch at g=${x._1}")
+      assert(math.abs(x._4 - y._4) < 1e-9 || (x._4.isNaN && y._4.isNaN))
+      assert(x._5 == y._5 && x._6 == y._6)
+      assert(x._7 == y._7 && x._8 == y._8 && x._9 == y._9)
+    }
+  }
+
+  test("estimate pre-pass (no hint) routes a high-G frame to the fallback") {
+    // with no hint the approx_count_distinct estimate (~100k) x partitions
+    // exceeds the 2^20 budget -> ParallelRank path; result stays correct
+    val got = DistributedQuantiles.exact(
+      wide.filter($"g" < 3), Seq("g"), "v", Seq("p50" -> 0.5))
+      .orderBy($"g").as[(Long, Double)].collect()
+    // per group: v = (g + 100000k*37) % 1000 for k=0..3 — compute expected
+    val expected = (0L until 3L).map { g =>
+      val vs = (0 until 4).map(k => ((g + 100000L * k) * 37L % 1000L).toDouble)
+        .sorted
+      // (n-1)*q = 1.5 -> mean of ranks 2 and 3
+      (g, (vs(1) + vs(2)) / 2.0)
+    }
+    assert(got.toSeq == expected)
+  }
+}
