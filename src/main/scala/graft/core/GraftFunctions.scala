@@ -47,7 +47,14 @@ object GraftFunctions {
         graft.operators.Dedup.Modulus).toAggregateExpression()
     }),
     "simhash" ->
-      ((exprs: Seq[Expression]) => SimHashSigAgg(exprs(0)).toAggregateExpression())
+      ((exprs: Seq[Expression]) => SimHashSigAgg(exprs(0)).toAggregateExpression()),
+    // portable_sign_bits(emb, numPlanes, dim): packed sign-LSH bits against
+    // the md5-derived portable hyperplane family (one fused projection pass)
+    "portable_sign_bits" -> ((exprs: Seq[Expression]) =>
+      SignProjectionBits(exprs(0),
+        graft.operators.Ann.portableHyperplanes(
+          foldableInt(exprs(2), "portable_sign_bits(dim)"),
+          foldableInt(exprs(1), "portable_sign_bits(numPlanes)")).toArray))
   )
 
   def registerAll(spark: SparkSession): Unit = {

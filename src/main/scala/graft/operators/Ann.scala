@@ -32,13 +32,13 @@ object Ann {
   }
 
   /** Sign-LSH bucket id of an embedding column: bit p = 1 iff dot with
-    * hyperplane p is >= 0. A long column (numPlanes <= 63).
+    * hyperplane p is >= 0. A long column (numPlanes <= 63). All planes are
+    * projected in ONE fused codegen pass (SignProjectionBits) — float plane
+    * components widen exactly to double, so the signs match the per-plane
+    * promote-before-multiply dot.
     */
   def bucketId(emb: Column, planes: Seq[Array[Float]]): Column =
-    planes.zipWithIndex.map { case (p, i) =>
-      when(VectorFunctions.dotProduct(emb, typedLit(p)) >= 0, lit(1L << i))
-        .otherwise(lit(0L))
-    }.reduce(_ + _)
+    packedSignBits(emb, planes.map(_.map(_.toDouble)))
 
   /** PORTABLE hyperplanes: component (p, j) derives from the md5 of
     * "plane_p_j" — leading 15 hex digits as a long, mapped to the exact
@@ -66,14 +66,13 @@ object Ann {
     * the same numbers, so the sign (and therefore the bucket) matches the
     * SQL oracle exactly.
     */
-  def bucketIdPortable(emb: Column, planes: Seq[Array[Double]]): Column = {
-    import org.apache.spark.sql.graft.{Bridge, DotProductFD}
-    def dot(p: Array[Double]): Column =
-      Bridge.column(DotProductFD(
-        Bridge.expression(emb), Bridge.expression(typedLit(p))))
-    planes.zipWithIndex.map { case (p, i) =>
-      when(dot(p) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
+  def bucketIdPortable(emb: Column, planes: Seq[Array[Double]]): Column =
+    packedSignBits(emb, planes)
+
+  /** One fused evaluation of every plane's sign bit (bit p = plane p). */
+  private def packedSignBits(emb: Column, planes: Seq[Array[Double]]): Column = {
+    import org.apache.spark.sql.graft.{Bridge, SignProjectionBits}
+    Bridge.column(SignProjectionBits(Bridge.expression(emb), planes.toArray))
   }
 
   /** Exact top-k per query among same-bucket candidates. Input frames:
@@ -116,12 +115,22 @@ object Ann {
     * recall-1 correctness anchor in AnnSpec).
     */
   def ivfTopK(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L): DataFrame = {
+      k: Int, nLists: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+      maxTrainVectors: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     require(nProbe >= 1 && nProbe <= nLists, s"nProbe $nProbe not in [1, $nLists]")
-    val train = data.select(
+    // Fit the coarse quantizer on a bounded sample: an iterative k-means
+    // over the FULL corpus is itself a multi-scan job at 100 TB, and
+    // centroid quality saturates at ~10^3 vectors per list. One cheap
+    // count sizes the fraction; the 1.2x margin + limit give an exact cap.
+    val all = data.select(
       array_to_vector(col(embCol).cast("array<double>")).as("features"))
+    val n = data.count()
+    val train =
+      if (n <= maxTrainVectors) all
+      else all.sample(withReplacement = false,
+        math.min(1.0, maxTrainVectors * 1.2 / n), seed).limit(maxTrainVectors)
     val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
       .fit(train)
     val centroids: Seq[Array[Double]] = model.clusterCenters.toSeq.map(_.toArray)
@@ -172,21 +181,39 @@ object Ann {
       maxBucketSize: Option[Int] = None,
       portable: Boolean = false): DataFrame = {
     val base = data.select(col(idCol).as("id"), col(embCol).as("emb"))
-    // portable mode: one global md5-derived plane family sliced per band
-    // (global plane index = band * planesPerBand + bit), replayable in SQL
-    val allPortable =
-      if (portable) portableHyperplanes(dim, bands * planesPerBand) else Nil
-    val bandStructs = (0 until bands).map { b =>
-      val bid =
-        if (portable)
-          bucketIdPortable(col("emb"),
-            allPortable.slice(b * planesPerBand, (b + 1) * planesPerBand))
-        else bucketId(col("emb"), hyperplanes(dim, planesPerBand, seed + b))
-      struct(lit(b).as("band"), bid.as("bucket"))
-    }
-    val banded = base
-      .select(col("id"), explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    // one global plane family (portable: md5-derived, global plane index =
+    // band * planesPerBand + bit, replayable in SQL; seeded: per-band
+    // Gaussian draws concatenated). When the family fits a long (<= 63
+    // planes) ALL band buckets come from ONE fused projection pass —
+    // shiftright/& slices the packed bits per band; otherwise fall back to
+    // one fused pass per band.
+    val allPlanes: Seq[Array[Double]] =
+      if (portable) portableHyperplanes(dim, bands * planesPerBand)
+      else (0 until bands).flatMap(b =>
+        hyperplanes(dim, planesPerBand, seed + b).map(_.map(_.toDouble)))
+    val banded =
+      if (allPlanes.length <= 63) {
+        val mask = (1L << planesPerBand) - 1L
+        val slices = (0 until bands).map { b =>
+          struct(lit(b).as("band"),
+            shiftright(col("__bits"), b * planesPerBand)
+              .bitwiseAND(mask).as("bucket"))
+        }
+        // __bits in its own projection: the fused pass runs ONCE per row —
+        // CollapseProject keeps a non-cheap expression referenced `bands`
+        // times in its own operator rather than inlining it
+        base.select(col("id"), bucketIdPortable(col("emb"), allPlanes).as("__bits"))
+          .select(col("id"), explode(array(slices: _*)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      } else {
+        val bandStructs = (0 until bands).map { b =>
+          val bid = bucketIdPortable(col("emb"),
+            allPlanes.slice(b * planesPerBand, (b + 1) * planesPerBand))
+          struct(lit(b).as("band"), bid.as("bucket"))
+        }
+        base.select(col("id"), explode(array(bandStructs: _*)).as("bk"))
+          .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      }
     val capped = maxBucketSize match {
       case Some(m) =>
         val hot = banded.groupBy("band", "bucket").count()

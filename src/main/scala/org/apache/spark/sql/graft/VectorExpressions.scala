@@ -1,9 +1,9 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expressions for dense float-vector math (SURVEY.md §7.9:
   * embedding similarity). A codegen'd expression keeps the inner loop inside
@@ -95,6 +95,70 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** ALL sign-LSH plane projections of one embedding fused into a single
+  * pass: bit p of the long result is 1 iff the dot product with plane p is
+  * >= 0. Replaces `numPlanes` separate DotProductFD evaluations plus a
+  * when/sum chain (q31/q35 evaluated 48 per row) with one plane-major loop
+  * over a plan-embedded double[][] — same memory traffic as ONE dot per
+  * plane, no per-plane expression dispatch.
+  *
+  * Each per-plane accumulation is sequential ascending-index double — bit-
+  * identical to DotProductFD, so portable-plane sign decisions still replay
+  * exactly in the SQL oracle. Band buckets slice the packed long with
+  * shiftright/&, so multi-band LSH costs one evaluation total.
+  */
+case class SignProjectionBits(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression with ExpectsInputTypes {
+  require(planes.nonEmpty && planes.length <= 63,
+    s"sign_projection_bits supports 1..63 planes, got ${planes.length}")
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_projection_bits"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var bits = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      val n = math.min(x.numElements(), w.length)
+      var dot = 0.0
+      var j = 0
+      while (j < n) { dot += x.getFloat(j).toDouble * w(j); j += 1 }
+      if (dot >= 0.0) bits |= 1L << p
+      p += 1
+    }
+    bits
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("planes", planes, "double[][]")
+      val bits = ctx.freshName("bits")
+      val p = ctx.freshName("p")
+      val w = ctx.freshName("w")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val j = ctx.freshName("j")
+      s"""
+         |long $bits = 0L;
+         |for (int $p = 0; $p < ${planes.length}; $p++) {
+         |  double[] $w = $ref[$p];
+         |  int $n = java.lang.Math.min($a.numElements(), $w.length);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $n; $j++) {
+         |    $dot += ((double) $a.getFloat($j)) * $w[$j];
+         |  }
+         |  if ($dot >= 0.0) $bits |= 1L << $p;
+         |}
+         |${ev.value} = $bits;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }
 
 /** Dot product of a float vector with a DOUBLE vector — the portable-LSH

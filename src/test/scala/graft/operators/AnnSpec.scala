@@ -118,6 +118,32 @@ class AnnSpec extends SparkSpec {
     assert(hits >= top1.size / 4, s"ivf recall@1 hits=$hits of ${top1.size}")
   }
 
+  test("ivfTopK sampled quantizer fit: exhaustive probe still equals brute force") {
+    val queries = emb.filter(col("vec_id") < 20)
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineSim(col("embedding"), col("qemb"))
+          .cast("float").as("sim"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    // force the sampled path (corpus >> maxTrainVectors): centroids differ
+    // but nProbe = nLists is exhaustive, so results must STILL equal brute
+    val full = Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, nLists = 8, nProbe = 8, maxTrainVectors = 200)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    assert(full == brute)
+    // partial probing on sampled centroids still recalls
+    val ann = Ann.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 1, nLists = 8, nProbe = 2, maxTrainVectors = 200)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val top1 = brute.collect { case ((qid, 1), v) => qid -> v }
+    val hits = top1.count { case (qid, v) => ann.get(qid).contains(v) }
+    assert(hits >= top1.size / 4, s"sampled ivf recall@1 hits=$hits of ${top1.size}")
+  }
+
   test("portable planes: deterministic, rational grid, dup detection works") {
     val planes = Ann.portableHyperplanes(64, 6)
     val planes2 = Ann.portableHyperplanes(64, 6)
