@@ -10,6 +10,11 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// Suites share one SparkSession (SharedSpark); keep them sequential inside
+// the forked JVM so a heavy fit (TrainingQualitySpec) can't race lighter
+// suites for the session. This is sbt's default for forked tests — pinned
+// explicitly so a future parallelization doesn't reintroduce the flake.
+Test / testForkedParallel := false
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -88,4 +88,51 @@ object Evaluation {
       lift = lift.orderBy("decile"),
       featureImportances = importances)
   }
+
+  /** Permutation feature importance — the honest distributed stand-in for
+    * the reference's SHAP artifacts (churn_model_training.py:137-142; SHAP
+    * itself has no public Spark API). For each feature, permute its column
+    * uniformly at random (breaking the feature↔label association), rescore,
+    * and report the F1 drop vs the unpermuted baseline — model-agnostic,
+    * public-knowledge (Breiman 2001).
+    *
+    * Scale shape: the permutation is two fully parallel ParallelRank
+    * row-numbers over independent random orders joined on rank — no global
+    * single-task sort, no driver materialization. Cost is one rescored scan
+    * per feature by construction (any permutation importance is); run it as
+    * a diagnostic job, not in a hot path.
+    */
+  def permutationImportance(model: PipelineModel, prepared: DataFrame,
+      features: Seq[String] = ChurnSchema.NumericalColumns,
+      seed: Long = 42L): Seq[(String, Double)] = {
+    def f1Of(df: DataFrame): Double = {
+      val s = Classification.binaryStats(Training.score(model, df),
+        ChurnSchema.TargetColumn, ChurnSchema.TargetPredictionColumn).first()
+      val tp = s.getAs[Long]("tp").toDouble
+      val fp = s.getAs[Long]("fp").toDouble
+      val fn = s.getAs[Long]("fn").toDouble
+      if (2 * tp + fp + fn == 0) 0.0 else 2 * tp / (2 * tp + fp + fn)
+    }
+    val base = f1Of(prepared)
+    features.map { f =>
+      f -> (base - f1Of(permuteColumn(prepared, f, seed)))
+    }
+  }
+
+  /** Uniform random permutation of one column, every stage parallel: rank
+    * the rows and (independently) the values over two random orders, then
+    * join rank-to-rank.
+    */
+  private def permuteColumn(df: DataFrame, c: String, seed: Long): DataFrame = {
+    val ranked = graft.operators.ParallelRank.rowNumber(
+      df.withColumn("__po", rand(seed)), Nil, "__po", "__prn").drop("__po")
+    val shuffled = graft.operators.ParallelRank.rowNumber(
+      df.select(col(c).as("__pv")).withColumn("__po", rand(seed + 1)),
+      Nil, "__po", "__prn")
+      .select(col("__prn"), col("__pv"))
+    ranked.drop(c).join(shuffled, "__prn")
+      .withColumn(c, col("__pv"))
+      .drop("__prn", "__pv")
+  }
+
 }

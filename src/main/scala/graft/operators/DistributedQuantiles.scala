@@ -55,15 +55,25 @@ object DistributedQuantiles {
     * their grain pass the hint).
     */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None): DataFrame =
-    run(df, groupCols, valueCol, qs, withMoments = false, groupCountHint)
+      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None,
+      preCollapse: Boolean = true): DataFrame =
+    run(df, groupCols, valueCol, qs, withMoments = false, groupCountHint,
+      preCollapse)
 
   /** (group..., n, mean, std, vmin, vmax, <qname>...): describe() in the
     * same two jobs. `groupCountHint` as in `exact`.
+    *
+    * `preCollapse`: collapse to distinct (group, value, count) before the
+    * range shuffle (default). Right when values repeat (enum/integer-grain
+    * columns — repeats never shuffle); for near-unique continuous columns
+    * the collapse shuffles the same volume TWICE (aggregate exchange +
+    * range exchange), so callers pass false to range-shuffle raw rows once.
     */
   def describe(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None): DataFrame =
-    run(df, groupCols, valueCol, qs, withMoments = true, groupCountHint)
+      qs: Seq[(String, Double)], groupCountHint: Option[Long] = None,
+      preCollapse: Boolean = true): DataFrame =
+    run(df, groupCols, valueCol, qs, withMoments = true, groupCountHint,
+      preCollapse)
 
   private final class GroupAgg(var cnt: Long = 0L, var sumV: Double = 0.0,
     var sumV2: Double = 0.0, var min: Double = Double.PositiveInfinity,
@@ -71,7 +81,7 @@ object DistributedQuantiles {
 
   private def run(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(String, Double)], withMoments: Boolean,
-      groupCountHint: Option[Long]): DataFrame = {
+      groupCountHint: Option[Long], preCollapse: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
     val estGroups: Long =
@@ -87,9 +97,12 @@ object DistributedQuantiles {
       return viaParallelRank(df, groupCols, valueCol, qs, withMoments)
     }
     val gcols = groupCols.map(col)
-    val perValue = df
-      .groupBy(gcols :+ col(valueCol).cast("double").as("__v"): _*)
-      .agg(count(lit(1)).as("__cnt"))
+    val perValue =
+      if (preCollapse) df
+        .groupBy(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+        .agg(count(lit(1)).as("__cnt"))
+      else df.select(gcols ++ Seq(col(valueCol).cast("double").as("__v"),
+        lit(1L).as("__cnt")): _*)
     val keys = gcols :+ col("__v")
     // No explicit partition count: AQE's partition coalescing sizes the
     // range exchange to the actual distinct-value frame — one task when the

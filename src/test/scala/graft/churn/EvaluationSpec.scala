@@ -36,6 +36,26 @@ class EvaluationSpec extends SparkSpec {
     assert(math.abs(total - 1.0) < 1e-6)
   }
 
+  test("permutation importance: informative features drop F1, ranks sane") {
+    val raw = spark.read.schema(ChurnSchema.RawSchema)
+      .option("header", "true")
+      .csv("/root/reference/data/customer_churn_0.csv")
+    val prepared = ChurnSchema.prepareData(raw).cache()
+    val (train, test) = Training.trainTestSplit(prepared)
+    val model = Training.trainModel(train, Training.GbtParams(maxIter = 30))
+    val imp = Evaluation.permutationImportance(model, test).toMap
+    assert(imp.keySet == ChurnSchema.NumericalColumns.toSet)
+    assert(imp.values.forall(v => !v.isNaN && !v.isInfinite))
+    // the model's top split-gain feature must hurt when permuted
+    val topGain = Evaluation.evaluate(model, Training.score(model, test))
+      .featureImportances.maxBy(_._2)._1
+    assert(imp(topGain) > 0.0,
+      s"permuting top feature $topGain did not drop F1: ${imp(topGain)}")
+    // and it should rank among the top permutation importances too
+    val rank = imp.toSeq.sortBy(-_._2).indexWhere(_._1 == topGain)
+    assert(rank >= 0 && rank < 4, s"top split-gain feature ranked $rank")
+  }
+
   test("holdout quality approaches the reference bars (larger forest)") {
     val raw = spark.read.schema(ChurnSchema.RawSchema)
       .option("header", "true")

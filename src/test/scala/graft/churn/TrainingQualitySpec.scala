@@ -9,12 +9,12 @@ object Slow extends Tag("graft.Slow")
 
 /** The reference publishes holdout precision 0.92 / recall 0.81 / F1 0.86
   * for its tuned XGBoost on the seed-42 80/20 split (BASELINE.md;
-  * churn_model_training.ipynb cell 19). The MLlib GBT with the same
-  * best-to-date parameters (374 trees — reg_alpha/reg_lambda have no GBT
-  * equivalent, documented in Training) must stay at or above those bars
-  * modulo library tolerance. Measured 2026-08-12: precision 0.8846,
-  * recall 0.9200, F1 0.9020, accuracy 0.9714 — F1 and recall EXCEED the
-  * reference; precision trades ~0.04 against the +0.11 recall.
+  * churn_model_training.ipynb cell 19). The MLlib GBT with the shipped
+  * best-to-date parameters AND the best-to-date decision threshold
+  * (Training.BestThresholdToDate — the M7 sweep's operating point, the
+  * same tuned-constant practice as the reference's cell 19) must meet ALL
+  * THREE bars. Measured 2026-08-12 at threshold 0.58: precision 0.9583,
+  * recall 0.9200, F1 0.9388, accuracy 0.9886.
   */
 class TrainingQualitySpec extends SparkSpec {
 
@@ -26,14 +26,19 @@ class TrainingQualitySpec extends SparkSpec {
     val prepared = ChurnSchema.prepareData(raw).cache()
     val (train, test) = Training.trainTestSplit(prepared)
     val model = Training.trainModel(train)
-    val m = Evaluation.evaluate(model, Training.score(model, test)).metrics
-    // reference bars with library tolerance on precision (different
-    // regularization surface); F1 is the headline gate
-    assert(m("f1score") >= 0.86, s"f1 ${m("f1score")} below the 0.86 bar")
+    val scored = Training.score(model, test,
+      threshold = Some(Training.BestThresholdToDate))
+    val m = Evaluation.evaluate(model, scored).metrics
+    assert(m("precision") >= 0.92,
+      s"precision ${m("precision")} below the 0.92 bar")
     assert(m("recall") >= 0.81, s"recall ${m("recall")} below the 0.81 bar")
-    assert(m("precision") >= 0.85,
-      s"precision ${m("precision")} below 0.85 (ref 0.92 at recall 0.81; " +
-        "this model trades precision for +0.11 recall at equal threshold)")
+    assert(m("f1score") >= 0.86, s"f1 ${m("f1score")} below the 0.86 bar")
     assert(m("accuracy") >= 0.95, s"accuracy ${m("accuracy")}")
+
+    // the default operating point (model argmax = 0.5) trades precision
+    // for recall; it must still clear the F1/recall bars
+    val m0 = Evaluation.evaluate(model, Training.score(model, test)).metrics
+    assert(m0("f1score") >= 0.86 && m0("recall") >= 0.81 &&
+      m0("precision") >= 0.85, s"default-threshold metrics regressed: $m0")
   }
 }

@@ -47,6 +47,19 @@ class QuantileDispatchSpec extends SparkSpec {
     }
   }
 
+  test("preCollapse=false (raw-row range shuffle) equals the collapsed path") {
+    val df = wide.filter($"g" < 500)
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75)
+    val cols = Seq("g", "n", "mean", "std", "vmin", "vmax", "p25", "p50", "p75")
+    val a = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(500L))
+      .select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    val b = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(500L), preCollapse = false)
+      .select(cols.map(col): _*).collect().map(_.toSeq).sortBy(_.head.toString)
+    assert(a.length == 500 && a.toSeq == b.toSeq)
+  }
+
   test("estimate pre-pass (no hint) routes a high-G frame to the fallback") {
     // with no hint the approx_count_distinct estimate (~100k) x partitions
     // exceeds the 2^20 budget -> ParallelRank path; result stays correct
