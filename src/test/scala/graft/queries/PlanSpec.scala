@@ -57,4 +57,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema"))
     assert(!p.contains("lang"), "unused documents columns read")
   }
+
+  test("q18: the dedup shuffle carries the 16-byte fingerprint, not text") {
+    val p = plan("q18_exact_dedup")
+    // the fingerprint is computed in a Project BELOW the exchange and the
+    // shuffle keys on it (Catalyst aliases it _groupingexpression)
+    assert(p.contains("md5"), "fingerprint not computed in-plan")
+    assert(p.contains("hashpartitioning(_groupingexpression") ||
+      p.contains("hashpartitioning(fp"),
+      "exchange not keyed on the fingerprint")
+    // partial aggregation collapses repeats before the exchange, and the
+    // raw text column never appears in a shuffle partitioning
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "no map-side partial aggregation")
+    assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
+  }
+
+  test("q35: the fused all-planes projection is evaluated exactly once") {
+    val p = plan("q35_cosine_pairs")
+    val evals = "sign_projection_bits".r.findAllIn(p).length
+    // one evaluation in its own projection (CollapseProject must not inline
+    // it into the 8 band-slice struct expressions)
+    assert(evals == 1, s"sign_projection_bits appears $evals times in the plan")
+  }
+
+  test("q22/q23: similarity query sides broadcast — no cartesian product") {
+    for (q <- Seq("q22_cosine_topk", "q23_knn_join")) {
+      val p = plan(q)
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"$q: query side not broadcast")
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product in plan")
+    }
+  }
+
+  test("q32/q34: as-of and range joins never plan a cartesian product") {
+    for (q <- Seq("q32_asof_join", "q34_range_join")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join")
+    }
+  }
 }
