@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, LongType, StructField, StructType}
+
+/** Token-budget sequence packing (builder brief §LLM-data): group documents
+  * into bins of at most `maxTokens` total tokens — the batch-construction
+  * step of an LLM training pipeline (padding waste is proportional to
+  * unused budget, so tighter packing = cheaper training).
+  *
+  * Algorithm: first-fit-decreasing PER PARTITION. Exact global FFD is
+  * inherently sequential (every placement depends on all earlier ones), so
+  * the scalable form runs FFD independently inside each partition and makes
+  * bin ids globally unique by offsetting with the partition id. Packing
+  * quality is within a whisker of global FFD when partitions hold many
+  * documents (FFD is already an 11/9-OPT heuristic; partitioning costs at
+  * most one under-filled bin per partition), and the whole operator is one
+  * sort-within-partitions plus one mapPartitions — no shuffle beyond an
+  * optional repartition for balance.
+  *
+  * Documents longer than `maxTokens` get a singleton bin (flagged
+  * `oversize` — the caller's chunking problem, not silently dropped).
+  */
+object SequencePacking {
+
+  /** Pack (idCol, tokenCol) into bins: returns one row per bin —
+    * (bin_id, doc_ids array, total_tokens, n_docs, oversize).
+    */
+  def pack(df: DataFrame, idCol: String, tokenCol: String,
+      maxTokens: Long): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val spark = df.sparkSession
+    val narrowed = df.select(col(idCol).cast("long"), col(tokenCol).cast("long"))
+      // descending token count: first-fit-DECREASING inside each partition
+      .sortWithinPartitions(col(tokenCol).cast("long").desc)
+    val packed = narrowed.rdd.mapPartitionsWithIndex { (pid, it) =>
+      // open bins as (remaining, buffer); FFD = place into the first bin
+      // that fits, else open a new one
+      val bins = scala.collection.mutable.ArrayBuffer[
+        (Long, scala.collection.mutable.ArrayBuffer[Long])]()
+      var binTotals = scala.collection.mutable.ArrayBuffer[Long]()
+      it.foreach { r =>
+        val id = r.getLong(0)
+        val tok = r.getLong(1)
+        val fit = bins.indexWhere(_._1 >= tok)
+        if (fit >= 0) {
+          val (rem, buf) = bins(fit)
+          buf += id
+          bins(fit) = (rem - tok, buf)
+          binTotals(fit) += tok
+        } else {
+          // oversize docs open a bin with negative remaining — it can
+          // never fit another doc, i.e. a flagged singleton
+          bins += ((maxTokens - tok, scala.collection.mutable.ArrayBuffer(id)))
+          binTotals += tok
+        }
+      }
+      bins.iterator.zipWithIndex.map { case ((_, buf), i) =>
+        Row(pid.toLong << 32 | i.toLong, buf.toArray.toSeq, binTotals(i),
+          buf.length.toLong, binTotals(i) > maxTokens)
+      }
+    }
+    spark.createDataFrame(packed, StructType(Seq(
+      StructField("bin_id", LongType),
+      StructField("doc_ids", ArrayType(LongType)),
+      StructField("total_tokens", LongType),
+      StructField("n_docs", LongType),
+      StructField("oversize", org.apache.spark.sql.types.BooleanType))))
+  }
+
+  /** Packing efficiency of a `pack` result: used budget / allocated budget
+    * over non-oversize bins (one tiny aggregate).
+    */
+  def efficiency(bins: DataFrame, maxTokens: Long): Double = {
+    val r = bins.filter(!col("oversize"))
+      .agg(sum(col("total_tokens")).as("used"), count(lit(1)).as("nbins"))
+      .first()
+    if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
+    else r.getLong(0).toDouble / (r.getLong(1) * maxTokens)
+  }
+}

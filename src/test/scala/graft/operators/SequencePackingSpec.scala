@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SequencePackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bins respect the budget, cover every doc once, and pack tightly") {
+    val docs = (1L to 1000L).map(i => (i, (i * 37 % 900) + 50)).toDF("doc_id", "n_tokens")
+    val bins = SequencePacking.pack(docs, "doc_id", "n_tokens", maxTokens = 2048L)
+      .cache()
+    val rows = bins.collect()
+    // no non-oversize bin exceeds the budget (and none here is oversize)
+    assert(rows.forall(r => r.getAs[Long]("total_tokens") <= 2048L))
+    assert(rows.forall(r => !r.getAs[Boolean]("oversize")))
+    // every doc packed exactly once
+    val packedIds = rows.flatMap(_.getAs[scala.collection.Seq[Long]]("doc_ids")).sorted
+    assert(packedIds.toSeq == (1L to 1000L))
+    // bin ids unique
+    assert(rows.map(_.getAs[Long]("bin_id")).distinct.length == rows.length)
+    // FFD on ~500-token-average docs into 2048 budgets: efficiency well
+    // above naive one-doc-per-bin
+    val eff = SequencePacking.efficiency(bins, 2048L)
+    assert(eff > 0.8, s"packing efficiency $eff")
+    bins.unpersist()
+  }
+
+  test("oversize documents get flagged singleton bins, never dropped") {
+    val docs = Seq((1L, 5000L), (2L, 100L), (3L, 120L)).toDF("doc_id", "n_tokens")
+    val rows = SequencePacking.pack(docs, "doc_id", "n_tokens", maxTokens = 1024L)
+      .collect()
+    val over = rows.filter(_.getAs[Boolean]("oversize"))
+    assert(over.length == 1 && over.head.getAs[scala.collection.Seq[Long]]("doc_ids").toSeq == Seq(1L))
+    val packedIds = rows.flatMap(_.getAs[scala.collection.Seq[Long]]("doc_ids")).sorted
+    assert(packedIds.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("packs the documents table by its token counts") {
+    val docs = graft.core.Tables(spark, sf("sf0.01")).documents
+      .select($"doc_id", graft.functions.TextAnalysis.tokenCount($"text")
+        .cast("long").as("n_tokens"))
+    val bins = SequencePacking.pack(docs, "doc_id", "n_tokens", maxTokens = 512L)
+    val n = docs.count()
+    assert(bins.agg(sum($"n_docs")).first().getLong(0) == n)
+    assert(bins.filter($"total_tokens" > 512L && !$"oversize").count() == 0L)
+  }
+}
