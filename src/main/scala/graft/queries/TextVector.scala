@@ -412,6 +412,35 @@ object TextVector {
       .orderBy($"da", $"db")
   }
 
+  /** Benchmark decontamination (operators.Decontamination): docs 0..19 play
+    * the eval benchmark, the rest the training corpus; per-doc n-gram
+    * containment + contamination flag. Integer-count ratio — bit-exact
+    * across engines.
+    */
+  private val q37 = QueryDef.sql(
+    "benchmark decontamination: n-gram containment of corpus docs vs docs 0-19")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+      |corp AS (SELECT doc_id, s FROM sh WHERE doc_id >= 20),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1),
+      |hits AS (SELECT c.doc_id, count(b.s) AS n_hits
+      |         FROM corp c LEFT JOIN bench b ON c.s = b.s GROUP BY 1)
+      |SELECT s.doc_id, s.n_shingles, h.n_hits,
+      |  h.n_hits::DOUBLE / s.n_shingles AS containment,
+      |  h.n_hits >= 1 AS contaminated
+      |FROM sizes s JOIN hits h ON s.doc_id = h.doc_id
+      |ORDER BY s.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Decontamination
+    val docs = Tables(s, dir).documentsFanned
+    Decontamination.report(
+      docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
+      "doc_id", "text", "text", n = 3, minHits = 1L)
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -424,6 +453,7 @@ object TextVector {
     "q29_binary_meta" -> q29,
     "q30_multimodal_stub" -> q30,
     "q31_ann_topk" -> q31,
-    "q35_cosine_pairs" -> q35
+    "q35_cosine_pairs" -> q35,
+    "q37_decontamination" -> q37
   )
 }
