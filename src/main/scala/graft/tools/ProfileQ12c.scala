@@ -22,13 +22,14 @@ object ProfileQ12c {
         println(f"  STAGE ${info.stageId}%3d ${info.numTasks}%4d tasks ${dur}%7.2f s  ${info.name.take(60)}")
       }
     }
+    val which = sys.env.getOrElse("GRAFT_PROFILE_QUERY", "q12_summary_stats")
     // warm
-    graft.SparkEntry.queries("q12_summary_stats")(spark, dir).count()
+    graft.SparkEntry.queries(which)(spark, dir).count()
     spark.sparkContext.addSparkListener(listener)
     val t0 = System.nanoTime()
-    graft.SparkEntry.queries("q12_summary_stats")(spark, dir).count()
+    graft.SparkEntry.queries(which)(spark, dir).count()
     Thread.sleep(500)
-    println(f"TOTAL q12 ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    println(f"TOTAL $which ${(System.nanoTime() - t0) / 1e9}%.2f s")
     spark.stop()
   }
 }
