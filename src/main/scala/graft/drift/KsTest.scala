@@ -44,6 +44,10 @@ object KsTest {
       .sortWithinPartitions(col("v"))
       .select(col("c_cur"), col("c_ref"))
     val rdd = sorted.rdd
+    // persisted across the two jobs (see DistributedQuantiles.run: without
+    // it job 2 re-reads the shuffle and re-sorts)
+    rdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val partials = rdd.mapPartitionsWithIndex { (pid, it) =>
       var sc = 0L; var sr = 0L
       it.foreach { r => sc += r.getLong(0); sr += r.getLong(1) }
@@ -73,6 +77,7 @@ object KsTest {
       }
     import spark.implicits._
     Seq((d, nCur, nRef)).toDF("ks_stat", "n_current", "n_reference")
+    } finally { rdd.unpersist(blocking = false); () }
   }
 
   /** KS over pre-binned values: the 100 TB path for continuous columns.
