@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data curation (builder brief
+  * §LLM-data): reproducible subsets keyed on a CONTENT hash rather than a
+  * seeded RNG — re-running the pipeline (any partitioning, any cluster
+  * size, any engine) selects the same rows, which is how production
+  * pipelines keep train/validation membership stable across reruns.
+  *
+  * Two shapes:
+  *  - `hashThreshold`: keep rows whose md5(id) falls below the fraction
+  *    cut of the hash space. ZERO shuffles — a pure filter in the scan —
+  *    so it is the 100 TB default; per-stratum counts are binomial around
+  *    fraction (exact in expectation, not in cardinality).
+  *  - `stratifiedExact`: exactly ceil(fraction × |stratum|) rows per
+  *    stratum — the hash-ORDER smallest ids win. Needs a per-stratum rank
+  *    (ParallelRank.rowNumber — every stage parallel, no one-task-per-
+  *    stratum sort) plus a stratum-size aggregate joined back.
+  */
+object Sampling {
+
+  private def hashKey(idCol: String) = md5(col(idCol).cast("string"))
+
+  /** Shuffle-free deterministic sample: md5's leading 15 hex digits as a
+    * 60-bit integer compared against fraction × 2^60. Engine-portable (the
+    * same rows selected by any md5 implementation).
+    */
+  def hashThreshold(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val cut = (BigDecimal(2).pow(60) * fraction).toLong
+    df.filter(conv(substring(hashKey(idCol), 1, 15), 16, 10).cast("long") < cut)
+  }
+
+  /** Exact stratified sample: per stratum, the ceil(fraction × n) rows with
+    * the smallest content hashes. Deterministic and engine-replayable (the
+    * oracle is a plain window rank over md5 order).
+    */
+  def stratifiedExact(df: DataFrame, strataCols: Seq[String], idCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
+    val keyed = df.withColumn("__sk", hashKey(idCol))
+    val ranked = ParallelRank.rowNumber(keyed, strataCols, "__sk", "__rn")
+    val quotas = df.groupBy(strataCols.map(col): _*)
+      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__quota"))
+    ranked.join(quotas, strataCols)
+      .filter(col("__rn") <= col("__quota"))
+      .select(df.columns.map(col): _*) // original column order (the join
+                                       // fronts the strata key columns)
+  }
+}

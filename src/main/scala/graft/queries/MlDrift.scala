@@ -243,6 +243,30 @@ object MlDrift {
       .orderBy($"event_type")
   }
 
+  /** Deterministic stratified sampling (operators.Sampling.stratifiedExact):
+    * exactly ceil(20% x |stratum|) events per type, membership decided by
+    * content-hash order — reproducible across engines, partitionings and
+    * reruns (the curation property). The oracle replays the same md5-order
+    * window rank.
+    */
+  private val q38 = QueryDef.sql(
+    "deterministic stratified 20% sample of events by type (md5-order quota)")(
+    """WITH ranked AS (
+      |  SELECT event_id, event_type,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY md5(cast(event_id AS VARCHAR))) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS cnt
+      |  FROM events)
+      |SELECT event_id, event_type FROM ranked
+      |WHERE rn <= ceil(0.2 * cnt)
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.Sampling.stratifiedExact(
+      Tables(s, dir).events.select($"event_id", $"event_type"),
+      Seq("event_type"), "event_id", 0.2)
+      .orderBy($"event_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q24_ks_drift" -> q24,
     "q25_chi2_drift" -> q25,
@@ -252,6 +276,7 @@ object MlDrift {
     "q32_asof_join" -> q32,
     "q33_json_extract" -> q33,
     "q34_range_join" -> q34,
-    "q36_json_quantiles" -> q36
+    "q36_json_quantiles" -> q36,
+    "q38_stratified_sample" -> q38
   )
 }
