@@ -250,21 +250,21 @@ object MlDrift {
     * window rank.
     */
   private val q38 = QueryDef.sql(
-    "deterministic stratified 20% sample of events by type (md5-order quota)")(
+    "deterministic stratified 20% sample of documents by lang (md5-order quota)")(
     """WITH ranked AS (
-      |  SELECT event_id, event_type,
-      |    row_number() OVER (PARTITION BY event_type
-      |                       ORDER BY md5(cast(event_id AS VARCHAR))) AS rn,
-      |    count(*) OVER (PARTITION BY event_type) AS cnt
-      |  FROM events)
-      |SELECT event_id, event_type FROM ranked
+      |  SELECT doc_id, lang,
+      |    row_number() OVER (PARTITION BY lang
+      |                       ORDER BY md5(cast(doc_id AS VARCHAR))) AS rn,
+      |    count(*) OVER (PARTITION BY lang) AS cnt
+      |  FROM documents)
+      |SELECT doc_id, lang FROM ranked
       |WHERE rn <= ceil(0.2 * cnt)
-      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     graft.operators.Sampling.stratifiedExact(
-      Tables(s, dir).events.select($"event_id", $"event_type"),
-      Seq("event_type"), "event_id", 0.2)
-      .orderBy($"event_id")
+      Tables(s, dir).documents.select($"doc_id", $"lang"),
+      Seq("lang"), "doc_id", 0.2)
+      .orderBy($"doc_id")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
