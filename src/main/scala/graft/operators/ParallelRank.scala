@@ -32,10 +32,14 @@ object ParallelRank {
 
   private def bucketed(df: DataFrame, groupCols: Seq[String], orderCol: String,
       descending: Boolean): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = if (descending) col(orderCol).desc else col(orderCol).asc
     val keys = groupCols.map(col) :+ ord
-    df.repartitionByRange(parts, keys: _*).withColumn(Pid, spark_partition_id())
+    // No explicit partition count: AQE coalescing sizes the exchange to the
+    // frame (a tiny input runs 1-2 tasks instead of the configured 32).
+    // Every branch reuses the SAME materialized query stage (ReuseExchange /
+    // AQE stage cache, asserted in ParallelRankSpec), so spark_partition_id
+    // stays consistent between the totals and rank branches.
+    df.repartitionByRange(keys: _*).withColumn(Pid, spark_partition_id())
   }
 
   /** Per-(partition, group) totals of `terms`, named __t0..__tN. */
