@@ -147,7 +147,12 @@ object Training {
     } finally { folded.unpersist(); () }
   }
 
-  private def pickThreshold(scored: DataFrame, minPrecision: Double): Double = {
+  /** The selection rule under both tuners, public for direct use on any
+    * scored frame (churn label + churn_probability): max-F1 threshold
+    * subject to precision >= minPrecision, falling back to the highest-
+    * precision point when the constraint is unattainable.
+    */
+  def pickThreshold(scored: DataFrame, minPrecision: Double): Double = {
     val sweep = graft.ml.Classification
       .thresholdSweepAllScores(scored,
         ChurnSchema.TargetColumn, "churn_probability")

@@ -17,6 +17,27 @@ class TrainingSpec extends SparkSpec {
     ChurnSchema.prepareData(raw).cache()
   }
 
+  test("pickThreshold: max-F1 under the precision constraint, with fallback") {
+    val s = spark
+    import s.implicits._
+    // labels + probabilities constructed so precision varies by threshold:
+    // probs .9/.8 are true positives, .7 a false positive, .6 a true
+    // positive, .3/.2 negatives. Thresholds and their stats:
+    //   t=.6: tp=3 fp=1 fn=0 -> P=.75  F1=.857
+    //   t=.7: tp=2 fp=1 fn=1 -> P=.667 F1=.667
+    //   t=.8: tp=2 fp=0 fn=1 -> P=1.0  F1=.8
+    //   t=.9: tp=1 fp=0 fn=2 -> P=1.0  F1=.5
+    val scored = Seq(
+      (1, 0.9), (1, 0.8), (0, 0.7), (1, 0.6), (0, 0.3), (0, 0.2)
+    ).toDF(ChurnSchema.TargetColumn, "churn_probability")
+    // constraint satisfiable: best F1 among P >= 0.9 rows is t=0.8
+    assert(Training.pickThreshold(scored, 0.9) == 0.8)
+    // loose constraint: global F1 argmax t=0.6 qualifies (P=.75 >= .7)
+    assert(Training.pickThreshold(scored, 0.7) == 0.6)
+    // unattainable constraint (>1): falls back to max precision, best F1
+    assert(Training.pickThreshold(scored, 1.1) == 0.8)
+  }
+
   test("stratified folds: balanced sizes and per-class proportions") {
     val folded = Training.stratifiedFolds(prepared, k = 3, seed = 42L)
     val sizes = folded.groupBy("fold").count().collect()
