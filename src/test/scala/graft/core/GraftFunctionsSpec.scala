@@ -69,5 +69,18 @@ class GraftFunctionsSpec extends SparkSpec {
     val opSim = graft.operators.Dedup.simHash(docs, "doc_id", "text")
       .first().getLong(1)
     assert(sqlSim == opSim)
+
+    // portable_sign_bits agrees with the operator-level fused projection
+    val emb = Seq((0L, Array.tabulate(8)(i => (i - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    emb.createOrReplaceTempView("gf_emb")
+    val sqlBits = spark.sql(
+      "SELECT portable_sign_bits(embedding, 5, 8) AS b FROM gf_emb")
+      .first().getLong(0)
+    val opBits = emb.select(graft.operators.Ann.bucketIdPortable(
+      org.apache.spark.sql.functions.col("embedding"),
+      graft.operators.Ann.portableHyperplanes(8, 5)).as("b"))
+      .first().getLong(0)
+    assert(sqlBits == opBits)
   }
 }
