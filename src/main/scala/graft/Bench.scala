@@ -30,17 +30,28 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
+    // Median of `reps` timed runs per query (default 3): a single run on a
+    // shared box carries ±15% interference spikes AND charges the first
+    // sf-specific execution for JIT/page-cache warmup the sf0.001 pass
+    // can't cover; the per-query median measures steady-state cost without
+    // hiding real regressions the way a min would. Set SPARK_GRAFT_REPS=1
+    // for raw single-shot behavior.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop write materializes every output column — count() would let the
-      // optimizer prune the very expressions being measured
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case scala.util.control.NonFatal(e) =>
-          System.err.println(s"BENCH FAIL $name: $e"); false
-        }
-      // -1 sentinel: a crashed query must not read as a fast one
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // noop write materializes every output column — count() would let
+        // the optimizer prune the very expressions being measured
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"BENCH FAIL $name: $e"); false
+          }
+        // -1 sentinel: a crashed query must not read as a fast one
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      }
+      name -> (if (times.exists(_ < 0)) -1.0
+        else times.sorted.apply(times.length / 2))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
