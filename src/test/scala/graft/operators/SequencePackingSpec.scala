@@ -37,6 +37,35 @@ class SequencePackingSpec extends SparkSpec {
     assert(packedIds.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("property: invariants hold for arbitrary corpora and budgets") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val gen = Gen.zip(
+      Gen.chooseNum(64L, 4096L),
+      Gen.listOfN(60, Gen.chooseNum(1L, 6000L)))
+    (0 until 12).foreach { i =>
+      val (budget, toks) = gen.apply(Gen.Parameters.default, Seed(i.toLong)).get
+      val docs = toks.zipWithIndex.map { case (t, id) => (id.toLong, t) }
+        .toDF("doc_id", "n_tokens").repartition(1 + i % 5)
+      val rows = SequencePacking.pack(docs, "doc_id", "n_tokens", budget).collect()
+      // every doc exactly once
+      val packed = rows.flatMap(_.getAs[scala.collection.Seq[Long]]("doc_ids"))
+      assert(packed.sorted.toSeq == toks.indices.map(_.toLong),
+        s"seed $i: coverage broken")
+      // every non-oversize bin respects the budget; oversize = singleton
+      rows.foreach { r =>
+        if (r.getAs[Boolean]("oversize"))
+          assert(r.getAs[Long]("n_docs") == 1L, s"seed $i: oversize not singleton")
+        else assert(r.getAs[Long]("total_tokens") <= budget, s"seed $i: over budget")
+      }
+      // totals conserve
+      assert(rows.map(_.getAs[Long]("total_tokens")).sum == toks.sum,
+        s"seed $i: token mass lost")
+      // bin ids unique
+      assert(rows.map(_.getAs[Long]("bin_id")).distinct.length == rows.length)
+    }
+  }
+
   test("packs the documents table by its token counts") {
     val docs = graft.core.Tables(spark, sf("sf0.01")).documents
       .select($"doc_id", graft.functions.TextAnalysis.tokenCount($"text")
