@@ -39,7 +39,11 @@ class LayoutSpec extends SparkSpec {
     // one envelope's range must read far fewer rows than the full table
     val (lo, hi) = envelopes.head
     val pruned = spark.read.parquet(dir).filter($"k" >= lo && $"k" <= hi)
-    assert(pruned.count() >= 20000 / 8 - 100)
+    // one file's worth of rows, not the table: the range sampler balances
+    // within a few percent, not to the row (seen 2368 vs ideal 2500 when
+    // suite ordering shifted the sampler's RDD-id-derived seed)
+    val n = pruned.count()
+    assert(n >= 20000 / 16 && n <= 20000 / 4, s"pruned scan read $n rows")
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(k), GreaterThanOrEqual(k,"),
       s"filters not pushed:\n$plan")
