@@ -298,6 +298,10 @@ object Relational {
       // distinct (col, value) counts map-side, one range shuffle, two
       // light jobs; moments come from the same job-1 partials.
       val li = Tables(s, dir).lineitem
+      // stack() is a Generator without GenerateExec codegen, but replacing
+      // the melt with a codegen'd explode(array(struct...)) measured
+      // neutral (1.96 vs 1.98 s at sf0.1) — the generator is not the
+      // bottleneck here; keep the simpler form
       val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
       val melted = li
         .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
