@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+
+/** Warehouse-analytics operator surface added round 5: gap sessionization,
+  * multi-level rollup aggregation, frame-based rolling windows (moving
+  * sum/avg + lag deltas), and wide pivot. These are the operator classes a
+  * metric-store consumer (SURVEY.md §2.5's Grafana dashboard SQLs) reaches
+  * for next after latest-per-key and plain time series — and none of them
+  * were previously under the oracle gate.
+  *
+  * Scale notes common to the file: every window here is partitioned by a
+  * real key or fed by a calendar-grain pre-aggregate (bounded rows per
+  * partition); rollup/pivot are single grouped aggregates (pivot with an
+  * explicit value list — no driver-side distinct pre-pass); all time math is
+  * exact integer microseconds.
+  */
+object Analytics {
+
+  /** Gap-based sessionization over the events stream: 30-minute inactivity
+    * splits a user's events into sessions; per-user session stats. All
+    * outputs are exact integers, so the oracle replay is bit-deterministic.
+    */
+  private val q39 = QueryDef.sql(
+    "gap sessionization (30 min) of events; per-user session stats")(
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS tus,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id
+      |                            ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tus,
+      |    sum(CASE WHEN prev IS NULL OR tus - prev > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY tus, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, session_id, count(*) AS n_ev,
+      |    max(tus) - min(tus) AS dur_us
+      |  FROM s GROUP BY 1, 2)
+      |SELECT user_id,
+      |  count(*) AS n_sessions,
+      |  cast(sum(n_ev) AS BIGINT) AS n_events,
+      |  max(dur_us) AS longest_session_us,
+      |  cast(sum(dur_us) AS BIGINT) AS total_session_us
+      |FROM g GROUP BY user_id
+      |ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.Sessionize.stats(
+      Tables(s, dir).events, Seq("user_id"), "ts", "event_id",
+      gapMicros = 1800000000L)
+      .orderBy($"user_id")
+  }
+
+  /** ROLLUP multi-level aggregate: revenue at (region, nation), per-region
+    * subtotal, and grand total in one pass — Spark plans one Expand +
+    * hash aggregate, not three scans. Dimensions ride broadcast joins.
+    * NULLS FIRST is pinned on both sides (Spark's asc default vs DuckDB's
+    * NULLS LAST default would otherwise order the subtotal rows
+    * differently).
+    */
+  private val q40 = QueryDef.sql(
+    "rollup: order revenue by region/nation with subtotals + grand total")(
+    """SELECT r_name, n_name,
+      |  cast(sum(o_totalprice) AS REAL) AS revenue,
+      |  count(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.orders
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey")
+      .rollup($"r_name", $"n_name")
+      .agg(
+        sum($"o_totalprice").cast("float").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+  }
+
+  /** Frame-based rolling windows over a calendar-grain pre-aggregate: daily
+    * event counts per type, then a 7-row moving sum/avg and a day-over-day
+    * lag delta. The window input is days x types (bounded regardless of raw
+    * row count), so the per-type sort is safe at any scale; all window
+    * arithmetic is exact-integer (the avg is an exact-int ratio, identical
+    * across engines).
+    */
+  private val q41 = QueryDef.sql(
+    "rolling 7-day window + day-over-day delta of daily event counts")(
+    """WITH d AS (
+      |  SELECT event_type, cast(date_trunc('day', ts) AS DATE) AS day,
+      |    count(*) AS n
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type, day, n,
+      |  cast(sum(n) OVER w7 AS BIGINT) AS roll7_sum,
+      |  avg(n) OVER w7 AS roll7_avg,
+      |  n - lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS dod_delta
+      |FROM d
+      |WINDOW w7 AS (PARTITION BY event_type ORDER BY day
+      |              ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_type, day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy($"event_type", to_date(date_trunc("day", $"ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy($"event_type").orderBy($"day")
+    val w7 = w.rowsBetween(-6, 0)
+    daily.select($"event_type", $"day", $"n",
+        sum($"n").over(w7).as("roll7_sum"),
+        avg($"n").over(w7).as("roll7_avg"),
+        ($"n" - lag($"n", 1).over(w)).as("dod_delta"))
+      .orderBy($"event_type", $"day")
+  }
+
+  /** Wide pivot: per-user activity profile, one (count, value-sum) column
+    * pair per event type. The value list is explicit — at 100 TB the
+    * implicit form's distinct-values pre-pass is a full extra scan plus a
+    * driver round-trip; a declared taxonomy keeps pivot a single grouped
+    * aggregate.
+    */
+  private val q42 = {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val oracleCols = types.flatMap { t =>
+      Seq(
+        s"  cast(sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS ${t}_n",
+        s"  cast(sum(CASE WHEN event_type = '$t' THEN value END) AS REAL) AS ${t}_value")
+    }.mkString(",\n")
+    QueryDef.sql(
+      "pivot events to a wide per-user activity profile")(
+      s"""SELECT user_id,
+         |$oracleCols
+         |FROM events GROUP BY user_id
+         |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val p = Tables(s, dir).events
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(
+          count(lit(1)).as("n"),
+          sum($"value").cast("float").as("value"))
+      // pivot emits NULL for an absent (user, type) cell; the oracle's
+      // CASE-sum count emits 0 — align the counts (the value sums are NULL
+      // on both sides over an empty cell)
+      val aligned = $"user_id" +: types.flatMap(t => Seq(
+        coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        col(s"${t}_value")))
+      p.select(aligned: _*).orderBy($"user_id")
+    }
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q39_sessionization" -> q39,
+    "q40_rollup_revenue" -> q40,
+    "q41_rolling_windows" -> q41,
+    "q42_pivot_wide" -> q42
+  )
+}
