@@ -24,9 +24,14 @@ object Bench {
     // JIT/codegen warm-up: run the full query surface once at the smallest
     // SF so measured timings reflect steady-state execution, not first-call
     // Janino compilation (cold-vs-warm measured 5.0s vs 1.1s on q19).
+    // SPARK_GRAFT_ONLY=q12_...,q36_... restricts the run (A/B profiling);
+    // default — and what the driver measures — is every declared query.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.values.foreach { fn =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case scala.util.control.NonFatal(_) => () }
       }
@@ -37,7 +42,7 @@ object Bench {
     // hiding real regressions the way a min would. Set SPARK_GRAFT_REPS=1
     // for raw single-shot behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // noop write materializes every output column — count() would let

@@ -47,21 +47,40 @@ object DistributedQuantiles {
     */
   val DriverPartialsBudget: Long = 1L << 20
 
+  /** Upper bound on distinct (group, value) pairs for the driver-histogram
+    * fast path (`distinctValueHint`): one map-side-combine aggregate, the
+    * collapsed histogram collected, order statistics computed on the driver.
+    * No range shuffle, no boundary-sampling job, no second pass — the right
+    * plan for bounded value grids (enum/integer/currency-grain columns),
+    * where the histogram is small NO MATTER the row count. 128k pairs ≈ a
+    * few MB of driver rows.
+    */
+  val SmallHistogramBudget: Long = 1L << 17
+
   /** (group..., <qname>...) exact interpolated quantiles.
     *
     * `groupCountHint`: expected number of distinct groups. When absent, a
     * one-column `approx_count_distinct` pre-pass estimates it (cheap —
     * map-side partials only — but it is an extra scan; callers that know
     * their grain pass the hint).
+    *
+    * `distinctValueHint`: expected number of distinct (group, value) pairs.
+    * When the caller knows the value column lives on a bounded grid (an
+    * enum code, an integer score, a currency amount with fixed decimals),
+    * pass it: at or under `SmallHistogramBudget` the whole computation is
+    * one aggregate job (see there). Like `groupCountHint` this is a plan
+    * hint, never a semantic change — results are identical either way
+    * (QuantileDispatchSpec asserts it).
     */
   def exact(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(String, Double)], groupCountHint: Option[Long] = None,
-      preCollapse: Boolean = true): DataFrame =
+      preCollapse: Boolean = true,
+      distinctValueHint: Option[Long] = None): DataFrame =
     run(df, groupCols, valueCol, qs, withMoments = false, groupCountHint,
-      preCollapse)
+      preCollapse, distinctValueHint)
 
   /** (group..., n, mean, std, vmin, vmax, <qname>...): describe() in the
-    * same two jobs. `groupCountHint` as in `exact`.
+    * same two jobs. `groupCountHint`/`distinctValueHint` as in `exact`.
     *
     * `preCollapse`: collapse to distinct (group, value, count) before the
     * range shuffle (default). Right when values repeat (enum/integer-grain
@@ -71,9 +90,10 @@ object DistributedQuantiles {
     */
   def describe(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(String, Double)], groupCountHint: Option[Long] = None,
-      preCollapse: Boolean = true): DataFrame =
+      preCollapse: Boolean = true,
+      distinctValueHint: Option[Long] = None): DataFrame =
     run(df, groupCols, valueCol, qs, withMoments = true, groupCountHint,
-      preCollapse)
+      preCollapse, distinctValueHint)
 
   private final class GroupAgg(var cnt: Long = 0L, var sumV: Double = 0.0,
     var sumV2: Double = 0.0, var min: Double = Double.PositiveInfinity,
@@ -81,9 +101,16 @@ object DistributedQuantiles {
 
   private def run(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(String, Double)], withMoments: Boolean,
-      groupCountHint: Option[Long], preCollapse: Boolean = true): DataFrame = {
+      groupCountHint: Option[Long], preCollapse: Boolean = true,
+      distinctValueHint: Option[Long] = None): DataFrame = {
     val spark = df.sparkSession
     val parts = spark.sessionState.conf.numShufflePartitions
+    if (distinctValueHint.exists(_ <= SmallHistogramBudget)) {
+      log.info(s"DistributedQuantiles: ~${distinctValueHint.get} distinct " +
+        "(group, value) pairs within histogram budget; computing order " +
+        "statistics from the collapsed histogram on the driver (one job)")
+      return viaDriverHistogram(df, groupCols, valueCol, qs, withMoments)
+    }
     val estGroups: Long =
       if (groupCols.isEmpty) 1L
       else groupCountHint.getOrElse {
@@ -223,6 +250,68 @@ object DistributedQuantiles {
         qs.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(outRows.asJava, schema)
     } finally { rdd.unpersist(blocking = false); () }
+  }
+
+  /** Bounded-grid path: collapse to distinct (group, value, count) with one
+    * map-side-combine aggregate, collect the (small by declaration)
+    * histogram, and walk it on the driver. Quantile arithmetic is the exact
+    * same rank/weight formula as the two-job path — `v_lo*(1-frac) +
+    * v_hi*frac` on exact doubles — and moments accumulate in ascending value
+    * order (the single-partition case of the distributed accumulation), so
+    * both paths agree bit-for-bit on quantiles/min/max/n and to the usual
+    * summation-order ulp on mean/std (absorbed by the float32 metric casts).
+    */
+  private def viaDriverHistogram(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(String, Double)],
+      withMoments: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val gcols = groupCols.map(col)
+    val perValue = df
+      .groupBy(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val g = groupCols.length
+    val collected = perValue.collect()
+    val byKey = collected.groupBy(r => (0 until g).map(r.get): Seq[Any])
+    val outRows = byKey.toSeq.map { case (k, arr) =>
+      val hist = arr.map(r => (r.getDouble(g), r.getLong(g + 1)))
+        .sortBy(_._1)
+      val n = hist.iterator.map(_._2).sum
+      def valueAtRank(rank: Long): Double = {
+        var cum = 0L
+        var i = 0
+        while (i < hist.length) {
+          cum += hist(i)._2
+          if (cum >= rank) return hist(i)._1
+          i += 1
+        }
+        hist.last._1
+      }
+      val quantiles = qs.map { case (_, q) =>
+        val kk = (n - 1).toDouble * q
+        val frac = kk - math.floor(kk)
+        val lo = valueAtRank((math.floor(kk) + 1).toLong)
+        val hi = valueAtRank((math.ceil(kk) + 1).toLong)
+        lo * (1.0 - frac) + hi * frac
+      }
+      val moments: Seq[Any] = if (!withMoments) Nil else {
+        var sumV = 0.0; var sumV2 = 0.0
+        hist.foreach { case (v, c) => sumV += v * c; sumV2 += v * v * c }
+        val mean = sumV / n
+        val std =
+          if (n < 2) Double.NaN
+          else math.sqrt(math.max(0.0, (sumV2 - sumV * sumV / n) / (n - 1)))
+        Seq[Any](n, mean, std, hist.head._1, hist.last._1)
+      }
+      Row.fromSeq(k ++ moments ++ quantiles)
+    }
+    val momentFields = if (!withMoments) Nil else Seq(
+      StructField("n", LongType), StructField("mean", DoubleType),
+      StructField("std", DoubleType), StructField("vmin", DoubleType),
+      StructField("vmax", DoubleType))
+    val schema = StructType(
+      groupCols.map(c => perValue.schema(c)) ++ momentFields ++
+        qs.map { case (name, _) => StructField(name, DoubleType) })
+    spark.createDataFrame(outRows.asJava, schema)
   }
 
   /** High-group-cardinality path: quantiles from `ParallelRank.quantiles`

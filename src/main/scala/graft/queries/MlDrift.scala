@@ -236,8 +236,11 @@ object MlDrift {
     graft.operators.DistributedQuantiles
       .exact(typed, Seq("event_type"), "k",
         Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
-        // event taxonomy is enum-grain (bounded set of type names)
-        groupCountHint = Some(100L))
+        // event taxonomy is enum-grain (bounded set of type names) and k is
+        // a bounded integer score: the whole (type, k) histogram is tiny at
+        // any row count — driver-histogram fast path
+        groupCountHint = Some(100L),
+        distinctValueHint = Some(10000L))
       .select($"event_type", $"p25".cast("float").as("p25"),
         $"p50".cast("float").as("p50"), $"p75".cast("float").as("p75"))
       .orderBy($"event_type")

@@ -296,7 +296,10 @@ object Relational {
       // OOM) and not Window.partitionBy(col_name).orderBy(v) (exactly ONE
       // sort task per column, any cluster size). The melt collapses to
       // distinct (col, value) counts map-side, one range shuffle, two
-      // light jobs; moments come from the same job-1 partials.
+      // light jobs; moments come from the same job-1 partials. A grid/
+      // continuous column split (bounded columns via the driver-histogram
+      // fast path, price via the two-job path) measured neutral at sf0.1
+      // (1.90 vs 1.94 s, two scans vs one) — keep the single melt.
       val li = Tables(s, dir).lineitem
       // stack() is a Generator without GenerateExec codegen, but replacing
       // the melt with a codegen'd explode(array(struct...)) measured

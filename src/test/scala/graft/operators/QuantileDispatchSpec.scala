@@ -60,6 +60,40 @@ class QuantileDispatchSpec extends SparkSpec {
     assert(a.length == 500 && a.toSeq == b.toSeq)
   }
 
+  test("driver-histogram path (distinctValueHint) equals the two-job path") {
+    // v lives on a 1000-value grid: the bounded-grid shape the hint declares
+    val df = wide.filter($"g" < 50)
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75)
+    val cols = Seq("g", "n", "mean", "std", "vmin", "vmax", "p25", "p50", "p75")
+    val twoJob = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(50L))
+      .select(cols.map(col): _*).collect().sortBy(_.getLong(0))
+    val hist = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(50L), distinctValueHint = Some(50L * 1000L))
+      .select(cols.map(col): _*).collect().sortBy(_.getLong(0))
+    assert(twoJob.length == 50 && hist.length == 50)
+    twoJob.zip(hist).foreach { case (x, y) =>
+      // n/min/max/quantiles bit-equal (identical rank/weight arithmetic);
+      // mean/std to summation-order ulp
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+      assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-9)
+      assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9 ||
+        (x.getDouble(3).isNaN && y.getDouble(3).isNaN))
+      (4 to 8).foreach(i =>
+        assert(x.getDouble(i) == y.getDouble(i), s"col $i at g=${x.getLong(0)}"))
+    }
+  }
+
+  test("a distinctValueHint over the histogram budget falls through") {
+    // hint > SmallHistogramBudget must take the normal path, not collect
+    val got = DistributedQuantiles.exact(
+      wide.filter($"g" === 0L), Seq("g"), "v", Seq("p50" -> 0.5),
+      groupCountHint = Some(1L),
+      distinctValueHint = Some(DistributedQuantiles.SmallHistogramBudget + 1))
+      .as[(Long, Double)].collect()
+    assert(got.length == 1)
+  }
+
   test("estimate pre-pass (no hint) routes a high-G frame to the fallback") {
     // with no hint the approx_count_distinct estimate (~100k) x partitions
     // exceeds the 2^20 budget -> ParallelRank path; result stays correct
