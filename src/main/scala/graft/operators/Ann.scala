@@ -133,8 +133,42 @@ object Ann {
         math.min(1.0, maxTrainVectors * 1.2 / n), seed).limit(maxTrainVectors)
     val model = new KMeans().setK(nLists).setSeed(seed).setFeaturesCol("features")
       .fit(train)
-    val centroids: Seq[Array[Double]] = model.clusterCenters.toSeq.map(_.toArray)
+    ivfProbe(data, queries, idCol, embCol, k, nProbe,
+      model.clusterCenters.toSeq.map(_.toArray))
+  }
 
+  /** PORTABLE centroids for the IVF probe path: component (c, j) derives
+    * from md5("centroid_c_j") on the same exact rational grid as
+    * `portableHyperplanes`. Not data-adapted (that is `ivfTopK`'s k-means
+    * fit, covered by AnnSpec's recall anchor) — these exist so the probe
+    * machinery (argmin cell assignment, nProbe expansion, cell equi-join,
+    * exact re-score) is replayable bit-for-bit by an external SQL oracle
+    * (q43).
+    */
+  def portableCentroids(dim: Int, nLists: Int): Seq[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(nLists) { c =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"centroid_${c}_$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString.substring(0, 15)
+        val h = java.lang.Long.parseLong(hex, 16)
+        ((h % 2001L) - 1000L).toDouble / 1000.0
+      }
+    }
+  }
+
+  /** The IVF probe against a FIXED centroid set — everything after the
+    * quantizer fit. Centroids ride the plan as literals; cell assignment is
+    * a codegen'd argmin over `centroids.length` fused dot products; probing
+    * explodes each query into its `nProbe` nearest cells and equi-joins.
+    * Distance arithmetic (float-promoted dot, sequentially accumulated,
+    * `dot * -2 + |c|^2`) is exactly what a SQL engine computes over the
+    * same numbers, so cell assignment is engine-portable.
+    */
+  def ivfProbe(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nProbe: Int, centroids: Seq[Array[Double]]): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe $nProbe not in [1, ${centroids.length}]")
     // squared distance to centroid c: |v|^2 - 2 v.c + |c|^2; |v|^2 is
     // constant per row, so argmin needs only -2 v.c + |c|^2
     def dist2(emb: Column, c: Array[Double]): Column = {

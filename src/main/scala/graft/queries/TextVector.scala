@@ -364,6 +364,60 @@ object TextVector {
       .orderBy($"qid", $"rn")
   }
 
+  /** IVF ANN probe path (operators.Ann.ivfProbe) under the oracle gate:
+    * cell assignment = argmin of squared distance over 8 PORTABLE
+    * md5-derived centroids (same exact-rational grid as q31's planes — the
+    * k-means-fitted variant is AnnSpec's recall anchor), each query probes
+    * its 2 nearest cells, exact cosine re-score, top-3. The oracle replays
+    * centroid derivation, the `dot * -2 + |c|^2` distance, the (d, cell)
+    * tie-broken argmin and the probe expansion bit-exactly in SQL.
+    */
+  private val q43 = QueryDef.sql(
+    "IVF ANN probe: portable centroids, nProbe=2, top-3 for 10 queries")(
+    """WITH cj AS (SELECT c.c AS c, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS c) c
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT c, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('centroid_' || c || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM cj),
+      |cents AS (SELECT c, list(wv ORDER BY j) AS cl FROM w GROUP BY c),
+      |cents2 AS (SELECT c, cl,
+      |    list_sum(list_transform(cl, x -> x * x)) AS c2 FROM cents),
+      |d AS (SELECT e.vec_id, ct.c,
+      |    list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * ct.cl[j])) * -2.0 + ct.c2 AS d
+      |  FROM embeddings e CROSS JOIN cents2 ct),
+      |assign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d) WHERE rn = 1),
+      |probe AS (SELECT vec_id AS qid, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d WHERE vec_id < 10) WHERE rn <= 2),
+      |scored AS (SELECT p.qid, a.vec_id,
+      |    cast(list_cosine_similarity(
+      |      list_transform(e2.embedding, x -> x::DOUBLE),
+      |      list_transform(q2.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |  FROM probe p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+      |  JOIN embeddings q2 ON q2.vec_id = p.qid
+      |  JOIN embeddings e2 ON e2.vec_id = a.vec_id)
+      |SELECT qid, vec_id, sim, rn FROM (
+      |  SELECT qid, vec_id, sim,
+      |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |  FROM scored) WHERE rn <= 3
+      |ORDER BY qid, rn""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Ann
+    val emb = Tables(s, dir).embeddingsFanned
+    Ann.ivfProbe(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
+      k = 3, nProbe = 2, centroids = Ann.portableCentroids(dim = 64, nLists = 8))
+      .orderBy($"qid", $"rn")
+  }
+
   /** Embedding-cosine near-neighbor pairs (sim >= 0.35) via multi-band
     * portable sign-LSH — the vector-space member of the dedup family
     * (operators.Ann.cosineNearDupPairs). Candidates from 8 bands of 6
@@ -454,6 +508,7 @@ object TextVector {
     "q30_multimodal_stub" -> q30,
     "q31_ann_topk" -> q31,
     "q35_cosine_pairs" -> q35,
-    "q37_decontamination" -> q37
+    "q37_decontamination" -> q37,
+    "q43_ivf_ann" -> q43
   )
 }
