@@ -112,6 +112,36 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(text.cast("binary"))
 
+  // --- Repetition quality (Gopher-style filters) -----------------------
+
+  /** Distinct-word share of the document: |distinct tokens| / |tokens|.
+    * Low values mean the document keeps repeating the same words — the
+    * classic boilerplate / SEO-spam signal of LLM-corpus quality filtering.
+    */
+  def distinctWordRatio(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("double") / tokenCount(text)
+
+  /** Frequency of the single most-common token (native one-pass kernel). */
+  def maxTokenFreq(text: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, MaxTokenFreq}
+    Bridge.column(MaxTokenFreq(Bridge.expression(text)))
+  }
+
+  /** Share of the document taken by its most-common word. */
+  def topWordRatio(text: Column): Column =
+    maxTokenFreq(text).cast("double") / tokenCount(text)
+
+  /** Share of word bigrams that are repeats of an earlier bigram in the same
+    * document: 1 - |distinct bigrams| / (n_tokens - 1). Zero for documents
+    * of fewer than 3 tokens (0 or 1 bigram can't repeat).
+    */
+  def dupBigramFraction(text: Column): Column = {
+    val total = tokenCount(text) - lit(1)
+    when(total <= 1, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(wordShingles(text, 2)).cast("double") / total.cast("double"))
+  }
+
   /** Polynomial rolling hash of the text (base 31, mod 1e9+7) via the
     * higher-order aggregate — a seedless, portable alternative fingerprint
     * usable where a numeric key is wanted. Codegen-friendly (no UDF).

@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.{Redaction, TextAnalysis}
+import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank}
+
+/** Corpus-curation operator surface (round 5): near-dup CLUSTERING (the
+  * step after pair generation), Gopher-style repetition quality filters,
+  * BM25 retrieval, PII scrubbing, corpus n-gram statistics and the
+  * deterministic global shuffle that materializes a training order.
+  *
+  * Scale notes: every per-row feature is a codegen'd kernel over one scan;
+  * the cluster step shuffles only (long, long) labels; BM25's corpus stats
+  * are a single broadcast row; the global shuffle is a range exchange
+  * (ParallelRank), never a single-task sort.
+  */
+object Curation {
+
+  /** Near-dup cluster assignment: MinHash-LSH pairs (q20 semantics,
+    * exact-verified at j >= 0.9) grouped into connected components;
+    * component = min doc_id, plus cluster size. The oracle replays the
+    * exact pair pipeline and closes it transitively with a recursive CTE.
+    */
+  private val q44 = QueryDef.sql(
+    "near-dup clusters: connected components over LSH pairs (j >= 0.9)")(
+    """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |p0 AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |nd AS (
+      |  SELECT da, db FROM p0 JOIN sizes na ON p0.da = na.doc_id
+      |                        JOIN sizes nb ON p0.db = nb.doc_id
+      |  WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9),
+      |edges AS (SELECT da AS src, db AS dst FROM nd
+      |          UNION SELECT db AS src, da AS dst FROM nd),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, w.r FROM edges e JOIN reach w ON e.dst = w.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+      |SELECT id AS doc_id, component,
+      |  count(*) OVER (PARTITION BY component) AS csize
+      |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pairs = Dedup.minHashNearDups(Tables(s, dir).documentsFanned,
+        "doc_id", "text", n = 3, minJaccard = 0.9)
+      .select($"da", $"db")
+    ConnectedComponents.clusters(pairs)
+      .select($"id".as("doc_id"), $"component", $"csize")
+      .orderBy($"doc_id")
+  }
+
+  /** Gopher-style repetition quality filters: distinct-word share, share of
+    * the top word, duplicate-bigram share, and the resulting keep/drop flag.
+    */
+  private val q45 = QueryDef.sql(
+    "repetition quality filters (distinct-word/top-word/dup-bigram shares)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b2 AS (SELECT doc_id, count(DISTINCT t[i] || ' ' || t[i+1]) AS nb2
+      |  FROM (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM tok)
+      |  GROUP BY doc_id),
+      |f AS (SELECT tok.doc_id, len(t) AS n_tokens,
+      |    len(list_distinct(t)) AS nd,
+      |    list_max(list_transform(list_distinct(t),
+      |      x -> len(list_filter(t, y -> y = x)))) AS maxf,
+      |    coalesce(nb2, 0) AS nb2
+      |  FROM tok LEFT JOIN b2 ON tok.doc_id = b2.doc_id),
+      |r AS (SELECT doc_id, n_tokens,
+      |    nd::DOUBLE / n_tokens AS distinct_ratio,
+      |    maxf::DOUBLE / n_tokens AS top_word_ratio,
+      |    CASE WHEN n_tokens - 1 <= 1 THEN 0.0
+      |         ELSE 1.0 - nb2::DOUBLE / (n_tokens - 1)::DOUBLE END AS dup_bigram_frac
+      |  FROM f)
+      |SELECT doc_id, n_tokens, distinct_ratio, top_word_ratio, dup_bigram_frac,
+      |  CASE WHEN top_word_ratio > 0.08 OR dup_bigram_frac > 0.6
+      |       THEN 1 ELSE 0 END AS is_repetitive
+      |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documentsFanned.select(
+        $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+        TextAnalysis.distinctWordRatio($"text").as("distinct_ratio"),
+        TextAnalysis.topWordRatio($"text").as("top_word_ratio"),
+        TextAnalysis.dupBigramFraction($"text").as("dup_bigram_frac"))
+      .withColumn("is_repetitive",
+        ($"top_word_ratio" > 0.08 || $"dup_bigram_frac" > 0.6).cast("int"))
+      .orderBy($"doc_id")
+  }
+
+  /** Query terms for the BM25 gate query (corpus vocabulary words). */
+  private val Bm25Terms = Seq("spark", "vector")
+
+  /** BM25 top-20 retrieval. Rational idf (see Bm25) keeps every op IEEE
+    * +,*,/ so the score doubles are bit-identical to the SQL replay.
+    */
+  private val q46 = QueryDef.sql(
+    "BM25 top-20 keyword retrieval (rational idf, one-scan tf kernels)")(
+    """WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sumdl,
+      |    count(*) FILTER (WHERE tf0 > 0) AS df0,
+      |    count(*) FILTER (WHERE tf1 > 0) AS df1
+      |  FROM f),
+      |sc AS (SELECT doc_id, dl,
+      |    (n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)
+      |      * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |      (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |        + 0.75::DOUBLE * (dl::DOUBLE / (sumdl::DOUBLE / n))))
+      |  + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)
+      |      * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |      (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |        + 0.75::DOUBLE * (dl::DOUBLE / (sumdl::DOUBLE / n))))
+      |    AS score
+      |  FROM f, st)
+      |SELECT doc_id, dl, score FROM sc
+      |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+    Bm25.topK(Tables(s, dir).documents, "doc_id", "text", Bm25Terms, k = 20)
+  }
+
+  /** PII scrubbing over the event stream's JSON props: digit runs redacted
+    * to <NUM>, per-event-type redaction accounting.
+    */
+  private val q47 = QueryDef.sql(
+    "PII scrub: digit-run redaction over event props, per-type accounting")(
+    """SELECT event_type, count(*) AS n_events,
+      |  sum(len(regexp_extract_all(props, '[0-9]+')))::BIGINT AS total_redactions,
+      |  count(DISTINCT regexp_replace(props, '[0-9]+', '<NUM>', 'g')) AS distinct_redacted
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).events
+      .select($"event_type", $"props",
+        Redaction.redactionCount($"props", Seq(Redaction.NumberPattern)).as("nred"),
+        Redaction.scrub($"props", Seq(Redaction.NumberPattern -> "<NUM>")).as("red"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum($"nred").as("total_redactions"),
+        countDistinct($"red").as("distinct_redacted"))
+      .orderBy($"event_type")
+  }
+
+  /** Corpus-wide bigram document frequencies, top 20. The shingle kernel is
+    * distinct-per-doc, so the count is df; partial aggregation collapses
+    * each map task to its local bigram counts before the one shuffle.
+    */
+  private val q48 = QueryDef.sql(
+    "corpus top-20 bigrams by document frequency")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM idx)
+      |SELECT s AS bigram, count(*) AS df FROM sh
+      |GROUP BY 1 ORDER BY df DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documentsFanned
+      .select(explode(TextAnalysis.wordShingles($"text", 2)).as("bigram"))
+      .groupBy($"bigram").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"bigram")
+      .limit(20)
+  }
+
+  /** Deterministic global training shuffle: every document ranked by its
+    * content-independent md5 key (seedless, replayable) and dealt into 8
+    * shards — the materialize-a-training-order step. The rank is a range
+    * exchange + local row_number (ParallelRank), never one sorting task.
+    */
+  private val q49 = QueryDef.sql(
+    "deterministic global shuffle: md5-order rank + 8-way shard assignment")(
+    """SELECT doc_id, skey, rn AS shuffle_rank, (rn - 1) % 8 AS shard FROM (
+      |  SELECT doc_id, md5(doc_id::VARCHAR) AS skey,
+      |    row_number() OVER (ORDER BY md5(doc_id::VARCHAR)) AS rn
+      |  FROM documents)
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val keyed = Tables(s, dir).documents
+      .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("skey"))
+    ParallelRank.rowNumber(keyed, Seq.empty, "skey", "rn")
+      .select($"doc_id", $"skey", $"rn".cast("long").as("shuffle_rank"),
+        (($"rn" - 1) % 8).cast("long").as("shard"))
+      .orderBy($"doc_id")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q44_neardup_clusters" -> q44,
+    "q45_repetition_filters" -> q45,
+    "q46_bm25_topk" -> q46,
+    "q47_pii_redaction" -> q47,
+    "q48_corpus_bigrams" -> q48,
+    "q49_global_shuffle" -> q49
+  )
+}

@@ -147,3 +147,42 @@ object WordShingles {
     new GenericArrayData(out)
   }
 }
+
+/** Maximum whitespace-token frequency in `child` — the kernel of the
+  * Gopher-style repetition quality filters (share of the document taken by
+  * its most-common word). One compiled pass with an open hash count; the
+  * composed higher-order form (`array_max(transform(array_distinct(t), x ->
+  * size(filter(t, y -> y = x))))`) is interpreted AND quadratic in tokens.
+  */
+case class MaxTokenFreq(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "max_token_freq"
+
+  override def nullSafeEval(input: Any): Any =
+    MaxTokenFreq.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.MaxTokenFreq.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MaxTokenFreq {
+  def compute(text: UTF8String): Int = {
+    val toks = text.toString.split(" ", -1)
+    val counts = new java.util.HashMap[String, Int](toks.length * 2)
+    var max = 0
+    var i = 0
+    while (i < toks.length) {
+      val c = counts.merge(toks(i), 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max
+  }
+}

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Repetition quality kernels (MaxTokenFreq + ratio builders) and the PII
+  * redaction builders.
+  */
+class RepetitionRedactionSpec extends SparkSpec {
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any = {
+    val s = spark
+    import s.implicits._
+    Seq(text).toDF("text").select(c.as("v")).head.get(0)
+  }
+
+  test("maxTokenFreq counts the most-common token") {
+    assert(one("a b a c a b", TextAnalysis.maxTokenFreq(col("text"))) == 3)
+    assert(one("x", TextAnalysis.maxTokenFreq(col("text"))) == 1)
+    assert(one("x y z", TextAnalysis.maxTokenFreq(col("text"))) == 1)
+  }
+
+  test("distinctWordRatio and topWordRatio are exact rationals") {
+    // 6 tokens, 3 distinct, top freq 3
+    assert(one("a b a c a b", TextAnalysis.distinctWordRatio(col("text"))) == 0.5)
+    assert(one("a b a c a b", TextAnalysis.topWordRatio(col("text"))) == 0.5)
+  }
+
+  test("dupBigramFraction: repeated bigrams counted, short docs guarded") {
+    // "a b a b a" -> 4 bigrams, 2 distinct ("a b", "b a") -> 1 - 2/4 = 0.5
+    assert(one("a b a b a", TextAnalysis.dupBigramFraction(col("text"))) == 0.5)
+    // 5 distinct tokens -> 4 distinct bigrams -> 0.0
+    assert(one("v w x y z", TextAnalysis.dupBigramFraction(col("text"))) == 0.0)
+    // <= 1 bigram cannot repeat
+    assert(one("a b", TextAnalysis.dupBigramFraction(col("text"))) == 0.0)
+    assert(one("a", TextAnalysis.dupBigramFraction(col("text"))) == 0.0)
+  }
+
+  test("scrub applies rules left to right; emails before digit runs") {
+    val got = one("mail bob123@x.com or call 555 0199 now",
+      Redaction.scrub(col("text")))
+    assert(got.toString == "mail <EMAIL> or call <NUM> <NUM> now")
+  }
+
+  test("redactionCount counts matches on the original column") {
+    val got = one("a@b.io and c@d.net plus 42",
+      Redaction.redactionCount(col("text"), Seq(Redaction.EmailPattern)))
+    assert(got == 2L)
+    val nums = one("1 22 333", Redaction.redactionCount(col("text"),
+      Seq(Redaction.NumberPattern)))
+    assert(nums == 3L)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+class ConnectedComponentsSpec extends SparkSpec {
+
+  private def edges(ps: (Long, Long)*): DataFrame = {
+    val s = spark
+    import s.implicits._
+    ps.toSeq.toDF("da", "db")
+  }
+
+  test("two chains and a singleton pair resolve to min-id components") {
+    // 1-2-3 (path), 10-11, 20-21-22-23 (path needing propagation)
+    val r = ConnectedComponents.assign(
+        edges((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L), (23L, 22L)))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L))
+  }
+
+  test("long path converges (propagation beyond one hop per round works)") {
+    val path = edges((1L to 12L).sliding(2).map(s => (s(1), s(0))).toSeq: _*)
+    val r = ConnectedComponents.assign(path).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet == Set(1L) && r.size == 12)
+  }
+
+  test("clusters carries component sizes") {
+    val r = ConnectedComponents.clusters(edges((1L, 2L), (2L, 3L), (7L, 9L)))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("nonSurvivors drops exactly the non-minimum vertices") {
+    val r = ConnectedComponents.nonSurvivors(edges((1L, 2L), (2L, 3L), (7L, 9L)))
+      .collect().map(_.getLong(0)).toSet
+    assert(r == Set(2L, 3L, 9L))
+  }
+}
