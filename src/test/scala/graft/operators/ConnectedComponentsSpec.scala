@@ -23,7 +23,7 @@ class ConnectedComponentsSpec extends SparkSpec {
 
   test("long path converges (propagation beyond one hop per round works)") {
     val path = edges((1L to 12L).sliding(2).map(s => (s(1), s(0))).toSeq: _*)
-    val r = ConnectedComponents.assign(path).collect()
+    val r = ConnectedComponents.assign(path, driverEdgeBudget = 0L).collect()
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r.values.toSet == Set(1L) && r.size == 12)
   }
@@ -33,6 +33,16 @@ class ConnectedComponentsSpec extends SparkSpec {
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSet
     assert(r == Set((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
       (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("driver and distributed paths return identical assignments") {
+    val es = edges((1L, 2L), (2L, 3L), (10L, 11L), (21L, 20L), (21L, 22L),
+      (23L, 22L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L))
+    val driver = ConnectedComponents.assign(es)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val dist = ConnectedComponents.assign(es, driverEdgeBudget = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(driver == dist)
   }
 
   test("nonSurvivors drops exactly the non-minimum vertices") {
