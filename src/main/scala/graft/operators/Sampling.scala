@@ -49,4 +49,25 @@ object Sampling {
       .select(df.columns.map(col): _*) // original column order (the join
                                        // fronts the strata key columns)
   }
+
+  /** Per-group quality quota: keep at most `quota` rows per group, the
+    * highest `scoreCol` values winning (ties to the smallest `idCol`) —
+    * the per-domain cap of corpus curation (no single source may dominate
+    * the training mix). Implemented as a keyed window rank: each group
+    * sorts within its shuffle partition, which is the right plan while a
+    * single group's rows fit one partition (domains in a crawl; same shape
+    * as the top-k-per-group query). For a pathologically hot group,
+    * ParallelRank.rowNumber over a composite (group, score-desc) key ranks
+    * in parallel — swap in when a domain exceeds partition budget.
+    */
+  def qualityQuota(df: DataFrame, groupCols: Seq[String], scoreCol: String,
+      idCol: String, quota: Int): DataFrame = {
+    require(quota >= 1, s"quota must be >= 1, got $quota")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(idCol))
+    df.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= quota)
+      .drop("__rk")
+  }
 }

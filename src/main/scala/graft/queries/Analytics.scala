@@ -157,10 +157,61 @@ object Analytics {
     }
   }
 
+  /** Funnel conversion by daily signup cohort: first signup → first
+    * purchase within 7 days (operators.Funnel). Exact integer-microsecond
+    * time math; cohort key = epoch day (integer division, no date casts).
+    */
+  private val q50 = QueryDef.sql(
+    "funnel conversion by signup cohort day (purchase within 7 days)")(
+    """WITH f AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup' THEN epoch_us(ts) END) AS s_us,
+      |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+      |  FROM events GROUP BY user_id),
+      |c AS (SELECT s_us // 86400000000 AS cohort_day,
+      |    CASE WHEN p_us IS NOT NULL AND p_us > s_us
+      |              AND p_us - s_us <= 604800000000 THEN 1 ELSE 0 END AS conv
+      |  FROM f WHERE s_us IS NOT NULL)
+      |SELECT cohort_day, count(*) AS n_entered, sum(conv)::BIGINT AS n_converted,
+      |  sum(conv)::DOUBLE / count(*) AS conversion_rate
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.Funnel.conversionByCohort(Tables(s, dir).events,
+        "user_id", "ts", "event_type", "signup", "purchase",
+        windowMicros = 604800000000L)
+      .orderBy($"cohort_day")
+  }
+
+  /** Weekly retention cohorts: users by first-activity week, distinct
+    * actives at week offsets 0..3 (operators.Funnel.weeklyRetention) — one
+    * Expand pass for all offsets.
+    */
+  private val q51 = QueryDef.sql(
+    "weekly retention cohorts (distinct actives at offsets w0..w3)")(
+    """WITH u AS (SELECT user_id,
+      |    min(epoch_us(ts)) // 604800000000 AS cohort_week
+      |  FROM events GROUP BY 1),
+      |a AS (SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      |  FROM events),
+      |j AS (SELECT a.user_id, u.cohort_week, a.w - u.cohort_week AS k
+      |  FROM a JOIN u ON a.user_id = u.user_id)
+      |SELECT cohort_week,
+      |  count(DISTINCT CASE WHEN k = 0 THEN user_id END) AS w0,
+      |  count(DISTINCT CASE WHEN k = 1 THEN user_id END) AS w1,
+      |  count(DISTINCT CASE WHEN k = 2 THEN user_id END) AS w2,
+      |  count(DISTINCT CASE WHEN k = 3 THEN user_id END) AS w3
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.Funnel.weeklyRetention(Tables(s, dir).events,
+        "user_id", "ts", horizon = 3)
+      .orderBy($"cohort_week")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q39_sessionization" -> q39,
     "q40_rollup_revenue" -> q40,
     "q41_rolling_windows" -> q41,
-    "q42_pivot_wide" -> q42
+    "q42_pivot_wide" -> q42,
+    "q50_funnel_conversion" -> q50,
+    "q51_retention_cohorts" -> q51
   )
 }

@@ -186,12 +186,50 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Stopword IN-list shared verbatim with the oracle (q16 convention). */
+  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+
+  /** Per-source quality quota (the per-domain cap of corpus curation):
+    * keep the 10 highest-quality documents per source, ties to the lowest
+    * doc_id. Quality is the q16 composite score — bit-replayed by the
+    * oracle like q16 does.
+    */
+  private val q52 = QueryDef.sql(
+    "per-source quality quota: top-10 docs per source by composite quality")(
+    s"""WITH tok AS (SELECT doc_id, source, text, string_split(text, ' ') AS t
+       |  FROM documents),
+       |f AS (SELECT doc_id, source,
+       |  len(list_filter(t, x -> x IN ($stopList)))::DOUBLE / len(t) AS stop_ratio,
+       |  (length(text) - len(t) + 1)::DOUBLE / len(t) AS mean_tok_len,
+       |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
+       |FROM tok),
+       |q AS (SELECT doc_id, source,
+       |  (1.0::DOUBLE - least(1.0::DOUBLE, abs(stop_ratio - 0.35::DOUBLE) / 0.35::DOUBLE)) * 0.4::DOUBLE
+       |    + (1.0::DOUBLE - least(1.0::DOUBLE, abs(mean_tok_len - 5.0::DOUBLE) / 5.0::DOUBLE)) * 0.3::DOUBLE
+       |    + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio / 0.3::DOUBLE)) * 0.3::DOUBLE AS quality
+       |FROM f),
+       |r AS (SELECT doc_id, source, quality,
+       |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+       |FROM q)
+       |SELECT source, doc_id, quality FROM r WHERE rk <= 10
+       |ORDER BY source, doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val scored = Tables(s, dir).documentsFanned.select(
+      $"doc_id", $"source",
+      TextAnalysis.qualityScore($"text").as("quality"))
+    graft.operators.Sampling.qualityQuota(scored, Seq("source"),
+        "quality", "doc_id", quota = 10)
+      .select($"source", $"doc_id", $"quality")
+      .orderBy($"source", $"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
     "q46_bm25_topk" -> q46,
     "q47_pii_redaction" -> q47,
     "q48_corpus_bigrams" -> q48,
-    "q49_global_shuffle" -> q49
+    "q49_global_shuffle" -> q49,
+    "q52_source_quota" -> q52
   )
 }
