@@ -1,15 +1,18 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
 
-/** Data-layout helper: range-clustered writes. Parquet scans prune with
-  * per-file and per-row-group min/max statistics, but statistics only cut
-  * anything when values are CLUSTERED — a randomly-laid-out 100 TB table
-  * answers `WHERE ts BETWEEN ...` by reading everything. Writing
-  * range-partitioned AND sorted by the filter columns gives every file a
-  * tight, near-disjoint min/max envelope, so selective scans touch only
-  * the overlapping files (linear layout — the 1-D special case of
-  * Z-ordering, optimal for one leading filter column).
+/** Data-layout helpers: range-clustered and Z-ordered writes. Parquet scans
+  * prune with per-file and per-row-group min/max statistics, but statistics
+  * only cut anything when values are CLUSTERED — a randomly-laid-out
+  * 100 TB table answers `WHERE ts BETWEEN ...` by reading everything.
+  * Writing range-partitioned AND sorted by the filter columns gives every
+  * file a tight, near-disjoint min/max envelope, so selective scans touch
+  * only the overlapping files. Linear layout is optimal for ONE leading
+  * filter column; when two independent columns both filter, clustering by
+  * the interleaved-bit Morton (Z-order) key keeps BOTH columns' min/max
+  * envelopes tight in every file.
   */
 object Layout {
 
@@ -18,10 +21,37 @@ object Layout {
     */
   def writeClustered(df: DataFrame, path: String, cols: Seq[String],
       files: Int): Unit = {
-    import org.apache.spark.sql.functions.col
     val keys = cols.map(col)
     df.repartitionByRange(files, keys: _*)
       .sortWithinPartitions(keys: _*)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Morton (Z-order) key of two columns: the low `bits` bits of each input
+    * interleaved (x at even positions, y at odd). Pure shift/mask built-ins
+    * folded into one codegen'd expression — portable integer math, so SQL
+    * engines replay it exactly. Inputs are masked to `bits` (callers
+    * quantize wider domains first — rank or bucket them into 2^bits).
+    */
+  def zOrderKey(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { b =>
+      (shiftright(xl, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+        (shiftright(yl, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+    }.reduce(_ + _)
+  }
+
+  /** Write `df` Z-order-clustered on two quantized dimensions: files cover
+    * contiguous Morton-curve slices, keeping min/max tight on BOTH inputs.
+    */
+  def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
+      files: Int, bits: Int = 16): Unit = {
+    val z = zOrderKey(col(x), col(y), bits).as("__z")
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 }

@@ -206,12 +206,72 @@ object Analytics {
       .orderBy($"cohort_week")
   }
 
+  /** Per-row percentile rank of value within event_type — the CDF feature
+    * of scaled feature engineering. Ranked by ParallelRank over a composite
+    * (value, event_id) range key: every stage parallel, deterministic tie
+    * order, NO per-group single-task window sort (the plain
+    * `Window.partitionBy(type).orderBy(value)` puts each type's entire
+    * history in one task at any cluster size).
+    */
+  private val q54 = QueryDef.sql(
+    "percentile rank of value within event_type (parallel rank, no group sort)")(
+    """SELECT event_id, event_type, value,
+      |  (row_number() OVER (PARTITION BY event_type ORDER BY value, event_id)
+      |     - 1)::DOUBLE
+      |    / (count(*) OVER (PARTITION BY event_type) - 1) AS pct_rank
+      |FROM events ORDER BY event_type, event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"event_id", $"event_type", $"value")
+      .withColumn("__ok", struct($"value", $"event_id"))
+    val ranked = graft.operators.ParallelRank
+      .rowNumber(ev, Seq("event_type"), "__ok", "__rn")
+    val sizes = Tables(s, dir).events
+      .groupBy($"event_type").agg(count(lit(1)).as("__n"))
+    ranked.join(sizes, "event_type")
+      .select($"event_id", $"event_type", $"value",
+        (($"__rn" - 1).cast("double") / ($"__n" - 1)).as("pct_rank"))
+      .orderBy($"event_type", $"event_id")
+  }
+
+  /** Daily-count anomaly z-scores per event type: mean/stddev of the per-day
+    * event counts, each day scored. Accumulated moments go out as float32
+    * (house float-parity rule — stddev partial order differs per engine).
+    */
+  private val q55 = QueryDef.sql(
+    "daily event-count anomaly z-scores per event type")(
+    """WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+      |    count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, sum(c)::DOUBLE / count(*) AS mu,
+      |    stddev_samp(c) AS sd
+      |  FROM d GROUP BY 1)
+      |SELECT d.event_type, day, c AS n_events,
+      |  cast((c - mu) / sd AS REAL) AS z
+      |FROM d JOIN st ON d.event_type = st.event_type
+      |ORDER BY d.event_type, day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables(s, dir).events
+      .select($"event_type", unix_micros($"ts").as("t_us"))
+      .select($"event_type", expr("t_us div 86400000000").as("day"))
+      .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
+    val st = d.groupBy($"event_type").agg(
+      (sum($"c").cast("double") / count(lit(1))).as("mu"),
+      stddev_samp($"c").as("sd"))
+    d.join(st, "event_type")
+      .select($"event_type", $"day", $"c".as("n_events"),
+        (($"c" - $"mu") / $"sd").cast("float").as("z"))
+      .orderBy($"event_type", $"day")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q39_sessionization" -> q39,
     "q40_rollup_revenue" -> q40,
     "q41_rolling_windows" -> q41,
     "q42_pivot_wide" -> q42,
     "q50_funnel_conversion" -> q50,
-    "q51_retention_cohorts" -> q51
+    "q51_retention_cohorts" -> q51,
+    "q54_percentile_rank" -> q54,
+    "q55_daily_anomaly" -> q55
   )
 }

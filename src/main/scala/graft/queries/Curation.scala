@@ -223,6 +223,30 @@ object Curation {
       .orderBy($"source", $"doc_id")
   }
 
+  /** Morton (Z-order) clustering-key histogram over lineitem's
+    * (l_partkey, l_suppkey): the multi-dimensional layout key
+    * (operators.Layout.zOrderKey) bucketed at 2^20 key granularity — the
+    * file-assignment view a z-ordered write produces. Pure shift/mask
+    * integer math, replayed bit-exactly by the oracle.
+    */
+  private val q53 = QueryDef.sql(
+    "z-order (Morton) key histogram: lineitem clustered on partkey x suppkey")(
+    """WITH z AS (SELECT cast(list_sum(list_transform(range(0, 16), b ->
+      |    (((l_partkey >> b) & 1) << (2*b)) + (((l_suppkey >> b) & 1) << (2*b+1))
+      |  )) AS BIGINT) AS zkey FROM lineitem)
+      |SELECT zkey // 1048576 AS zbucket, count(*) AS n,
+      |  min(zkey) AS zmin, max(zkey) AS zmax
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Layout
+    Tables(s, dir).lineitem
+      .select(Layout.zOrderKey($"l_partkey", $"l_suppkey", bits = 16).as("zkey"))
+      .select(expr("zkey div 1048576").as("zbucket"), $"zkey")
+      .groupBy($"zbucket")
+      .agg(count(lit(1)).as("n"), min($"zkey").as("zmin"), max($"zkey").as("zmax"))
+      .orderBy($"zbucket")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -230,6 +254,7 @@ object Curation {
     "q47_pii_redaction" -> q47,
     "q48_corpus_bigrams" -> q48,
     "q49_global_shuffle" -> q49,
-    "q52_source_quota" -> q52
+    "q52_source_quota" -> q52,
+    "q53_zorder_histogram" -> q53
   )
 }
