@@ -54,7 +54,9 @@ object GraftFunctions {
       SignProjectionBits(exprs(0),
         graft.operators.Ann.portableHyperplanes(
           foldableInt(exprs(2), "portable_sign_bits(dim)"),
-          foldableInt(exprs(1), "portable_sign_bits(numPlanes)")).toArray))
+          foldableInt(exprs(1), "portable_sign_bits(numPlanes)")).toArray)),
+    "max_token_freq" ->
+      ((exprs: Seq[Expression]) => MaxTokenFreq(exprs(0)))
   )
 
   def registerAll(spark: SparkSession): Unit = {

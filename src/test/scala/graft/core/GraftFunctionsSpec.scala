@@ -82,5 +82,9 @@ class GraftFunctionsSpec extends SparkSpec {
       graft.operators.Ann.portableHyperplanes(8, 5)).as("b"))
       .first().getLong(0)
     assert(sqlBits == opBits)
+
+    val mtf = spark.sql("SELECT max_token_freq('a b a c a b') AS m")
+      .first().getInt(0)
+    assert(mtf == 3)
   }
 }
