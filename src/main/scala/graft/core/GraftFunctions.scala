@@ -56,7 +56,12 @@ object GraftFunctions {
           foldableInt(exprs(2), "portable_sign_bits(dim)"),
           foldableInt(exprs(1), "portable_sign_bits(numPlanes)")).toArray)),
     "max_token_freq" ->
-      ((exprs: Seq[Expression]) => MaxTokenFreq(exprs(0)))
+      ((exprs: Seq[Expression]) => MaxTokenFreq(exprs(0))),
+    // heavy_hitters(item, capacity): mergeable Space-Saving summary
+    "heavy_hitters" -> ((exprs: Seq[Expression]) =>
+      SpaceSavingAgg(exprs(0),
+        foldableInt(exprs(1), "heavy_hitters(capacity)"))
+        .toAggregateExpression())
   )
 
   def registerAll(spark: SparkSession): Unit = {

@@ -247,6 +247,33 @@ object Curation {
       .orderBy($"zbucket")
   }
 
+  /** Corpus token heavy hitters via the mergeable Space-Saving sketch
+    * (org.apache.spark.sql.graft.SpaceSavingAgg): per-partition bounded
+    * summaries merge instead of shuffling the distinct-token frame — the
+    * 100 TB path for corpus token stats. Gated in the EXACT regime
+    * (capacity >= corpus vocabulary, so nothing evicts and every count is
+    * exact — same portable-exactness pattern as the q43 IVF probe); the
+    * eviction/error-bound behavior is property-tested in HeavyHittersSpec.
+    */
+  private val q56 = QueryDef.sql(
+    "corpus token heavy hitters via mergeable Space-Saving sketch (exact regime)")(
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+      |SELECT t AS token, count(*) AS cnt FROM tok
+      |GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graft.{Bridge, SpaceSavingAgg}
+    val tok = Tables(s, dir).documentsFanned
+      .select(explode(TextAnalysis.tokens($"text")).as("t"))
+    val sketch = Bridge.column(
+      SpaceSavingAgg(Bridge.expression(col("t")), capacity = 4096)
+        .toAggregateExpression())
+    tok.agg(sketch.as("hh"))
+      .select(explode($"hh").as("e"))
+      .select($"e.item".as("token"), $"e.cnt".as("cnt"))
+      .orderBy($"cnt".desc, $"token")
+      .limit(20)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -255,6 +282,7 @@ object Curation {
     "q48_corpus_bigrams" -> q48,
     "q49_global_shuffle" -> q49,
     "q52_source_quota" -> q52,
-    "q53_zorder_histogram" -> q53
+    "q53_zorder_histogram" -> q53,
+    "q56_token_heavy_hitters" -> q56
   )
 }
