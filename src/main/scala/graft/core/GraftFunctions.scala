@@ -61,6 +61,13 @@ object GraftFunctions {
     "heavy_hitters" -> ((exprs: Seq[Expression]) =>
       SpaceSavingAgg(exprs(0),
         foldableInt(exprs(1), "heavy_hitters(capacity)"))
+        .toAggregateExpression()),
+    // kll_quantiles(v, k, 'q1,q2,...'): single-pass mergeable quantile sketch
+    "kll_quantiles" -> ((exprs: Seq[Expression]) =>
+      KllSketchAgg(exprs(0),
+        foldableInt(exprs(1), "kll_quantiles(k)"),
+        foldableString(exprs(2), "kll_quantiles(qs)")
+          .split(",").toSeq.map(_.trim.toDouble))
         .toAggregateExpression())
   )
 

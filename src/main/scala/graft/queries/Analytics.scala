@@ -264,6 +264,32 @@ object Analytics {
       .orderBy($"event_type", $"day")
   }
 
+  /** Single-pass sketch quantiles of events.value via the mergeable KLL
+    * aggregate (org.apache.spark.sql.graft.KllSketchAgg): per-partition
+    * sketches merge — no range shuffle, the one-pass 100 TB companion of
+    * the exact DistributedQuantiles path. Gated in the EXACT regime
+    * (capacity >= row count at every gated/benched SF, so nothing compacts
+    * and ranks are exact; compaction error bounds live in KllSketchSpec).
+    * Rank semantics: value at 1-based rank max(ceil(q*n), 1), replayed in
+    * SQL as the first value whose row_number reaches the target.
+    */
+  private val q57 = QueryDef.sql(
+    "single-pass KLL sketch quantiles of events.value (exact regime)")(
+    """WITH s AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+      |    count(*) OVER () AS n FROM events)
+      |SELECT min(CASE WHEN rn >= greatest(ceil(0.25::DOUBLE * n), 1) THEN v END) AS p25,
+      |       min(CASE WHEN rn >= greatest(ceil(0.5::DOUBLE * n), 1) THEN v END) AS p50,
+      |       min(CASE WHEN rn >= greatest(ceil(0.75::DOUBLE * n), 1) THEN v END) AS p75
+      |FROM s""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graft.{Bridge, KllSketchAgg}
+    val sk = Bridge.column(
+      KllSketchAgg(Bridge.expression(col("value")), k = 131072,
+        qs = Seq(0.25, 0.5, 0.75)).toAggregateExpression())
+    Tables(s, dir).events.agg(sk.as("q"))
+      .select($"q"(0).as("p25"), $"q"(1).as("p50"), $"q"(2).as("p75"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q39_sessionization" -> q39,
     "q40_rollup_revenue" -> q40,
@@ -272,6 +298,7 @@ object Analytics {
     "q50_funnel_conversion" -> q50,
     "q51_retention_cohorts" -> q51,
     "q54_percentile_rank" -> q54,
-    "q55_daily_anomaly" -> q55
+    "q55_daily_anomaly" -> q55,
+    "q57_sketch_quantiles" -> q57
   )
 }
