@@ -86,5 +86,18 @@ class GraftFunctionsSpec extends SparkSpec {
     val mtf = spark.sql("SELECT max_token_freq('a b a c a b') AS m")
       .first().getInt(0)
     assert(mtf == 3)
+
+    val hh = spark.sql(
+      """SELECT heavy_hitters(t, 16) AS h
+        |FROM VALUES ('a'),('a'),('b'),('a') AS t(t)""".stripMargin)
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))).toList ==
+      List(("a", 3L), ("b", 1L)))
+
+    val kq = spark.sql(
+      """SELECT kll_quantiles(cast(v as double), 64, '0.5') AS q
+        |FROM VALUES (1),(2),(3),(4),(5) AS t(v)""".stripMargin)
+      .first().getSeq[Double](0)
+    assert(kq == Seq(3.0))
   }
 }
