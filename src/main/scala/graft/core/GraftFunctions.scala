@@ -57,6 +57,9 @@ object GraftFunctions {
           foldableInt(exprs(1), "portable_sign_bits(numPlanes)")).toArray)),
     "max_token_freq" ->
       ((exprs: Seq[Expression]) => MaxTokenFreq(exprs(0))),
+    "word_chunks" -> ((exprs: Seq[Expression]) =>
+      WordChunks(exprs(0), foldableInt(exprs(1), "word_chunks(size)"),
+        foldableInt(exprs(2), "word_chunks(stride)"))),
     // heavy_hitters(item, capacity): mergeable Space-Saving summary
     "heavy_hitters" -> ((exprs: Seq[Expression]) =>
       SpaceSavingAgg(exprs(0),

@@ -85,6 +85,14 @@ object TextAnalysis {
     Bridge.column(WordShingles(Bridge.expression(text), n))
   }
 
+  /** Overlapping token-window chunks (size/stride) — the document chunker
+    * ahead of sequence packing. Native one-pass kernel.
+    */
+  def wordChunks(text: Column, size: Int, stride: Int): Column = {
+    import org.apache.spark.sql.graft.{Bridge, WordChunks}
+    Bridge.column(WordChunks(Bridge.expression(text), size, stride))
+  }
+
   /** Marker lexicons for the lightweight language-ID heuristic. Order is the
     * deterministic tie-break (first wins on >=).
     */

@@ -274,6 +274,35 @@ object Curation {
       .limit(20)
   }
 
+  /** Document chunking: overlapping 32-token windows every 24 tokens —
+    * the chunker that feeds token-budget sequence packing
+    * (operators.SequencePacking). Output is one slim row per chunk
+    * (index, token count, content fingerprint); the oracle rebuilds every
+    * window with list_slice over the token array.
+    */
+  private val q58 = QueryDef.sql(
+    "document chunking: 32-token windows, stride 24, per-chunk fingerprints")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t,
+      |    unnest(range(0, greatest((len(t) + 23) // 24, 1))) AS ci
+      |  FROM tok),
+      |ch AS (SELECT doc_id, ci,
+      |    array_to_string(list_slice(t, ci*24 + 1, least(ci*24 + 32, len(t))), ' ') AS c
+      |  FROM idx WHERE ci*24 < len(t))
+      |SELECT doc_id, ci AS chunk_idx,
+      |  len(string_split(c, ' ')) AS chunk_tokens, md5(c) AS fp
+      |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documentsFanned
+      .select($"doc_id",
+        posexplode(TextAnalysis.wordChunks($"text", size = 32, stride = 24))
+          .as(Seq("chunk_idx", "c")))
+      .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
+        TextAnalysis.tokenCount($"c").cast("long").as("chunk_tokens"),
+        TextAnalysis.fingerprint($"c").as("fp"))
+      .orderBy($"doc_id", $"chunk_idx")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -283,6 +312,7 @@ object Curation {
     "q49_global_shuffle" -> q49,
     "q52_source_quota" -> q52,
     "q53_zorder_histogram" -> q53,
-    "q56_token_heavy_hitters" -> q56
+    "q56_token_heavy_hitters" -> q56,
+    "q58_doc_chunking" -> q58
   )
 }

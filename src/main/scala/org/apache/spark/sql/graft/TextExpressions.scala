@@ -1,5 +1,7 @@
 package org.apache.spark.sql.graft
 
+import scala.collection.mutable.ArrayBuffer
+
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -184,5 +186,53 @@ object MaxTokenFreq {
       i += 1
     }
     max
+  }
+}
+
+/** Overlapping token-window chunks of `child`: windows of `size` tokens
+  * starting every `stride` tokens (the last chunk may be shorter; a start
+  * past the end emits nothing) — the document chunker that feeds sequence
+  * packing in an LLM training pipeline. One compiled pass per row; the
+  * composed higher-order form (`transform(sequence(...), i ->
+  * concat_ws(' ', slice(...)))`) is interpreted per chunk.
+  */
+case class WordChunks(child: Expression, size: Int, stride: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(size >= 1, s"chunk size must be >= 1, got $size")
+  require(stride >= 1, s"stride must be >= 1, got $stride")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_chunks"
+
+  override def nullSafeEval(input: Any): Any =
+    WordChunks.compute(input.asInstanceOf[UTF8String], size, stride)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.WordChunks.compute($c, $size, $stride)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WordChunks {
+  def compute(text: UTF8String, size: Int, stride: Int): ArrayData = {
+    val toks = text.toString.split(" ", -1)
+    val out = ArrayBuffer.empty[Any]
+    var start = 0
+    while (start < toks.length) {
+      val end = math.min(start + size, toks.length)
+      val sb = new java.lang.StringBuilder
+      var i = start
+      while (i < end) {
+        if (i > start) sb.append(' ')
+        sb.append(toks(i))
+        i += 1
+      }
+      out += UTF8String.fromString(sb.toString)
+      start += stride
+    }
+    new GenericArrayData(out.toArray)
   }
 }

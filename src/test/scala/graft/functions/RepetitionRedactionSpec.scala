@@ -37,6 +37,19 @@ class RepetitionRedactionSpec extends SparkSpec {
     assert(one("a", TextAnalysis.dupBigramFraction(col("text"))) == 0.0)
   }
 
+  test("wordChunks: size/stride windows, short tail kept, tiny doc = one chunk") {
+    val s = spark
+    import s.implicits._
+    def chunks(text: String, size: Int, stride: Int): Seq[String] =
+      Seq(text).toDF("text")
+        .select(TextAnalysis.wordChunks(col("text"), size, stride).as("c"))
+        .head.getSeq[String](0)
+    assert(chunks("a b c d e f g", 3, 2) ==
+      Seq("a b c", "c d e", "e f g", "g"))
+    assert(chunks("a b", 5, 5) == Seq("a b"))
+    assert(chunks("a b c d", 2, 2) == Seq("a b", "c d"))
+  }
+
   test("scrub applies rules left to right; emails before digit runs") {
     val got = one("mail bob123@x.com or call 555 0199 now",
       Redaction.scrub(col("text")))
