@@ -97,4 +97,43 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: nested-loop join")
     }
   }
+
+  test("q46: BM25 stats side broadcasts; corpus side never shuffles") {
+    val p = plan("q46_bm25_topk")
+    assert(p.contains("BroadcastExchange"), "stats row not broadcast")
+    assert(!p.contains("CartesianProduct"), "cartesian product")
+    // top-k fuses; the only exchange in the plan is the broadcast one
+    assert(p.contains("TakeOrderedAndProject"), "limit+orderBy not fused")
+    val shuffles = p.linesIterator.count(_.trim.startsWith("Exchange hashpartitioning"))
+    assert(shuffles == 0, s"corpus side shuffles ($shuffles hash exchanges)")
+  }
+
+  test("q45/q58: per-row text kernels stay in one scan, no joins") {
+    for (q <- Seq("q45_repetition_filters", "q58_doc_chunking")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q: per-row features should not join")
+      assert(p.contains("max_token_freq") || p.contains("word_chunks"),
+        s"$q: native kernel missing from plan")
+    }
+  }
+
+  test("q49/q54: global/grouped ranks use a range exchange, not one sort task") {
+    for (q <- Seq("q49_global_shuffle", "q54_percentile_rank")) {
+      val p = plan(q)
+      // formatted mode prints the partitioning in the node's Arguments line
+      assert(p.contains("rangepartitioning("),
+        s"$q: no range exchange (single-task sort?)")
+      assert(!p.contains("SinglePartition"),
+        s"$q: single-partition exchange in the rank path")
+    }
+  }
+
+  test("q56/q57: sketch aggregates partial-aggregate before the merge") {
+    for ((q, fn) <- Seq("q56_token_heavy_hitters" -> "heavy_hitters",
+        "q57_sketch_quantiles" -> "kll_quantiles")) {
+      val p = plan(q)
+      assert(p.contains(s"partial_$fn"),
+        s"$q: no partial sketch aggregation before the exchange")
+    }
+  }
 }
