@@ -45,6 +45,33 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(driver == dist)
   }
 
+  test("20k-edge graph: driver and distributed paths agree (dispatch proof)") {
+    // 4000 clusters of 5 vertices (path-shaped, diameter 4) + 1000 isolated
+    // pairs — the near-dup workload shape at scale
+    val rnd = new scala.util.Random(13)
+    val es = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    (0 until 4000).foreach { c =>
+      val base = 10L + c * 10L
+      val perm = rnd.shuffle((0 to 4).toList)
+      perm.sliding(2).foreach {
+        case Seq(a, b) => es += ((base + a, base + b))
+        case _ => ()
+      }
+    }
+    (0 until 1000).foreach { p =>
+      es += ((100000L + p * 2, 100001L + p * 2))
+    }
+    val df = edges(rnd.shuffle(es.toSeq): _*)
+    val driver = ConnectedComponents.assign(df)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val dist = ConnectedComponents.assign(df, driverEdgeBudget = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(driver.size == 4000 * 5 + 2000)
+    assert(driver == dist)
+    // every 5-cluster collapses to its base vertex; pairs to their even id
+    assert(driver(84L) == 80L && driver(100001L) == 100000L)
+  }
+
   test("nonSurvivors drops exactly the non-minimum vertices") {
     val r = ConnectedComponents.nonSurvivors(edges((1L, 2L), (2L, 3L), (7L, 9L)))
       .collect().map(_.getLong(0)).toSet

@@ -66,6 +66,27 @@ class SequencePackingSpec extends SparkSpec {
     }
   }
 
+  test("chunk -> pack pipeline: every chunk binned once, budget respected") {
+    // the production composition: WordChunks splits long docs into stride
+    // windows, SequencePacking bins the chunks under a token budget
+    val chunks = graft.core.Tables(spark, sf("sf0.01")).documents
+      .select($"doc_id",
+        posexplode(graft.functions.TextAnalysis.wordChunks($"text", 32, 24))
+          .as(Seq("ci", "c")))
+      // synthetic global chunk id for the packer
+      .select(($"doc_id" * 1000 + $"ci").as("chunk_id"),
+        graft.functions.TextAnalysis.tokenCount($"c").cast("long").as("n_tokens"))
+    val nChunks = chunks.count()
+    val maxChunkTokens = chunks.agg(max($"n_tokens")).first().getLong(0)
+    assert(maxChunkTokens <= 32L, "chunker emitted an over-size window")
+    val bins = SequencePacking.pack(chunks, "chunk_id", "n_tokens",
+      maxTokens = 128L)
+    assert(bins.agg(sum($"n_docs")).first().getLong(0) == nChunks)
+    // 32-token chunks under a 128 budget: nothing can be oversize
+    assert(bins.filter($"oversize").count() == 0L)
+    assert(bins.filter($"total_tokens" > 128L).count() == 0L)
+  }
+
   test("packs the documents table by its token counts") {
     val docs = graft.core.Tables(spark, sf("sf0.01")).documents
       .select($"doc_id", graft.functions.TextAnalysis.tokenCount($"text")
