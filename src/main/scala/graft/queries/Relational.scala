@@ -313,6 +313,12 @@ object Relational {
         .describe(melted, Seq("col_name"), "v",
           Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
           // the melt's group key is the 4 column-name literals
+          // preCollapse=true is the measured optimum for this melt even
+          // though l_extendedprice is near-unique: preCollapse=false
+          // (range-shuffle 2.4M raw rows, skip the aggregate exchange)
+          // re-measured 4.4 s vs 1.6 s at sf0.1 — the collapse's map-side
+          // combine removes 75% of the range-shuffle volume here because
+          // three of the four melted columns live on tiny grids
           groupCountHint = Some(cols.size.toLong))
         .select($"col_name", $"n", $"mean".cast("float").as("mean"),
           $"std".cast("float").as("std"), $"vmin",
