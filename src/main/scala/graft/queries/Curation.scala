@@ -303,6 +303,67 @@ object Curation {
       .orderBy($"doc_id", $"chunk_idx")
   }
 
+  /** Declarative data-quality audit over lineitem (operators.Constraints):
+    * non-null / range / set-membership checks in ONE conditional-sum
+    * aggregate pass plus the exact key-uniqueness check — the data-level
+    * sibling of the engine's schema validation, run before a corpus ships
+    * to training. Integer counts only, so the oracle is exact.
+    */
+  private val q59 = QueryDef.sql(
+    "data-quality constraint audit over lineitem (one-pass + uniqueness)")(
+    """SELECT 'between(l_discount,0.0,0.1)' AS check_name,
+      |  sum(CASE WHEN NOT coalesce(l_discount >= 0.0::DOUBLE
+      |    AND l_discount <= 0.1::DOUBLE, false) THEN 1 ELSE 0 END)::BIGINT AS violations,
+      |  count(*) AS n_rows,
+      |  CASE WHEN sum(CASE WHEN NOT coalesce(l_discount >= 0.0::DOUBLE
+      |    AND l_discount <= 0.1::DOUBLE, false) THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END AS pass
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'between(l_quantity,1.0,50.0)',
+      |  sum(CASE WHEN NOT coalesce(l_quantity >= 1.0::DOUBLE
+      |    AND l_quantity <= 50.0::DOUBLE, false) THEN 1 ELSE 0 END)::BIGINT,
+      |  count(*),
+      |  CASE WHEN sum(CASE WHEN NOT coalesce(l_quantity >= 1.0::DOUBLE
+      |    AND l_quantity <= 50.0::DOUBLE, false) THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'in_set(l_returnflag)',
+      |  sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'), false)
+      |    THEN 1 ELSE 0 END)::BIGINT,
+      |  count(*),
+      |  CASE WHEN sum(CASE WHEN NOT coalesce(l_returnflag IN ('A', 'N', 'R'),
+      |    false) THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'not_null(l_orderkey)',
+      |  sum(CASE WHEN NOT coalesce(l_orderkey IS NOT NULL, false)
+      |    THEN 1 ELSE 0 END)::BIGINT,
+      |  count(*),
+      |  CASE WHEN sum(CASE WHEN NOT coalesce(l_orderkey IS NOT NULL, false)
+      |    THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'unique(l_orderkey,l_linenumber)',
+      |  (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT,
+      |  count(*),
+      |  CASE WHEN count(*) = count(DISTINCT (l_orderkey, l_linenumber))
+      |    THEN 1 ELSE 0 END
+      |FROM lineitem
+      |ORDER BY check_name""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.Constraints
+    val li = Tables(s, dir).lineitem
+    Constraints.audit(li, Seq(
+        Constraints.notNull("l_orderkey"),
+        Constraints.between("l_quantity", 1.0, 50.0),
+        Constraints.between("l_discount", 0.0, 0.1),
+        Constraints.isIn("l_returnflag", Seq("A", "N", "R"))))
+      .union(Constraints.unique(li, Seq("l_orderkey", "l_linenumber")))
+      .orderBy($"check_name")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -313,6 +374,7 @@ object Curation {
     "q52_source_quota" -> q52,
     "q53_zorder_histogram" -> q53,
     "q56_token_heavy_hitters" -> q56,
-    "q58_doc_chunking" -> q58
+    "q58_doc_chunking" -> q58,
+    "q59_constraint_audit" -> q59
   )
 }
