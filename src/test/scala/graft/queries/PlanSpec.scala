@@ -128,6 +128,13 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q59: constraint audit is one scan with partial aggregation") {
+    val p = plan("q59_constraint_audit")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "no map-side partials in the audit pass")
+    assert(!p.contains("Join"), "audit should not join")
+  }
+
   test("q56/q57: sketch aggregates partial-aggregate before the merge") {
     for ((q, fn) <- Seq("q56_token_heavy_hitters" -> "heavy_hitters",
         "q57_sketch_quantiles" -> "kll_quantiles")) {
