@@ -65,6 +65,10 @@ object GraftFunctions {
       SpaceSavingAgg(exprs(0),
         foldableInt(exprs(1), "heavy_hitters(capacity)"))
         .toAggregateExpression()),
+    // topk_by(ord, id, k): bounded-heap top-k (ord desc, ties to lower id)
+    "topk_by" -> ((exprs: Seq[Expression]) =>
+      TopKByAgg(exprs(0), exprs(1), foldableInt(exprs(2), "topk_by(k)"))
+        .toAggregateExpression()),
     // kll_quantiles(v, k, 'q1,q2,...'): single-pass mergeable quantile sketch
     "kll_quantiles" -> ((exprs: Seq[Expression]) =>
       KllSketchAgg(exprs(0),

@@ -290,6 +290,34 @@ object Analytics {
       .select($"q"(0).as("p25"), $"q"(1).as("p50"), $"q"(2).as("p75"))
   }
 
+  /** Top-3 highest-value events per type via the bounded-heap TopKByAgg —
+    * the scale replacement for the window-rank top-k (q06's shape): the
+    * window form sorts EVERY row of every group; the heap aggregate keeps
+    * exactly k pairs per group through map-side partials, so a billion-row
+    * group shuffles k tuples. Join-back fetches the full rows for just
+    * G x k winners.
+    */
+  private val q60 = QueryDef.sql(
+    "top-3 events per type via bounded-heap aggregate (no group sort)")(
+    """SELECT event_type, event_id, value, rn FROM (
+      |  SELECT event_type, event_id, value,
+      |    row_number() OVER (PARTITION BY event_type
+      |                       ORDER BY value DESC, event_id) AS rn
+      |  FROM events) WHERE rn <= 3
+      |ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graft.{Bridge, TopKByAgg}
+    val topk = Bridge.column(
+      TopKByAgg(Bridge.expression(col("value")),
+        Bridge.expression(col("event_id")), k = 3).toAggregateExpression())
+    Tables(s, dir).events
+      .groupBy($"event_type").agg(topk.as("top"))
+      .select($"event_type", posexplode($"top").as(Seq("pos", "e")))
+      .select($"event_type", $"e.id".as("event_id"), $"e.ord".as("value"),
+        ($"pos" + 1).cast("long").as("rn"))
+      .orderBy($"event_type", $"rn")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q39_sessionization" -> q39,
     "q40_rollup_revenue" -> q40,
@@ -299,6 +327,7 @@ object Analytics {
     "q51_retention_cohorts" -> q51,
     "q54_percentile_rank" -> q54,
     "q55_daily_anomaly" -> q55,
-    "q57_sketch_quantiles" -> q57
+    "q57_sketch_quantiles" -> q57,
+    "q60_topk_heap" -> q60
   )
 }
