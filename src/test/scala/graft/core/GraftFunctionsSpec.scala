@@ -99,5 +99,12 @@ class GraftFunctionsSpec extends SparkSpec {
         |FROM VALUES (1),(2),(3),(4),(5) AS t(v)""".stripMargin)
       .first().getSeq[Double](0)
     assert(kq == Seq(3.0))
+
+    val tk = spark.sql(
+      """SELECT topk_by(cast(v as double), cast(i as bigint), 2) AS t
+        |FROM VALUES (1.0, 1), (9.0, 2), (9.0, 3), (5.0, 4) AS t(v, i)""".stripMargin)
+      .first().getSeq[org.apache.spark.sql.Row](0)
+    assert(tk.map(r => (r.getDouble(0), r.getLong(1))).toList ==
+      List((9.0, 2L), (9.0, 3L)))
   }
 }
