@@ -18,13 +18,11 @@ import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank}
   */
 object Curation {
 
-  /** Near-dup cluster assignment: MinHash-LSH pairs (q20 semantics,
-    * exact-verified at j >= 0.9) grouped into connected components;
-    * component = min doc_id, plus cluster size. The oracle replays the
-    * exact pair pipeline and closes it transitively with a recursive CTE.
+  /** Shared oracle CTE chain: exact near-dup pairs at j >= 0.9 (q20
+    * semantics) transitively closed into components by a recursive CTE.
+    * Ends with `comp(id, component)`; q44/q61 select from it.
     */
-  private val q44 = QueryDef.sql(
-    "near-dup clusters: connected components over LSH pairs (j >= 0.9)")(
+  private val clusterCtes =
     """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
@@ -43,10 +41,19 @@ object Curation {
       |  SELECT src, src FROM edges
       |  UNION
       |  SELECT e.src, w.r FROM edges e JOIN reach w ON e.dst = w.id),
-      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
-      |SELECT id AS doc_id, component,
-      |  count(*) OVER (PARTITION BY component) AS csize
-      |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)""".stripMargin
+
+  /** Near-dup cluster assignment: MinHash-LSH pairs (q20 semantics,
+    * exact-verified at j >= 0.9) grouped into connected components;
+    * component = min doc_id, plus cluster size. The oracle replays the
+    * exact pair pipeline and closes it transitively with a recursive CTE.
+    */
+  private val q44 = QueryDef.sql(
+    "near-dup clusters: connected components over LSH pairs (j >= 0.9)")(
+    s"""$clusterCtes
+       |SELECT id AS doc_id, component,
+       |  count(*) OVER (PARTITION BY component) AS csize
+       |FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     val pairs = Dedup.minHashNearDups(Tables(s, dir).documentsFanned,
         "doc_id", "text", n = 3, minJaccard = 0.9)
@@ -364,6 +371,29 @@ object Curation {
       .orderBy($"check_name")
   }
 
+  /** The cluster-level deduped corpus: every document except non-minimum
+    * members of a near-dup cluster (the end-to-end result q18's exact
+    * dedup, q44's clusters and this anti-join compose into). At scale the
+    * anti-join carries only the (long) non-survivor ids — never text.
+    */
+  private val q61 = QueryDef.sql(
+    "cluster-level dedup survivors: corpus minus non-min near-dup members")(
+    s"""$clusterCtes
+       |SELECT d.doc_id, d.source FROM documents d
+       |LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
+       |WHERE c.id IS NULL ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documents
+    val pairs = Dedup.minHashNearDups(Tables(s, dir).documentsFanned,
+        "doc_id", "text", n = 3, minJaccard = 0.9)
+      .select($"da", $"db")
+    docs.join(ConnectedComponents.nonSurvivors(pairs)
+        .withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+      .select($"doc_id", $"source")
+      .orderBy($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -375,6 +405,7 @@ object Curation {
     "q53_zorder_histogram" -> q53,
     "q56_token_heavy_hitters" -> q56,
     "q58_doc_chunking" -> q58,
-    "q59_constraint_audit" -> q59
+    "q59_constraint_audit" -> q59,
+    "q61_dedup_survivors" -> q61
   )
 }
