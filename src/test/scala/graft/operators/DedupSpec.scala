@@ -44,6 +44,14 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("dedupByCluster drops transitive near-dups, keeps min id per cluster") {
+    // docs 1,2,3 form one near-dup cluster at j >= 0.7 (1~2 exact, 1~3/2~3
+    // at 0.75); 4 and 5 are unrelated singletons
+    val kept = Dedup.dedupByCluster(docs, "doc_id", "text", minJaccard = 0.7)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("minHash non-default numPerm/bands: same near-dup set, sig length follows") {
     val sig = Dedup.minHashSignatures(
       Dedup.shingles(docs, "doc_id", "text", 3), numPerm = 32)
