@@ -42,8 +42,15 @@ object Bench {
     // hiding real regressions the way a min would. Set SPARK_GRAFT_REPS=1
     // for raw single-shot behavior.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // Process-CPU time and system load average alongside every wall time:
+    // a loaded box inflates wall but not the query's own CPU, so a run
+    // where load_avg >> ncpus or wall >> cpu/ncpus is self-evidently
+    // environmental noise, not a regression.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val runs = (1 to reps).map { _ =>
+        val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // noop write materializes every output column — count() would let
         // the optimizer prune the very expressions being measured
@@ -53,15 +60,27 @@ object Bench {
             System.err.println(s"BENCH FAIL $name: $e"); false
           }
         // -1 sentinel: a crashed query must not read as a fast one
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+        else (-1.0, -1.0)
       }
-      name -> (if (times.exists(_ < 0)) -1.0
-        else times.sorted.apply(times.length / 2))
+      // median by wall time, with ITS paired CPU time (not a re-sorted
+      // median of cpu — the pair must describe the same execution)
+      val (wall, cpu) =
+        if (runs.exists(_._1 < 0)) (-1.0, -1.0)
+        else runs.sortBy(_._1).apply(runs.length / 2)
+      (name, wall, cpu, osBean.getSystemLoadAverage)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def jmap(f: ((String, Double, Double, Double)) => (String, Double)) =
+      results.map(f).map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")
+    val qs = jmap(r => (r._1, r._2))
+    val cpus2 = jmap(r => (r._1, r._3))
+    val loads = jmap(r => (r._1, r._4))
+    val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
+    val totalCpu = results.collect { case (_, w, c, _) if w >= 0 => c }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""cpu_sec":$cpus2,"cpu_total":$totalCpu,"load_avg":$loads,""" +
+      s""""ncpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

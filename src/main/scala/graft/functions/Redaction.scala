@@ -34,10 +34,17 @@ object Redaction {
       regexp_replace(acc, re, repl)
     }
 
-  /** Total matches of `patterns` in `c` — the per-row redaction count.
-    * Counted on the ORIGINAL column; apply before scrubbing.
+  /** Number of replacements `scrub(c, rules)` actually performs. Rule i is
+    * counted on the column AFTER rules 0..i-1 have been applied — mirroring
+    * scrub's left-to-right order — so overlapping patterns don't
+    * double-count (the digits inside an email are consumed by the email
+    * rule and never seen by the digit-run rule). Assumes replacement
+    * tokens don't themselves match later patterns (true of the defaults).
     */
-  def redactionCount(c: Column, patterns: Seq[String] =
-      DefaultRules.map(_._1)): Column =
-    patterns.map(p => regexp_count(c, lit(p)).cast("long")).reduce(_ + _)
+  def redactionCount(c: Column, rules: Seq[(String, String)] =
+      DefaultRules): Column =
+    rules.foldLeft((c, lit(0L))) { case ((acc, cnt), (re, repl)) =>
+      (regexp_replace(acc, re, repl),
+        cnt + regexp_count(acc, lit(re)).cast("long"))
+    }._2
 }

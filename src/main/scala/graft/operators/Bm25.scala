@@ -22,9 +22,16 @@ import graft.functions.TextAnalysis
   *
   * Determinism: the classic BM25 idf is ln((N-df+0.5)/(df+0.5)); `ln` is not
   * bit-guaranteed identical across math libraries, so cross-engine oracles
-  * could flip last-ulp. We use the rational idf (N-df+0.5)/(df+0.5) —
-  * same ordering behavior (ln is monotone), all IEEE +,*,/ ops, bit-exact
-  * everywhere.
+  * could flip last-ulp. We use the rational idf (N-df+0.5)/(df+0.5) — all
+  * IEEE +,*,/ ops, bit-exact everywhere. Ranking equivalence to ln-idf
+  * BM25 holds for SINGLE-term queries only (ln is monotone, so the
+  * per-term ordering is preserved); for multi-term queries the SUM of
+  * rational-idf contributions weights rare terms far more heavily than the
+  * log-damped classic score and can order documents differently. That is
+  * an intentional trade — this operator's contract is its own (oracle-
+  * checked) scoring function, not numeric classic-BM25 parity; callers who
+  * need reference-faithful multi-term ranking should substitute an ln idf
+  * and accept engine-local last-ulp variance.
   */
 object Bm25 {
 

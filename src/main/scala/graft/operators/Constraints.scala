@@ -32,16 +32,29 @@ object Constraints {
   /** Row-level audit: per check, the number of violating rows and the
     * verdict, plus the scanned row count — all from one aggregate.
     * Returns (constraint, violations, n_rows, pass[int]).
+    *
+    * `uniqueKeys`: key-uniqueness checks FUSED into the same aggregate —
+    * each key set adds a `count_distinct` to the agg list (Catalyst's
+    * one-distinct-group rewrite keeps it a single scan + one exchange of
+    * partial counters), instead of a second scan unioned on (the
+    * standalone `unique` below). duplicates = rows − distinct keys.
     */
-  def audit(df: DataFrame, checks: Seq[Check]): DataFrame = {
-    require(checks.nonEmpty, "no checks given")
-    val aggs = count(lit(1)).as("__n") +:
-      checks.zipWithIndex.map { case (ch, i) =>
-        sum(when(!coalesce(ch.holds, lit(false)), 1L).otherwise(0L)).as(s"__v$i")
-      }
+  def audit(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+    val checkAggs = checks.zipWithIndex.map { case (ch, i) =>
+      sum(when(!coalesce(ch.holds, lit(false)), 1L).otherwise(0L)).as(s"__v$i")
+    }
+    val uniqAggs = uniqueKeys.zipWithIndex.map { case (ks, i) =>
+      count_distinct(struct(ks.map(col): _*)).as(s"__u$i")
+    }
+    val aggs = count(lit(1)).as("__n") +: (checkAggs ++ uniqAggs)
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = checks.zipWithIndex.map { case (ch, i) =>
       struct(lit(ch.name).as("check_name"), col(s"__v$i").as("violations"))
+    } ++ uniqueKeys.zipWithIndex.map { case (ks, i) =>
+      struct(lit(s"unique(${ks.mkString(",")})").as("check_name"),
+        (col("__n") - col(s"__u$i")).as("violations"))
     }
     wide.select(explode(array(stacked: _*)).as("c"), col("__n"))
       .select(col("c.check_name").as("check_name"),

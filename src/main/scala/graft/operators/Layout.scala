@@ -42,16 +42,37 @@ object Layout {
     }.reduce(_ + _)
   }
 
-  /** Write `df` Z-order-clustered on two quantized dimensions: files cover
-    * contiguous Morton-curve slices, keeping min/max tight on BOTH inputs.
+  /** Proportionally bucket a non-negative integer column into [0, 2^bits):
+    * `(v * 2^bits) div (vmax + 1)` — the quantization step `zOrderKey`'s
+    * contract requires for domains wider than 2^bits (raw masking would
+    * alias the high bits and silently collapse distinct keys into one
+    * z-bucket). Exact BIGINT arithmetic only, so any SQL engine replays it
+    * bit-for-bit; `vmax` is the column max (attach it via a broadcast
+    * single-row stats join). Values above vmax alias into the top bucket.
+    */
+  def quantize(v: Column, vmax: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, s"bits must be 1..31, got $bits")
+    call_function("div",
+      v.cast("long") * lit(1L << bits), vmax.cast("long") + lit(1L))
+  }
+
+  /** Write `df` Z-order-clustered on two dimensions: files cover contiguous
+    * Morton-curve slices, keeping min/max tight on BOTH inputs. Each
+    * column is quantized into 2^bits buckets over its actual domain (one
+    * cheap min/max pre-pass at write time), so arbitrarily wide key
+    * domains never alias in the interleave.
     */
   def writeZOrdered(df: DataFrame, path: String, x: String, y: String,
       files: Int, bits: Int = 16): Unit = {
-    val z = zOrderKey(col(x), col(y), bits).as("__z")
-    df.withColumn("__z", z)
+    val mx = df.agg(max(col(x)).as("__xmax"), max(col(y)).as("__ymax"))
+    val z = zOrderKey(
+      quantize(col(x), col("__xmax"), bits),
+      quantize(col(y), col("__ymax"), bits), bits).as("__z")
+    df.crossJoin(broadcast(mx))
+      .withColumn("__z", z)
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", "__xmax", "__ymax")
       .write.mode("overwrite").parquet(path)
   }
 }

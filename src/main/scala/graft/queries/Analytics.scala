@@ -303,7 +303,8 @@ object Analytics {
       |  SELECT event_type, event_id, value,
       |    row_number() OVER (PARTITION BY event_type
       |                       ORDER BY value DESC, event_id) AS rn
-      |  FROM events) WHERE rn <= 3
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_id IS NOT NULL) WHERE rn <= 3
       |ORDER BY event_type, rn""".stripMargin) { (s, dir) =>
     import s.implicits._
     import org.apache.spark.sql.graft.{Bridge, TopKByAgg}

@@ -42,7 +42,12 @@ final class TopKBuffer(val k: Int) {
   * per group through map-side partial aggregation, so a billion-row group
   * shuffles k tuples. Output: array<struct<ord, id>> in rank order —
   * bit-identical to the window result for distinct (ord, id) pairs (ties
-  * on ord break to the smaller id, mirroring ORDER BY ord DESC, id).
+  * on ord break to the smaller id, mirroring ORDER BY ord DESC, id) —
+  * PROVIDED rows with a null ord or id are excluded on both sides: this
+  * aggregate drops them (update() skips nulls), while a bare window rank
+  * would place null ords last (NULLS LAST). Window-equivalence oracles
+  * must therefore filter `ord IS NOT NULL AND id IS NOT NULL`, or a group
+  * with fewer than k non-null rows plus a null row diverges.
   */
 case class TopKByAgg(
     ord: Expression,

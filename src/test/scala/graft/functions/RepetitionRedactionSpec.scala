@@ -56,12 +56,19 @@ class RepetitionRedactionSpec extends SparkSpec {
     assert(got.toString == "mail <EMAIL> or call <NUM> <NUM> now")
   }
 
-  test("redactionCount counts matches on the original column") {
+  test("redactionCount counts actual replacements, rule order respected") {
     val got = one("a@b.io and c@d.net plus 42",
-      Redaction.redactionCount(col("text"), Seq(Redaction.EmailPattern)))
+      Redaction.redactionCount(col("text"),
+        Seq(Redaction.EmailPattern -> "<EMAIL>")))
     assert(got == 2L)
     val nums = one("1 22 333", Redaction.redactionCount(col("text"),
-      Seq(Redaction.NumberPattern)))
+      Seq(Redaction.NumberPattern -> "<NUM>")))
     assert(nums == 3L)
+    // overlapping patterns: the email rule consumes bob123's digits, so the
+    // digit-run rule sees only the standalone 555 — 1 email + 1 number,
+    // exactly the replacements scrub performs (not 3)
+    val overlap = one("mail bob123@x.com or call 555",
+      Redaction.redactionCount(col("text")))
+    assert(overlap == 2L)
   }
 }

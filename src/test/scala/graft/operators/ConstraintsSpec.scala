@@ -35,6 +35,16 @@ class ConstraintsSpec extends SparkSpec {
     assert(clean.getLong(1) == 0L && clean.getInt(3) == 1)
   }
 
+  test("fused uniqueKeys match the standalone unique results in one pass") {
+    val r = Constraints.audit(df, Seq(Constraints.notNull("k")),
+        uniqueKeys = Seq(Seq("k"), Seq("k", "v")))
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getInt(3))).toMap
+    assert(r("unique(k)") == ((1L, 5L, 0)))
+    assert(r("unique(k,v)") == ((0L, 5L, 1)))
+    assert(r("not_null(k)") == ((1L, 5L, 0)))
+  }
+
   test("all-green frame passes every check") {
     val r = Constraints.audit(df.filter("k = 1"),
         Seq(Constraints.notNull("k"), Constraints.matches("f", "[A-Z]")))

@@ -25,6 +25,27 @@ class DedupSpec extends SparkSpec {
     assert(r == Map(1L -> 1, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1))
   }
 
+  test("exact dedup: no exchange carries the text column") {
+    // mirror of the q18 plan audit (PlanSpec): the winner-per-fingerprint
+    // aggregate and the non-survivor derivation must shuffle slim
+    // (fp, id) / id rows only; the full-row side attaches the flag via a
+    // join AQE turns into a broadcast. Materialize first so the assertion
+    // reads the FINAL adaptive plan, then check every Exchange node's
+    // input column list.
+    val r = Dedup.exact(docs, "doc_id", "text")
+    r.collect()
+    val p = r.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val lines = p.linesIterator.toVector
+    val exchangeInputs = lines.zipWithIndex.collect {
+      case (l, i) if l.matches("""\(\d+\) Exchange.*""") =>
+        lines.drop(i + 1).take(2).mkString(" ")
+    }
+    assert(exchangeInputs.nonEmpty, "expected at least the fp aggregate exchange")
+    val bad = exchangeInputs.filter(_.contains("text#"))
+    assert(bad.isEmpty, s"exchange carries the text column: ${bad.mkString("; ")}")
+  }
+
   test("jaccardPairs computes exact shingle jaccard") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
       .collect().map(r => (r.getAs[Long]("da"), r.getAs[Long]("db")) ->
