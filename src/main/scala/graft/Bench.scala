@@ -11,6 +11,13 @@ object Bench {
         shufflePartitions = cpus.toInt)
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", v))
+    // A/B hook: SPARK_GRAFT_CONF="key=value;key=value" overlays arbitrary
+    // session confs for config experiments without a rebuild.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm-up outside the timings: prime codegen, shuffle machinery and

@@ -5,7 +5,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
 
 /** Exact per-group interpolated quantiles (and full describe stats) as two
   * light jobs over ONE shuffle — the canonical distributed order-statistics
@@ -241,25 +241,99 @@ object DistributedQuantiles {
       }
       Row.fromSeq(k ++ moments ++ qs.map { case (name, _) => byTarget((k, name)) })
     }
-    val momentFields = if (!withMoments) Nil else Seq(
-      StructField("n", LongType), StructField("mean", DoubleType),
-      StructField("std", DoubleType), StructField("vmin", DoubleType),
-      StructField("vmax", DoubleType))
     val schema = StructType(
-      groupCols.map(c => sorted.schema(c)) ++ momentFields ++
+      groupCols.map(c => sorted.schema(c)) ++ momentFieldsOf(withMoments) ++
         qs.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(outRows.asJava, schema)
     } finally { rdd.unpersist(blocking = false); () }
   }
 
+  /** Stats for one collapsed value histogram (ascending (value, count)):
+    * the exact rank/weight interpolation shared by every driver-side path —
+    * `v_lo*(1-frac) + v_hi*frac` on exact doubles; moments accumulate in
+    * ascending value order (the single-partition case of the distributed
+    * accumulation), so all paths agree bit-for-bit on quantiles/min/max/n
+    * and to the usual summation-order ulp on mean/std (absorbed by the
+    * float32 metric casts).
+    */
+  private def histStats(hist: IndexedSeq[(Double, Long)],
+      qs: Seq[(String, Double)], withMoments: Boolean): Seq[Any] = {
+    val n = hist.iterator.map(_._2).sum
+    def valueAtRank(rank: Long): Double = {
+      var cum = 0L
+      var i = 0
+      while (i < hist.length) {
+        cum += hist(i)._2
+        if (cum >= rank) return hist(i)._1
+        i += 1
+      }
+      hist.last._1
+    }
+    val quantiles = qs.map { case (_, q) =>
+      val kk = (n - 1).toDouble * q
+      val frac = kk - math.floor(kk)
+      val lo = valueAtRank((math.floor(kk) + 1).toLong)
+      val hi = valueAtRank((math.ceil(kk) + 1).toLong)
+      lo * (1.0 - frac) + hi * frac
+    }
+    val moments: Seq[Any] = if (!withMoments) Nil else {
+      var sumV = 0.0; var sumV2 = 0.0
+      hist.foreach { case (v, c) => sumV += v * c; sumV2 += v * v * c }
+      val mean = sumV / n
+      val std =
+        if (n < 2) Double.NaN
+        else math.sqrt(math.max(0.0, (sumV2 - sumV * sumV / n) / (n - 1)))
+      Seq[Any](n, mean, std, hist.head._1, hist.last._1)
+    }
+    moments ++ quantiles
+  }
+
+  private def momentFieldsOf(withMoments: Boolean): Seq[StructField] =
+    if (!withMoments) Nil else Seq(
+      StructField("n", LongType), StructField("mean", DoubleType),
+      StructField("std", DoubleType), StructField("vmin", DoubleType),
+      StructField("vmax", DoubleType))
+
+  /** Tall describe of SEVERAL bounded-grid columns in ONE aggregate job:
+    * each column's exact value histogram rides the same scan as a mergeable
+    * `ValueHistogramAgg` buffer (org.apache.spark.sql.graft) — map-side
+    * partials collapse repeats before the exchange, so N columns of a
+    * 100 TB table cost one scan and N bounded (≤ SmallHistogramBudget
+    * entries) buffers, with NO melt generator and NO per-value row
+    * exchange. Order statistics and moments come off the collected
+    * histograms on the driver (histStats — bit-identical to the other
+    * paths). Exactness is guarded, not assumed: a column exceeding the
+    * histogram budget throws (route it through `describe` instead).
+    *
+    * Returns one row per column: (col_name, n, mean, std, vmin, vmax,
+    * <qname>...), rows in `cols` order.
+    */
+  def describeGridColumns(df: DataFrame, cols: Seq[String],
+      qs: Seq[(String, Double)]): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, ValueHistogramAgg}
+    val spark = df.sparkSession
+    val aggs = cols.map { c =>
+      Bridge.column(ValueHistogramAgg(
+          Bridge.expression(col(c).cast("double")),
+          capacity = SmallHistogramBudget.toInt)
+        .toAggregateExpression()).as(s"__h_$c")
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val outRows = cols.zipWithIndex.map { case (c, i) =>
+      val hist = row.getSeq[Row](i)
+        .map(r => (r.getDouble(0), r.getLong(1))).toIndexedSeq
+      Row.fromSeq(c +: histStats(hist, qs, withMoments = true))
+    }
+    val schema = StructType(StructField("col_name", StringType) +:
+      (momentFieldsOf(withMoments = true) ++
+        qs.map { case (name, _) => StructField(name, DoubleType) }))
+    spark.createDataFrame(outRows.asJava, schema)
+  }
+
   /** Bounded-grid path: collapse to distinct (group, value, count) with one
     * map-side-combine aggregate, collect the (small by declaration)
-    * histogram, and walk it on the driver. Quantile arithmetic is the exact
-    * same rank/weight formula as the two-job path — `v_lo*(1-frac) +
-    * v_hi*frac` on exact doubles — and moments accumulate in ascending value
-    * order (the single-partition case of the distributed accumulation), so
-    * both paths agree bit-for-bit on quantiles/min/max/n and to the usual
-    * summation-order ulp on mean/std (absorbed by the float32 metric casts).
+    * histogram, and walk it on the driver (histStats for the shared
+    * arithmetic).
     */
   private def viaDriverHistogram(df: DataFrame, groupCols: Seq[String],
       valueCol: String, qs: Seq[(String, Double)],
@@ -274,42 +348,11 @@ object DistributedQuantiles {
     val byKey = collected.groupBy(r => (0 until g).map(r.get): Seq[Any])
     val outRows = byKey.toSeq.map { case (k, arr) =>
       val hist = arr.map(r => (r.getDouble(g), r.getLong(g + 1)))
-        .sortBy(_._1)
-      val n = hist.iterator.map(_._2).sum
-      def valueAtRank(rank: Long): Double = {
-        var cum = 0L
-        var i = 0
-        while (i < hist.length) {
-          cum += hist(i)._2
-          if (cum >= rank) return hist(i)._1
-          i += 1
-        }
-        hist.last._1
-      }
-      val quantiles = qs.map { case (_, q) =>
-        val kk = (n - 1).toDouble * q
-        val frac = kk - math.floor(kk)
-        val lo = valueAtRank((math.floor(kk) + 1).toLong)
-        val hi = valueAtRank((math.ceil(kk) + 1).toLong)
-        lo * (1.0 - frac) + hi * frac
-      }
-      val moments: Seq[Any] = if (!withMoments) Nil else {
-        var sumV = 0.0; var sumV2 = 0.0
-        hist.foreach { case (v, c) => sumV += v * c; sumV2 += v * v * c }
-        val mean = sumV / n
-        val std =
-          if (n < 2) Double.NaN
-          else math.sqrt(math.max(0.0, (sumV2 - sumV * sumV / n) / (n - 1)))
-        Seq[Any](n, mean, std, hist.head._1, hist.last._1)
-      }
-      Row.fromSeq(k ++ moments ++ quantiles)
+        .sortBy(_._1).toIndexedSeq
+      Row.fromSeq(k ++ histStats(hist, qs, withMoments))
     }
-    val momentFields = if (!withMoments) Nil else Seq(
-      StructField("n", LongType), StructField("mean", DoubleType),
-      StructField("std", DoubleType), StructField("vmin", DoubleType),
-      StructField("vmax", DoubleType))
     val schema = StructType(
-      groupCols.map(c => perValue.schema(c)) ++ momentFields ++
+      groupCols.map(c => perValue.schema(c)) ++ momentFieldsOf(withMoments) ++
         qs.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(outRows.asJava, schema)
   }

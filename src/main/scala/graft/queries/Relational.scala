@@ -290,36 +290,37 @@ object Relational {
     QueryDef.sql("describe-style summary stats per lineitem column")(
       oracleParts.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")) { (s, dir) =>
       import s.implicits._
-      // Exact percentiles + moments via DistributedQuantiles.describe, not
-      // the built-in Percentile aggregate (buffers a value->count map of
-      // every distinct value per partition — slow and the classic 100 TB
-      // OOM) and not Window.partitionBy(col_name).orderBy(v) (exactly ONE
-      // sort task per column, any cluster size). The melt collapses to
-      // distinct (col, value) counts map-side, one range shuffle, two
-      // light jobs; moments come from the same job-1 partials. A grid/
-      // continuous column split (bounded columns via the driver-histogram
-      // fast path, price via the two-job path) measured neutral at sf0.1
-      // (1.90 vs 1.94 s, two scans vs one) — keep the single melt.
+      // Exact percentiles + moments, split by column domain:
+      //  - quantity/discount/tax live on tiny bounded grids (50/11/9
+      //    values at any SF), so all three ride ONE aggregate job as
+      //    mergeable ValueHistogramAgg buffers — no melt generator, no
+      //    per-value row exchange (describeGridColumns; the earlier
+      //    single-melt form paid a 2.4M-row stack + hash agg + range
+      //    shuffle + two collect jobs: 2.8 s vs ~1.0 s at sf0.1);
+      //  - extendedprice is near-unique/continuous, so it keeps the
+      //    range-shuffle two-job order-statistics path (preCollapse=false:
+      //    collapsing a near-unique column shuffles the same volume twice).
+      // Neither path uses the built-in Percentile aggregate (buffers every
+      // distinct value per partition — the classic 100 TB OOM) nor a
+      // window sort (one task per column at any cluster size).
       val li = Tables(s, dir).lineitem
-      // stack() is a Generator without GenerateExec codegen, but replacing
-      // the melt with a codegen'd explode(array(struct...)) measured
-      // neutral (1.96 vs 1.98 s at sf0.1) — the generator is not the
-      // bottleneck here; keep the simpler form
-      val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
-      val melted = li
-        .selectExpr(s"stack(${cols.size}, $stackArgs) AS (col_name, v)")
-        .filter($"v".isNotNull)
-      graft.operators.DistributedQuantiles
-        .describe(melted, Seq("col_name"), "v",
-          Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
-          // the melt's group key is the 4 column-name literals
-          // preCollapse=true is the measured optimum for this melt even
-          // though l_extendedprice is near-unique: preCollapse=false
-          // (range-shuffle 2.4M raw rows, skip the aggregate exchange)
-          // re-measured 4.4 s vs 1.6 s at sf0.1 — the collapse's map-side
-          // combine removes 75% of the range-shuffle volume here because
-          // three of the four melted columns live on tiny grids
-          groupCountHint = Some(cols.size.toLong))
+      val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75)
+      // the two branches collect eagerly and share no lineage — submit
+      // their jobs concurrently (Spark's scheduler interleaves them across
+      // the same executors; wall = max of the branches, not the sum)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val fGrids = Future(graft.operators.DistributedQuantiles
+        .describeGridColumns(li, Seq("l_quantity", "l_discount", "l_tax"), qs))
+      val fPrice = Future(graft.operators.DistributedQuantiles
+        .describe(li.select($"l_extendedprice").filter($"l_extendedprice".isNotNull),
+          Seq.empty, "l_extendedprice", qs,
+          groupCountHint = Some(1L), preCollapse = false)
+        .withColumn("col_name", lit("l_extendedprice")))
+      val grids = Await.result(fGrids, Duration.Inf)
+      val price = Await.result(fPrice, Duration.Inf)
+      grids.union(price.select(grids.columns.map(col): _*))
         .select($"col_name", $"n", $"mean".cast("float").as("mean"),
           $"std".cast("float").as("std"), $"vmin",
           $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
@@ -348,8 +349,11 @@ object Relational {
     graft.operators.DistributedQuantiles
       .describe(ev, Seq("event_type"), "value",
         Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75),
-        // event taxonomy is enum-grain (bounded set of type names)
-        groupCountHint = Some(100L))
+        // event taxonomy is enum-grain (bounded set of type names);
+        // value is a near-unique continuous double, so the pre-collapse
+        // aggregate would shuffle the same volume twice — range-shuffle
+        // the raw (type, value) rows once instead
+        groupCountHint = Some(100L), preCollapse = false)
       .select($"event_type", $"n", $"mean".cast("float").as("mean"),
         $"std".cast("float").as("std"), $"vmin",
         $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
