@@ -27,11 +27,16 @@ import org.apache.spark.storage.StorageLevel
   * clusters, diameter 2-4 at any corpus size). Each round is two shuffles
   * of (long, long) labels — never document content — and lineage is
   * truncated per round with `localCheckpoint` so the plan does not grow
-  * with iterations. For adversarial long-path graphs the
-  * large-star/small-star algorithm (Kiveris et al., "Connected Components
-  * in MapReduce and Beyond") converges in O(log n) rounds; near-dup
-  * workloads never need it, so we keep the simpler kernel and a maxIters
-  * guard.
+  * with iterations (each round's checkpoint RDD is unpersisted once the
+  * next round materializes — storage stays O(1) in rounds).
+  *
+  * Adversarial long-path graphs would stall hash-min (O(diameter) rounds),
+  * so after `HashMinEscalationRounds` unconverged rounds the loop escalates
+  * to large-star/small-star alternation (Kiveris et al., "Connected
+  * Components in MapReduce and Beyond", public algorithm): O(log n) rounds
+  * on ANY shape, seeded with the partially-propagated labels so hash-min
+  * progress is kept. Near-dup graphs never trip the escalation; a 10k-edge
+  * path graph converges in ~log2 rounds (ConnectedComponentsSpec).
   */
 object ConnectedComponents extends Logging {
 
@@ -88,7 +93,15 @@ object ConnectedComponents extends Logging {
     buf.toSeq.toDF("id", "comp")
   }
 
-  /** Distributed path: iterative hash-min label propagation. */
+  /** Hash-min rounds before escalating to large-star/small-star: near-dup
+    * graphs (diameter 2-4) converge well inside this; only adversarial
+    * long-path shapes reach it.
+    */
+  val HashMinEscalationRounds = 8
+
+  /** Distributed path: iterative hash-min label propagation, escalating to
+    * two-phase star contraction if the graph turns out to be long-diameter.
+    */
   private def distributedAssign(e: DataFrame, maxIters: Int): DataFrame = {
     val sym = e.select(col("da").as("src"), col("db").as("dst"))
       .union(e.select(col("db").as("src"), col("da").as("dst")))
@@ -100,7 +113,8 @@ object ConnectedComponents extends Logging {
 
     var iter = 0
     var changed = 1L
-    while (changed > 0 && iter < maxIters) {
+    val hashMinBudget = math.min(HashMinEscalationRounds, maxIters)
+    while (changed > 0 && iter < hashMinBudget) {
       // min label among each vertex's neighbors, one shuffle each way
       val nbrMin = sym
         .join(labels.select(col("id").as("dst"), col("comp").as("ncomp")), "dst")
@@ -114,13 +128,90 @@ object ConnectedComponents extends Logging {
             .cast("long").as("chg"))
         .localCheckpoint() // materializes: one action per round, bounded lineage
       changed = next.agg(sum(col("chg"))).head.getLong(0)
+      // the new round is materialized — release the previous round's
+      // checkpoint RDD (localCheckpoint persists OUTSIDE the CacheManager,
+      // so Dataset.unpersist can't; see Bridge.unpersistCheckpointed)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(labels)
       labels = next.drop("chg")
       iter += 1
     }
+    val out = if (changed == 0L) labels
+    else {
+      // Long-diameter graph: hand off to O(log n) star contraction, seeding
+      // with the label edges (id -> current comp) so propagated mins carry
+      // over — connectivity is identical (labels only ever link vertices of
+      // one component) and the partial stars shorten the remaining work.
+      logInfo(s"ConnectedComponents: hash-min unconverged after $iter " +
+        "rounds — escalating to large-star/small-star")
+      val seed = sym.select(col("src"), col("dst"))
+        .union(labels.select(col("id").as("src"), col("comp").as("dst")))
+      val (lbl, rounds) = twoPhase(seed, maxIters - iter)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(labels)
+      logInfo(s"ConnectedComponents: two-phase converged in $rounds rounds")
+      lbl
+    }
     sym.unpersist()
-    require(changed == 0L,
-      s"connected components did not converge in $maxIters rounds")
-    labels
+    out
+  }
+
+  /** Large-star/small-star alternation (Kiveris et al. 2014): repeatedly
+    * (a) attach every vertex's larger neighbors to its neighborhood min,
+    * (b) collapse each vertex's smaller neighbors onto their min — until
+    * the edge set is a fixed point, i.e. a star forest with every child
+    * pointing at its component minimum. O(log n) rounds on any graph, each
+    * round two (long,long) aggregate+join shuffles; per-round
+    * localCheckpoint with eager unpersist of the previous round, same
+    * storage discipline as hash-min. Returns (labels, roundsUsed).
+    */
+  private[operators] def twoPhase(edges0: DataFrame,
+      maxRounds: Int): (DataFrame, Int) = {
+    // canonical parent-pointer orientation: child > parent
+    var edges = edges0
+      .select(greatest(col("src"), col("dst")).as("c"),
+        least(col("src"), col("dst")).as("p"))
+      .filter(col("c") =!= col("p"))
+      .distinct()
+      .localCheckpoint()
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      // LARGE-STAR over the symmetric neighborhood: for each u, link every
+      // strictly-larger neighbor to m = min(N(u) ∪ {u}). Each undirected
+      // edge is emitted from exactly one side (its smaller endpoint), so
+      // the edge count never grows.
+      val sym = edges.select(col("c").as("u"), col("p").as("v"))
+        .union(edges.select(col("p").as("u"), col("c").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min(least(col("u"), col("v"))).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .distinct()
+      // SMALL-STAR over the oriented edges: for each child c, collapse its
+      // parents onto mp = min parent — emit (c, mp) and (p, mp) for the
+      // displaced parents. Orientation (child > parent) is preserved.
+      val joined = ls.join(ls.groupBy("c").agg(min(col("p")).as("m")), "c")
+      val next = joined.select(col("c"), col("m").as("p"))
+        .union(joined.filter(col("p") =!= col("m"))
+          .select(col("p").as("c"), col("m").as("p")))
+        .distinct()
+        .localCheckpoint()
+      // fixed point = identical edge set (both sides distinct, so equal
+      // counts + empty one-way difference suffices)
+      done = next.count() == edges.count() &&
+        next.join(edges, Seq("c", "p"), "left_anti").isEmpty
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(edges)
+      edges = next
+      round += 1
+    }
+    require(done, s"two-phase connected components did not converge in " +
+      s"$maxRounds rounds")
+    // star forest: every child points at its component min; roots self-map
+    val labels = edges.select(col("c").as("id"), col("p").as("comp"))
+      .union(edges.select(col("p").as("id"), col("p").as("comp")))
+      .distinct()
+      .localCheckpoint()
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(edges)
+    (labels, round)
   }
 
   /** Component assignment plus cluster size: (id, component, csize). */

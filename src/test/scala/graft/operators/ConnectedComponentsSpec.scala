@@ -72,6 +72,27 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(driver(84L) == 80L && driver(100001L) == 100000L)
   }
 
+  test("10k-vertex path graph: two-phase escalation converges in O(log n) rounds") {
+    // Adversarial shape for hash-min (diameter 10k ⇒ 10k rounds); the
+    // escalated large-star/small-star path must converge in ~log2(n)
+    // rounds. Run twoPhase directly to pin the round count, then the full
+    // distributed dispatch (hash-min -> escalation) for end-to-end truth.
+    val n = 10000L
+    val s = spark
+    import s.implicits._
+    val pairEdges = (0L until n - 1).map(i => (i, i + 1))
+    val raw = pairEdges.toDF("src", "dst")
+    val (lbl, rounds) = ConnectedComponents.twoPhase(raw, maxRounds = 40)
+    assert(rounds <= 30, s"expected O(log n) rounds, got $rounds") // log2(10k) ≈ 13.3
+    val comps = lbl.select("comp").distinct().collect().map(_.getLong(0)).toSet
+    assert(comps == Set(0L) && lbl.count() == n)
+
+    val full = ConnectedComponents.assign(
+        pairEdges.toDF("da", "db"), maxIters = 50, driverEdgeBudget = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(full.size == n && full.values.toSet == Set(0L))
+  }
+
   test("nonSurvivors drops exactly the non-minimum vertices") {
     val r = ConnectedComponents.nonSurvivors(edges((1L, 2L), (2L, 3L), (7L, 9L)))
       .collect().map(_.getLong(0)).toSet
