@@ -290,6 +290,28 @@ object Analytics {
       .select($"q"(0).as("p25"), $"q"(1).as("p50"), $"q"(2).as("p75"))
   }
 
+  /** Exact quantiles via KLL bracket refinement — the COMPACTION regime
+    * gate for the KLL aggregate (q57 gates the exact regime, capacity >=
+    * n): here k=256 against 1k-100k event rows, so the sketch compacts at
+    * every gated SF. The sketch only brackets each target rank; one exact
+    * pass counts rows below the bracket and selects the target inside it
+    * (SketchExact.quantiles), so the output is exact and
+    * partition-invariant — but a violated compaction error bound pushes
+    * the true value outside the bracket and the query fails loudly rather
+    * than drifting. Same rank semantics and oracle shape as q57.
+    */
+  private val q63 = QueryDef.sql(
+    "exact event-value quantiles via compacting KLL bracket + exact refinement")(
+    """WITH s AS (SELECT value AS v, row_number() OVER (ORDER BY value) AS rn,
+      |    count(*) OVER () AS n FROM events)
+      |SELECT min(CASE WHEN rn >= greatest(ceil(0.25::DOUBLE * n), 1) THEN v END) AS p25,
+      |       min(CASE WHEN rn >= greatest(ceil(0.5::DOUBLE * n), 1) THEN v END) AS p50,
+      |       min(CASE WHEN rn >= greatest(ceil(0.75::DOUBLE * n), 1) THEN v END) AS p75
+      |FROM s""".stripMargin) { (s, dir) =>
+    graft.operators.SketchExact.quantiles(Tables(s, dir).events, "value",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75), k = 256)
+  }
+
   /** Top-3 highest-value events per type via the bounded-heap TopKByAgg —
     * the scale replacement for the window-rank top-k (q06's shape): the
     * window form sorts EVERY row of every group; the heap aggregate keeps
@@ -329,6 +351,7 @@ object Analytics {
     "q54_percentile_rank" -> q54,
     "q55_daily_anomaly" -> q55,
     "q57_sketch_quantiles" -> q57,
-    "q60_topk_heap" -> q60
+    "q60_topk_heap" -> q60,
+    "q63_sketch_quantiles_exact" -> q63
   )
 }

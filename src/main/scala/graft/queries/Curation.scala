@@ -412,6 +412,35 @@ object Curation {
       .orderBy($"doc_id")
   }
 
+  /** Exact top-5 character trigrams via sketch-then-verify — the EVICTION
+    * regime gate for the Space-Saving aggregate (q56 gates the exact
+    * regime): the corpus has 377 distinct trigrams, the sketch capacity is
+    * 256, so every partition's summary genuinely evicts; a second scan
+    * recounts the ≤256 tracked candidates exactly and certifies the top-5
+    * against the sketch's untracked-item bound (SketchExact.topK). The
+    * output is exact — hash-gateable and partition-invariant — but only
+    * reachable if the eviction + merge rules preserved the Space-Saving
+    * guarantee: a broken bound drops a true heavy hitter from the
+    * candidate set and the gate goes red. Char trigrams (not tokens) are
+    * the item stream because the synthetic token distribution is flat
+    * (vocab 31, near-uniform) while letter frequencies are naturally
+    * Zipf-ish: the top-5 trigrams carry ~1.2-1.8% of the stream each vs a
+    * worst-case untracked bound of N/256 ≈ 0.4%.
+    */
+  private val q62 = QueryDef.sql(
+    "exact top-5 char trigrams: Space-Saving candidates + exact recount (eviction regime)")(
+    """WITH g AS (SELECT substr(text, i, 3) AS item
+      |  FROM documents, unnest(range(1, greatest(length(text)-1, 2))) AS r(i))
+      |SELECT item, count(*) AS cnt FROM g
+      |GROUP BY 1 ORDER BY cnt DESC, item LIMIT 5""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val tris = Tables(s, dir).documentsFanned.select(
+      explode(expr(
+        "transform(sequence(1, greatest(length(text)-2, 1)), i -> substring(text, i, 3))"))
+        .as("item"))
+    graft.operators.SketchExact.topK(tris, "item", k = 5, capacity = 256)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -424,6 +453,7 @@ object Curation {
     "q56_token_heavy_hitters" -> q56,
     "q58_doc_chunking" -> q58,
     "q59_constraint_audit" -> q59,
-    "q61_dedup_survivors" -> q61
+    "q61_dedup_survivors" -> q61,
+    "q62_sketch_topk_exact" -> q62
   )
 }

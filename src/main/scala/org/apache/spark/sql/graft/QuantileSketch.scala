@@ -179,3 +179,55 @@ case class KllSketchAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Same sketch, raw output: the merged KllBuffer in its wire format
+  * (BinaryType). Lets a driver-side consumer query the one-scan sketch at
+  * arbitrary ranks (bracketing, iterative refinement) without re-scanning
+  * per probe set — the SketchExact.quantiles pattern. Decode with
+  * [[KllSketchRawAgg.decode]].
+  */
+case class KllSketchRawAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KllBuffer] with ImplicitCastInputTypes {
+
+  require(k >= 8, s"sketch capacity must be >= 8, got $k")
+
+  private val proto = KllSketchAgg(child, k, Seq(0.5))
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(DoubleType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "kll_sketch_raw"
+
+  override def createAggregationBuffer(): KllBuffer = new KllBuffer(k)
+  override def update(buffer: KllBuffer, input: InternalRow): KllBuffer = {
+    val v = child.eval(input)
+    if (v != null) buffer.add(v.asInstanceOf[Double])
+    buffer
+  }
+  override def merge(buffer: KllBuffer, other: KllBuffer): KllBuffer = {
+    buffer.merge(other)
+    buffer
+  }
+  override def eval(buffer: KllBuffer): Any = serialize(buffer)
+  override def serialize(buffer: KllBuffer): Array[Byte] = proto.serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): KllBuffer = proto.deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KllSketchRawAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KllSketchRawAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+object KllSketchRawAgg {
+  def decode(bytes: Array[Byte]): KllBuffer =
+    KllSketchAgg(org.apache.spark.sql.catalyst.expressions.Literal(0.0),
+      8, Seq(0.5)).deserialize(bytes)
+}
