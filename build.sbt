@@ -34,4 +34,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // deep GBT boosting chains deserialize deeply-nested closures
   "-Xss8m",
-)
+) ++
+  // A/B hook for JVM flags (GC experiments etc.) without editing the build:
+  // SPARK_GRAFT_JVM="-XX:+UseParallelGC -Xmx24g" (read at sbt startup)
+  sys.env.get("SPARK_GRAFT_JVM").map(_.split(" ").filter(_.nonEmpty).toSeq)
+    .getOrElse(Nil)

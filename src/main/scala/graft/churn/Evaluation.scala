@@ -119,6 +119,54 @@ object Evaluation {
     }
   }
 
+  /** Per-ROW feature contribution estimates — the row-level SHAP-artifact
+    * stand-in (churn_model_training.py:137-142; SHAP has no public Spark
+    * API). Interventional single-feature effects: for row x and feature j,
+    *
+    *   phi_j(x) = f(x) − E_b[ f(x with x_j ← b_j) ]
+    *
+    * with the expectation over a small background sample b — the
+    * marginal/interventional formulation (public knowledge: Breiman's
+    * permutation logic applied row-wise; equals the Shapley value for the
+    * single-feature coalition term). Positive phi = this row's value of j
+    * pushes its score above the background-typical score.
+    *
+    * Scale shape: per feature, ONE model.transform over the frame with the
+    * background values EXPLODED in-scan (B row-multiplication, no
+    * crossJoin shuffle), then a slim (id, prob) aggregate — F features ×
+    * B backgrounds cost F scans of B× rows by construction (inherent to
+    * interventional sampling; run as a diagnostic job). The background
+    * sample is collected once (nBackground rows) and inlined as literals.
+    *
+    * Output: (idCol, feature, phi) long-format, one row per input row per
+    * feature.
+    */
+  def rowContributions(model: PipelineModel, prepared: DataFrame,
+      idCol: String,
+      features: Seq[String] = ChurnSchema.NumericalColumns,
+      nBackground: Int = 16, seed: Long = 42L): DataFrame = {
+    val bg = prepared.select(features.map(c => col(c).cast("double").as(c)): _*)
+      .withColumn("__r", rand(seed)).orderBy(col("__r")).limit(nBackground)
+      .drop("__r").collect()
+    require(bg.nonEmpty, "rowContributions needs a non-empty background sample")
+    val baseScored = Training.score(model, prepared)
+      .select(col(idCol), col("churn_probability").as("__base"))
+    val perFeature = features.zipWithIndex.map { case (f, i) =>
+      val bvals = bg.map(_.getDouble(i))
+      val variants = prepared
+        .withColumn("__bv", explode(array(bvals.map(lit(_)): _*)))
+        .withColumn(f, col("__bv")).drop("__bv")
+      Training.score(model, variants)
+        .groupBy(col(idCol))
+        .agg(avg(col("churn_probability")).as("__cf"))
+        .select(col(idCol), lit(f).as("feature"), col("__cf"))
+    }
+    perFeature.reduce(_ union _)
+      .join(baseScored, idCol)
+      .select(col(idCol), col("feature"),
+        (col("__base") - col("__cf")).as("phi"))
+  }
+
   /** Uniform random permutation of one column, every stage parallel: rank
     * the rows and (independently) the values over two random orders, then
     * join rank-to-rank.

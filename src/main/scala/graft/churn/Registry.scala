@@ -63,7 +63,52 @@ final class Registry(root: String, conf: Configuration = new Configuration()) {
     val metaJson = "{\"expected_columns\": [" +
       expectedColumns.map(c => "\"" + c + "\"").mkString(", ") + "]}"
     writeString(new Path(dir, "meta.json"), metaJson)
+    writeString(new Path(dir, "MLmodel"),
+      mlModelYaml(name, version, expectedColumns))
     version
+  }
+
+  /** MLflow `MLmodel` descriptor (interop shim for `models:/{name}@{alias}`
+    * parity, churn_prediction_pipeline.py:104): the published MLflow
+    * model-directory contract — a YAML file next to the model data whose
+    * `flavors.spark.model_data` names the Spark ML artifact subdirectory —
+    * so an external MLflow client (or any reader of the documented format)
+    * can discover and load registered versions straight off the store.
+    * Deterministic content (model_uuid derives from name/version) so
+    * registry writes are reproducible byte-for-byte.
+    */
+  private def mlModelYaml(name: String, version: Int,
+      expectedColumns: Seq[String]): String = {
+    val uuid = java.util.UUID.nameUUIDFromBytes(
+      s"graft-registry:$name:v$version".getBytes("UTF-8")).toString
+    val inputs = expectedColumns
+      .map(c => s"""{"name": "$c", "type": "double"}""")
+      .mkString("[", ", ", "]")
+    s"""artifact_path: model
+       |flavors:
+       |  spark:
+       |    model_data: model
+       |    pyspark_version: 4.1.2
+       |model_uuid: $uuid
+       |signature:
+       |  inputs: '$inputs'
+       |  outputs: '[{"name": "churn_prediction", "type": "integer"}]'
+       |""".stripMargin
+  }
+
+  /** Load a version through the MLmodel descriptor alone — the external
+    * client's path: read YAML, resolve `flavors.spark.model_data` relative
+    * to the version directory, load the Spark ML artifact it names.
+    */
+  def loadViaMlModel(name: String, version: Int): PipelineModel = {
+    val dir = modelDir(name, version)
+    val yaml = readString(new Path(dir, "MLmodel"))
+    val modelData = yaml.linesIterator
+      .collectFirst { case l if l.trim.startsWith("model_data:") =>
+        l.trim.stripPrefix("model_data:").trim }
+      .getOrElse(throw new RuntimeException(
+        s"MLmodel for $name v$version has no flavors.spark.model_data"))
+    PipelineModel.load(new Path(dir, modelData).toString)
   }
 
   /** Set/overwrite an alias pointer (TRAIN:190-194 sets `staging`). */

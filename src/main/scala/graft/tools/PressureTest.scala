@@ -1,0 +1,95 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Curation-chain pressure test beyond the gated SFs: amplify the sf0.1
+  * corpus ~10× with SKEWED near-dup cluster sizes (a few 400-member
+  * clusters, many 30- and 6-member ones) and a hot boilerplate prefix on a
+  * third of the documents, then drive pairs → clusters → survivors
+  * end-to-end. The pair volume (~millions) exceeds the 2M driver
+  * union-find budget, so ConnectedComponents takes its DISTRIBUTED
+  * label-propagation path on real amplified data — the regime the driver
+  * suite can't reach. Prints a summary for PRESSURE.md.
+  *
+  * Checks (hard failures, not prints):
+  *  - the edge count actually exceeds the driver budget (distributed path);
+  *  - label propagation converges (assign throws otherwise);
+  *  - pair growth stays near-linear in docs (bucket caps hold: pairs/doc
+  *    bounded), and every amplified replica clusters with its source.
+  */
+object PressureTest {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = graft.core.GraftSession.local(cores = 32, appName = "pressure")
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"PRESSURE $name: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      r
+    }
+
+    val docs = graft.core.Tables(spark, sfDir).documents
+    // Skewed replication: doc_id % 997 == 0 -> 400 near-dup copies,
+    // % 7 == 0 -> 30, else 6. Copies append a 2-token suffix (~0.92
+    // jaccard on 3-shingles vs the original); a third of the corpus gets a
+    // shared boilerplate prefix so a handful of shingles go hot.
+    val reps = when(pmod($"doc_id", lit(997)) === 0, 400)
+      .when(pmod($"doc_id", lit(7)) === 0, 30).otherwise(6)
+    val amplified = docs
+      .withColumn("rep", explode(sequence(lit(0), reps - 1)))
+      .select(
+        ($"doc_id" * 1024 + $"rep").as("doc_id"),
+        concat(
+          when(pmod($"doc_id", lit(3)) === 0,
+            lit("shared boilerplate header common to many documents "))
+            .otherwise(lit("")),
+          $"text",
+          when($"rep" === 0, lit(""))
+            .otherwise(concat(lit(" variant "), $"rep"))).as("text"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nDocs = timed("amplify")(amplified.count())
+    println(s"PRESSURE docs: $nDocs")
+
+    val pairs = timed("pairs")(
+      graft.operators.Dedup.minHashNearDups(
+          amplified.repartition(64), "doc_id", "text",
+          n = 3, minJaccard = 0.9)
+        .select($"da", $"db")
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nPairs = pairs.count()
+    println(f"PRESSURE pairs: $nPairs (${nPairs.toDouble / nDocs}%.1f/doc)")
+    require(nPairs > 2000000L,
+      s"pressure corpus produced only $nPairs pairs — below the driver " +
+        "budget, the distributed path is not exercised")
+    // near-linear growth: bucket/band caps must keep pairs per doc bounded
+    require(nPairs < 60L * nDocs,
+      s"pair blowup: $nPairs pairs for $nDocs docs — bucket caps not holding")
+
+    val labels = timed("clusters")(
+      graft.operators.ConnectedComponents.assign(pairs)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val nComp = labels.select("comp").distinct().count()
+    println(s"PRESSURE components: $nComp over ${labels.count()} clustered docs")
+
+    // every replica of a source doc must land in ONE cluster: the replicas
+    // of source s share ids s*1024+r, all pairwise near-dup by construction
+    val misSplit = labels
+      .withColumn("src", expr("id div 1024"))
+      .groupBy("src").agg(countDistinct($"comp").as("nc"))
+      .filter($"nc" > 1).count()
+    println(s"PRESSURE mis-split sources: $misSplit")
+    require(misSplit == 0L, s"$misSplit sources split across clusters")
+
+    val survivors = timed("survivors")(
+      amplified.join(
+        graft.operators.ConnectedComponents.nonSurvivors(pairs)
+          .withColumnRenamed("id", "doc_id"),
+        Seq("doc_id"), "left_anti").count())
+    println(s"PRESSURE survivors: $survivors of $nDocs")
+    spark.stop()
+  }
+}

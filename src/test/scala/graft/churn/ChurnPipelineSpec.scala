@@ -118,6 +118,27 @@ class ChurnPipelineSpec extends SparkSpec {
     assert(result.error.get.contains("does not match expected structure"))
   }
 
+  test("MLmodel interop: external-client contract loads the registered model") {
+    val (root, registry, _, _) = env
+    val v = registry.resolveAlias(ChurnSchema.ModelName, ChurnSchema.ModelAlias)
+    // the published MLflow directory contract: MLmodel YAML next to the
+    // model data, flavors.spark.model_data naming the artifact subdir
+    val yaml = new String(Files.readAllBytes(
+      Paths.get(root, "registry", ChurnSchema.ModelName, s"v$v", "MLmodel")),
+      "UTF-8")
+    assert(yaml.contains("artifact_path: model"))
+    assert(yaml.contains("model_data: model"))
+    assert(yaml.contains("model_uuid: "))
+    assert(ChurnSchema.NumericalColumns.forall(c =>
+      yaml.contains("\"name\": \"" + c + "\"")))
+    // load THROUGH the descriptor (the external client's path) and score
+    val m = registry.loadViaMlModel(ChurnSchema.ModelName, v)
+    val raw = spark.read.schema(ChurnSchema.RawSchema)
+      .option("header", "true")
+      .csv("/root/reference/data/customer_churn_0.csv")
+    assert(Training.score(m, ChurnSchema.prepareData(raw)).count() > 0)
+  }
+
   test("drifted synthetic file fires the drift alert") {
     val alerts = scala.collection.mutable.Buffer.empty[Alerts.Alert]
     drop("customer_churn_synthetic_1.csv",

@@ -56,6 +56,41 @@ class EvaluationSpec extends SparkSpec {
     assert(rank >= 0 && rank < 4, s"top split-gain feature ranked $rank")
   }
 
+  test("row contributions: per-row phi aggregates agree with permutation ranks") {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.schema(ChurnSchema.RawSchema)
+      .option("header", "true")
+      .csv("/root/reference/data/customer_churn_0.csv")
+    val prepared = ChurnSchema.prepareData(raw)
+    val (train, test) = Training.trainTestSplit(prepared)
+    val model = Training.trainModel(train, Training.GbtParams(maxIter = 30))
+    val withId = test.withColumn("rid", monotonically_increasing_id()).cache()
+    withId.count() // pin ids before the multi-plan reuse
+
+    val contrib = Evaluation.rowContributions(model, withId, "rid",
+      nBackground = 8)
+    // one phi per (row, feature); all finite
+    val nRows = withId.count()
+    assert(contrib.count() == nRows * ChurnSchema.NumericalColumns.size)
+    assert(contrib.filter(col("phi").isNull || isnan(col("phi"))).isEmpty)
+
+    // global aggregation of |phi| vs permutation importance: the model's
+    // top split-gain feature must rank high on BOTH diagnostics
+    val global = contrib.groupBy("feature").agg(avg(abs(col("phi"))).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val perm = Evaluation.permutationImportance(model, withId.drop("rid")).toMap
+    val topGain = Evaluation.evaluate(model, Training.score(model, withId))
+      .featureImportances.maxBy(_._2)._1
+    val gRank = global.toSeq.sortBy(-_._2).indexWhere(_._1 == topGain)
+    val pRank = perm.toSeq.sortBy(-_._2).indexWhere(_._1 == topGain)
+    assert(gRank >= 0 && gRank < 4, s"top split-gain feature phi-ranked $gRank")
+    assert(pRank >= 0 && pRank < 4, s"top split-gain feature perm-ranked $pRank")
+    // sign sanity: a feature with material permutation importance should
+    // carry non-trivial per-row contribution mass too
+    assert(global(topGain) > 0.0)
+    withId.unpersist()
+  }
+
   test("holdout quality approaches the reference bars (larger forest)") {
     val raw = spark.read.schema(ChurnSchema.RawSchema)
       .option("header", "true")
