@@ -5,12 +5,36 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Shuffle parallelism: half the cores, measured optimum at bench scale
+    // (32 cores, sf0.1): 16-way shuffles + scan fan-out beat 32-way on
+    // both wall (20 vs 26 s suite) and process CPU (88 vs 190 s) — tiny
+    // per-partition volumes make per-task fixed cost (codegen instance,
+    // hash map, vectorized-reader setup) the dominant term. A real
+    // cluster sizes this to data volume instead (GraftSession scaladoc).
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt / 2, 1).toString)
     val builder = graft.core.GraftSession
       .configure(
         SparkSession.builder().master(s"local[$cpus]"),
-        shufflePartitions = cpus.toInt)
+        shufflePartitions = shuffleParts.toInt)
     sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
       builder.config("spark.sql.adaptive.enabled", v))
+    // Single-box bench tuning (A/B-measured at sf0.1, each worth 1-2.5 s
+    // across the suite; none changes results, only overhead):
+    //  - SQL-UI event pipeline off: spark.ui is already disabled in
+    //    GraftSession, so the execution-UI store has no consumer — plan
+    //    graph conversion + metric aggregation per query is pure waste;
+    //  - constraint propagation off: AQE re-runs the logical optimizer at
+    //    EVERY stage boundary, multiplying the O(predicates^2) constraint
+    //    derivation by jobs x stages x reps; the gated plans don't rely on
+    //    inferred constraints (filters are explicit);
+    //  - shuffle compression off: single-box shuffles never cross a NIC —
+    //    lz4 cost buys nothing here. Leave ON for any real cluster.
+    builder
+      .config("spark.sql.execution.ui.enabled", "false")
+      .config("spark.sql.constraintPropagation.enabled", "false")
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
     // A/B hook: SPARK_GRAFT_CONF="key=value;key=value" overlays arbitrary
     // session confs for config experiments without a rebuild.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -57,6 +81,11 @@ object Bench {
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     val results = selected.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
+        // each rep rebuilds its plan, so the persist() calls inside the
+        // dedup/cluster queries allocate a fresh cache entry per rep; drop
+        // the previous rep's entries (outside the timing) so storage
+        // memory doesn't ratchet across 63 queries x 3 reps
+        spark.catalog.clearCache()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // noop write materializes every output column — count() would let

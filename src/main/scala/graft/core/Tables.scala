@@ -63,6 +63,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     * tables.
     */
   def fanOut(df: DataFrame): DataFrame = {
+    // fan to the session's shuffle parallelism: measured at sf0.1, 16-way
+    // fan-out beats 32-way on BOTH wall and CPU (32 hyperthread-ish cores:
+    // 16 heavier tasks amortize per-task kernel setup better than 32
+    // slivers) — so the knob deliberately follows shuffle sizing rather
+    // than raw core count
     val target = spark.sessionState.conf.numShufflePartitions
     if (df.rdd.getNumPartitions * 2 > target) df
     else df.repartition(target)

@@ -135,21 +135,27 @@ object SketchExact {
         sum(when(v < lo, 1L).otherwise(0L)).as(s"lt$i")
       }
       val cnts = df.agg(cntAggs.head, cntAggs.tail: _*).head()
-      // pass 2b: select each target inside its bracket
-      val vals = qs.zipWithIndex.map { case ((_, q), i) =>
-        val t = math.max(math.ceil(q * n).toLong, 1L)
-        val (lo, hi) = brackets(i)
-        val cntLt = cnts.getLong(i)
-        if (cntLt >= t) None // bracket too high — sketch bound violated
-        else {
-          val need = (t - cntLt).toInt
-          val inBr = df.filter(v >= lo && v <= hi).select(v.cast("double").as("v"))
-          val got = inBr.orderBy(col("v")).limit(need)
-            .agg(count(lit(1)).as("c"), max(col("v")).as("m")).head()
-          if (got.getLong(0) < need) None // bracket too low/narrow
-          else Some(got.getDouble(1))
-        }
-      }
+      // pass 2b: select each target inside its bracket — the per-target
+      // jobs are independent scans, submitted concurrently (wall = max,
+      // not sum; same pattern as the q12 branch split)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val vals = Await.result(
+        Future.sequence(qs.zipWithIndex.map { case ((_, q), i) => Future {
+          val t = math.max(math.ceil(q * n).toLong, 1L)
+          val (lo, hi) = brackets(i)
+          val cntLt = cnts.getLong(i)
+          if (cntLt >= t) None // bracket too high — sketch bound violated
+          else {
+            val need = (t - cntLt).toInt
+            val inBr = df.filter(v >= lo && v <= hi).select(v.cast("double").as("v"))
+            val got = inBr.orderBy(col("v")).limit(need)
+              .agg(count(lit(1)).as("c"), max(col("v")).as("m")).head()
+            if (got.getLong(0) < need) None // bracket too low/narrow
+            else Some(got.getDouble(1))
+          }
+        }}), Duration.Inf)
       if (vals.forall(_.isDefined)) out = Some(vals.map(_.get))
       else { widen *= 4; attempt += 1 }
     }
