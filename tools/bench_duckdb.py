@@ -1,0 +1,50 @@
+#!/usr/bin/env python3
+"""Same-box DuckDB baseline for the bench gate.
+
+Times every oracle SQL from `oracle_sql.json` (dumped by `graft.Verify`) in
+DuckDB over the same parquet tables graft.Bench reads, with the same
+median-of-N protocol and full materialization (fetchall), and emits one JSON
+line mirroring BENCH's shape. Run back-to-back with `sbt "runMain
+graft.Bench"` on the same box so the Spark-vs-DuckDB ratio is free of
+cross-box / cross-day noise (the round-5 adjudication problem).
+
+Usage: python3 tools/bench_duckdb.py [oracleJson] [sfDir] [reps]
+"""
+import json, os, sys, time
+
+import duckdb
+
+oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify/oracle_sql.json"
+sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]:
+    p = f"{sfdir}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+oracle = json.load(open(oracle_path))
+results = {}
+for name, sql in sorted(oracle.items()):
+    runs = []
+    for _ in range(reps):
+        t0 = time.monotonic()
+        try:
+            con.execute(sql).fetchall()
+            runs.append(time.monotonic() - t0)
+        except Exception as e:
+            print(f"FAIL {name}: {e}", file=sys.stderr)
+            runs.append(-1.0)
+    runs.sort()
+    results[name] = runs[len(runs) // 2]
+
+ok = {k: v for k, v in results.items() if v >= 0}
+out = {
+    "metric": "duckdb_total", "value": sum(ok.values()), "unit": "sec",
+    "queries": results, "nqueries": len(results), "reps": reps,
+    "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
+    "load_avg": os.getloadavg()[0], "ncpus": os.cpu_count(), "sf": sfdir,
+}
+print(json.dumps(out))
