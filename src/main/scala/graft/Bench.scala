@@ -79,6 +79,14 @@ object Bench {
     // environmental noise, not a regression.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
       .asInstanceOf[com.sun.management.OperatingSystemMXBean]
+    // Stall watchdog: BENCH_r05 and local repros showed an intermittent
+    // single-threaded ~100 s burn attaching to whichever query is running
+    // (wall≈cpu on ONE thread while 31 cores idle). When any rep exceeds
+    // `watchdogSec`, dump the threads that accumulated the most CPU since
+    // the rep started — the burn self-documents in the bench's stderr
+    // instead of poisoning a round's artifact as an anonymous slow query.
+    val watchdogSec = sys.env.getOrElse("SPARK_GRAFT_WATCHDOG_SEC", "30").toInt
+    val tBean = java.lang.management.ManagementFactory.getThreadMXBean
     val results = selected.map { case (name, fn) =>
       val runs = (1 to reps).map { _ =>
         // each rep rebuilds its plan, so the persist() calls inside the
@@ -86,6 +94,31 @@ object Bench {
         // the previous rep's entries (outside the timing) so storage
         // memory doesn't ratchet across 63 queries x 3 reps
         spark.catalog.clearCache()
+        val cpu0 = tBean.getAllThreadIds.map(id => id -> tBean.getThreadCpuTime(id)).toMap
+        val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val watchdog = new Thread(() => {
+          var fired = 0
+          while (!done.get && fired < 5) {
+            val waited = done.synchronized {
+              if (!done.get) done.wait(watchdogSec * 1000L); done.get
+            }
+            if (!waited) {
+              fired += 1
+              val hot = tBean.getAllThreadIds.map { id =>
+                (id, tBean.getThreadCpuTime(id) - cpu0.getOrElse(id, 0L))
+              }.sortBy(-_._2).take(3)
+              System.err.println(s"BENCH WATCHDOG $name still running after ${fired * watchdogSec}s; hottest threads:")
+              hot.foreach { case (id, ns) =>
+                val info = tBean.getThreadInfo(id, 12)
+                if (info != null)
+                  System.err.println(s"  [${info.getThreadName}] cpu=${ns / 1e9}s\n" +
+                    info.getStackTrace.take(12).map(f => s"    at $f").mkString("\n"))
+              }
+            }
+          }
+        }, s"bench-watchdog-$name")
+        watchdog.setDaemon(true)
+        watchdog.start()
         val c0 = osBean.getProcessCpuTime
         val t0 = System.nanoTime()
         // noop write materializes every output column — count() would let
@@ -95,15 +128,22 @@ object Bench {
           catch { case scala.util.control.NonFatal(e) =>
             System.err.println(s"BENCH FAIL $name: $e"); false
           }
+        val wallCpu =
+          if (ok) ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
+          else (-1.0, -1.0)
+        done.synchronized { done.set(true); done.notifyAll() }
         // -1 sentinel: a crashed query must not read as a fast one
-        if (ok) ((System.nanoTime() - t0) / 1e9, (osBean.getProcessCpuTime - c0) / 1e9)
-        else (-1.0, -1.0)
+        wallCpu
       }
       // median by wall time, with ITS paired CPU time (not a re-sorted
       // median of cpu — the pair must describe the same execution)
       val (wall, cpu) =
         if (runs.exists(_._1 < 0)) (-1.0, -1.0)
         else runs.sortBy(_._1).apply(runs.length / 2)
+      // progress line per query (stderr, not the JSON contract): makes a
+      // mid-suite stall attributable in real time from outside the JVM
+      System.err.println(f"BENCH DONE $name wall=$wall%.2f cpu=$cpu%.2f " +
+        s"reps=[${runs.map(r => f"${r._1}%.2f").mkString(",")}]")
       (name, wall, cpu, osBean.getSystemLoadAverage)
     }
     def jmap(f: ((String, Double, Double, Double)) => (String, Double)) =
