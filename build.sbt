@@ -34,6 +34,12 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   // deep GBT boosting chains deserialize deeply-nested closures
   "-Xss8m",
+  // 63 gated queries x several codegen units x C2 can exhaust the default
+  // 240m code cache mid-suite; when that happens HotSpot disables the JIT
+  // and hot single-task stages run interpreted — the intermittent
+  // single-thread ~100s burns the bench watchdog hunts. Headroom + a
+  // loud flag if it ever fills anyway.
+  "-XX:ReservedCodeCacheSize=1g",
 ) ++
   // A/B hook for JVM flags (GC experiments etc.) without editing the build:
   // SPARK_GRAFT_JVM="-XX:+UseParallelGC -Xmx24g" (read at sbt startup)

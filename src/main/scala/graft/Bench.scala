@@ -5,20 +5,27 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle parallelism: half the cores, measured optimum at bench scale
-    // (32 cores, sf0.1): 16-way shuffles + scan fan-out beat 32-way on
-    // both wall (20 vs 26 s suite) and process CPU (88 vs 190 s) — tiny
-    // per-partition volumes make per-task fixed cost (codegen instance,
-    // hash map, vectorized-reader setup) the dominant term. A real
-    // cluster sizes this to data volume instead (GraftSession scaladoc).
+    // Shuffle parallelism: cores/4, measured optimum at bench scale
+    // (32 cores, sf0.1): the A/B ladder 32/16/8/4-way measured 26/20/18/17s
+    // suite wall with the best totals at 8 (4 concentrates the heavy
+    // queries too much) — tiny per-partition volumes make per-task fixed
+    // cost (codegen instance, hash map, vectorized-reader setup) the
+    // dominant term. Scan-side fan-out is sized separately (Tables.fanOut
+    // follows cores/2, not this). A real cluster sizes this to data
+    // volume instead (GraftSession scaladoc).
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.max(cpus.toInt / 2, 1).toString)
+      math.max(cpus.toInt / 4, 1).toString)
     val builder = graft.core.GraftSession
       .configure(
         SparkSession.builder().master(s"local[$cpus]"),
         shufflePartitions = shuffleParts.toInt)
-    sys.env.get("SPARK_GRAFT_AQE").foreach(v =>
-      builder.config("spark.sql.adaptive.enabled", v))
+    // AQE off by default FOR THE BENCH ONLY (GraftSession keeps it on —
+    // it's the right default at scale): at sf0.1 there is nothing to
+    // re-plan, and AQE's per-stage materialization + re-optimization adds
+    // ~4 s across the 63-query suite (21.7 -> 17.6 s measured A/B).
+    // SPARK_GRAFT_AQE=true restores it.
+    builder.config("spark.sql.adaptive.enabled",
+      sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
     // Single-box bench tuning (A/B-measured at sf0.1, each worth 1-2.5 s
     // across the suite; none changes results, only overhead):
     //  - SQL-UI event pipeline off: spark.ui is already disabled in
@@ -35,6 +42,14 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // no partitioned tables in the bench corpus: DPP planning is pure
+      // overhead; locality waits are meaningless in local mode
+      .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      .config("spark.locality.wait", "0")
+      // RDD-path stages (ParallelRank boundaries, CC label rounds) follow
+      // default.parallelism (= cores in local mode): 32 slivers of a
+      // 100k-row stage pay more per-task fixed cost than 8 real slices
+      .config("spark.default.parallelism", shuffleParts)
     // A/B hook: SPARK_GRAFT_CONF="key=value;key=value" overlays arbitrary
     // session confs for config experiments without a rebuild.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -162,7 +177,11 @@ object Bench {
       val ok = firstPass.map(_._2).filter(_ >= 0).sorted
       if (ok.isEmpty) 0.0 else ok(ok.length / 2)
     }
-    val suspectThresh = math.max(5.0, 25 * medOfMed)
+    // 10x the suite norm: the burn's mild form inflates a 0.5 s query to
+    // only ~1.5-2 s, which a 5 s floor would wave through. Legit heavy
+    // queries sit under 4x the norm at every SF measured; a false positive
+    // only costs one extra clean measurement (min of the two wins).
+    val suspectThresh = math.max(1.5, 10 * medOfMed)
     val rebenched = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = firstPass.map {
       case r @ (name, wall, _, _) if wall > suspectThresh =>

@@ -63,12 +63,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     * tables.
     */
   def fanOut(df: DataFrame): DataFrame = {
-    // fan to the session's shuffle parallelism: measured at sf0.1, 16-way
-    // fan-out beats 32-way on BOTH wall and CPU (32 hyperthread-ish cores:
-    // 16 heavier tasks amortize per-task kernel setup better than 32
-    // slivers) — so the knob deliberately follows shuffle sizing rather
-    // than raw core count
-    val target = spark.sessionState.conf.numShufflePartitions
+    // fan to HALF the executor cores: measured at sf0.1 on 32 cores,
+    // 16-way fan-out beats 32-way on BOTH wall and CPU (16 heavier tasks
+    // amortize per-task kernel setup better than 32 slivers). Deliberately
+    // INDEPENDENT of spark.sql.shuffle.partitions: shuffle sizing tracks
+    // post-agg data volume (8 at bench scale), while fan-out parallelizes
+    // scan-side compute kernels, which want the machine's cores.
+    val target = math.max(spark.sparkContext.defaultParallelism / 2,
+      spark.sessionState.conf.numShufflePartitions)
     if (df.rdd.getNumPartitions * 2 > target) df
     else df.repartition(target)
   }

@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   *
   * Scale shape: every predicate compiles to a conditional-sum aggregate
   * over one scan (map-side partials, no shuffle of rows — only the
-  * per-partition partial counters); uniqueness adds the one count-distinct
-  * expansion. The audit result is a tall (constraint, violations, pass)
-  * frame of |checks| rows. Fail-fast wrappers can `require` on it without
-  * a second scan.
+  * per-partition partial counters); each uniqueness key set runs as its
+  * own single-distinct aggregate, submitted concurrently with the check
+  * pass. The audit result is a tall (constraint, violations, pass) frame
+  * of |checks| rows. Fail-fast wrappers can `require` on it without a
+  * second scan.
   */
 object Constraints {
 
@@ -30,37 +31,64 @@ object Constraints {
     Check(s"matches($c)", regexp_like(col(c), lit(pattern)))
 
   /** Row-level audit: per check, the number of violating rows and the
-    * verdict, plus the scanned row count — all from one aggregate.
+    * verdict, plus the scanned row count.
     * Returns (constraint, violations, n_rows, pass[int]).
     *
-    * `uniqueKeys`: key-uniqueness checks FUSED into the same aggregate —
-    * each key set adds a `count_distinct` to the agg list (Catalyst's
-    * one-distinct-group rewrite keeps it a single scan + one exchange of
-    * partial counters), instead of a second scan unioned on (the
-    * standalone `unique` below). duplicates = rows − distinct keys.
+    * Execution shape: the row-level checks are ONE expand-free aggregate
+    * (conditional sums — map-side partials, a single exchange of partial
+    * counters, no row shuffle). Each `uniqueKeys` set is its own distinct
+    * aggregate job — fusing a count_distinct into the check aggregate
+    * plans an Expand that re-feeds every scanned row once per aggregate
+    * group, doubling the scan's output. The jobs are submitted
+    * CONCURRENTLY (the branch-split pattern) so wall time is the max of
+    * the branches, and the bounded result rows assemble on the driver.
+    *
+    * The branch builders are exposed `private[graft]` so plan audits can
+    * assert their shape (map-side partials, no Expand, no Join) — the
+    * returned frame itself is a driver-assembled LocalTableScan.
     */
-  def audit(df: DataFrame, checks: Seq[Check],
-      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
-    require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+  private[graft] def checkAggPlan(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val checkAggs = checks.zipWithIndex.map { case (ch, i) =>
       sum(when(!coalesce(ch.holds, lit(false)), 1L).otherwise(0L)).as(s"__v$i")
     }
-    val uniqAggs = uniqueKeys.zipWithIndex.map { case (ks, i) =>
-      count_distinct(struct(ks.map(col): _*)).as(s"__u$i")
+    val aggs = count(lit(1)).as("__n") +: checkAggs
+    df.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private[graft] def uniqueAggPlan(df: DataFrame, ks: Seq[String]): DataFrame =
+    df.agg(count(lit(1)).as("n"),
+      count_distinct(struct(ks.map(col): _*)).as("d"))
+
+  def audit(df: DataFrame, checks: Seq[Check],
+      uniqueKeys: Seq[Seq[String]] = Nil): DataFrame = {
+    require(checks.nonEmpty || uniqueKeys.nonEmpty, "no checks given")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val checksF = Future {
+      if (checks.isEmpty) None
+      else Some(checkAggPlan(df, checks).head())
     }
-    val aggs = count(lit(1)).as("__n") +: (checkAggs ++ uniqAggs)
-    val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = checks.zipWithIndex.map { case (ch, i) =>
-      struct(lit(ch.name).as("check_name"), col(s"__v$i").as("violations"))
-    } ++ uniqueKeys.zipWithIndex.map { case (ks, i) =>
-      struct(lit(s"unique(${ks.mkString(",")})").as("check_name"),
-        (col("__n") - col(s"__u$i")).as("violations"))
+    val uniqF = uniqueKeys.map { ks =>
+      Future { uniqueAggPlan(df, ks).head() }
     }
-    wide.select(explode(array(stacked: _*)).as("c"), col("__n"))
-      .select(col("c.check_name").as("check_name"),
-        col("c.violations").as("violations"),
-        col("__n").as("n_rows"),
-        (col("c.violations") === 0L).cast("int").as("pass"))
+    val checkRow = Await.result(checksF, Duration.Inf)
+    val uniqRows = uniqF.map(Await.result(_, Duration.Inf))
+    val n = checkRow.map(_.getLong(0))
+      .orElse(uniqRows.headOption.map(_.getLong(0)))
+      .getOrElse(0L)
+    val out =
+      checks.zipWithIndex.map { case (ch, i) =>
+        (ch.name, checkRow.get.getLong(i + 1))
+      } ++ uniqueKeys.zip(uniqRows).map { case (ks, r) =>
+        (s"unique(${ks.mkString(",")})", r.getLong(0) - r.getLong(1))
+      }
+    val spark = df.sparkSession
+    import spark.implicits._
+    out.toDF("check_name", "violations")
+      .select(col("check_name"), col("violations"),
+        lit(n).as("n_rows"),
+        (col("violations") === 0L).cast("int").as("pass"))
   }
 
   /** Key-uniqueness audit: duplicates = rows minus distinct keys. Exact

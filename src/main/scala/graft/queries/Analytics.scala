@@ -84,7 +84,7 @@ object Analytics {
       .agg(
         sum($"o_totalprice").cast("float").as("revenue"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
+      .smallOrdered($"r_name".asc_nulls_first, $"n_name".asc_nulls_first)
   }
 
   /** Frame-based rolling windows over a calendar-grain pre-aggregate: daily
@@ -118,7 +118,7 @@ object Analytics {
         sum($"n").over(w7).as("roll7_sum"),
         avg($"n").over(w7).as("roll7_avg"),
         ($"n" - lag($"n", 1).over(w)).as("dod_delta"))
-      .orderBy($"event_type", $"day")
+      .smallOrdered($"event_type", $"day")
   }
 
   /** Wide pivot: per-user activity profile, one (count, value-sum) column
@@ -178,7 +178,7 @@ object Analytics {
     graft.operators.Funnel.conversionByCohort(Tables(s, dir).events,
         "user_id", "ts", "event_type", "signup", "purchase",
         windowMicros = 604800000000L)
-      .orderBy($"cohort_day")
+      .smallOrdered($"cohort_day")
   }
 
   /** Weekly retention cohorts: users by first-activity week, distinct
@@ -203,7 +203,7 @@ object Analytics {
     import s.implicits._
     graft.operators.Funnel.weeklyRetention(Tables(s, dir).events,
         "user_id", "ts", horizon = 3)
-      .orderBy($"cohort_week")
+      .smallOrdered($"cohort_week")
   }
 
   /** Per-row percentile rank of value within event_type — the CDF feature
@@ -261,7 +261,7 @@ object Analytics {
     d.join(st, "event_type")
       .select($"event_type", $"day", $"c".as("n_events"),
         (($"c" - $"mu") / $"sd").cast("float").as("z"))
-      .orderBy($"event_type", $"day")
+      .smallOrdered($"event_type", $"day")
   }
 
   /** Single-pass sketch quantiles of events.value via the mergeable KLL
@@ -338,7 +338,7 @@ object Analytics {
       .select($"event_type", posexplode($"top").as(Seq("pos", "e")))
       .select($"event_type", $"e.id".as("event_id"), $"e.ord".as("value"),
         ($"pos" + 1).cast("long").as("rn"))
-      .orderBy($"event_type", $"rn")
+      .smallOrdered($"event_type", $"rn")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -151,7 +151,7 @@ object Curation {
       .agg(count(lit(1)).as("n_events"),
         sum($"nred").as("total_redactions"),
         countDistinct($"red").as("distinct_redacted"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   /** Corpus-wide bigram document frequencies, top 20. The shingle kernel is
@@ -228,7 +228,7 @@ object Curation {
     graft.operators.Sampling.qualityQuota(scored, Seq("source"),
         "quality", "doc_id", quota = 10)
       .select($"source", $"doc_id", $"quality")
-      .orderBy($"source", $"doc_id")
+      .smallOrdered($"source", $"doc_id")
   }
 
   /** Morton (Z-order) clustering-key histogram over lineitem's
@@ -265,7 +265,7 @@ object Curation {
       .select(expr("zkey div 1048576").as("zbucket"), $"zkey")
       .groupBy($"zbucket")
       .agg(count(lit(1)).as("n"), min($"zkey").as("zmin"), max($"zkey").as("zmax"))
-      .orderBy($"zbucket")
+      .smallOrdered($"zbucket")
   }
 
   /** Corpus token heavy hitters via the mergeable Space-Saving sketch
@@ -386,7 +386,7 @@ object Curation {
         Constraints.between("l_discount", 0.0, 0.1),
         Constraints.isIn("l_returnflag", Seq("A", "N", "R"))),
       uniqueKeys = Seq(Seq("l_orderkey", "l_linenumber")))
-      .orderBy($"check_name")
+      .smallOrdered($"check_name")
   }
 
   /** The cluster-level deduped corpus: every document except non-minimum

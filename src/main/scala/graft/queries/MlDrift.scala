@@ -91,7 +91,7 @@ object MlDrift {
       ($"value" > 50).cast("int").as("label"),
       ($"user_id" % 3 === 0).cast("int").as("prediction"))
     Classification.metrics(scored, "label", "prediction")
-      .orderBy($"metric_name")
+      .smallOrdered($"metric_name")
   }
 
   /** Confusion matrix counts (A4): one row per (label, prediction) cell. */
@@ -107,7 +107,7 @@ object MlDrift {
         .select(($"value" > 50).cast("int").as("label"),
           ($"user_id" % 3 === 0).cast("int").as("prediction")),
       "label", "prediction")
-      .orderBy($"label", $"prediction")
+      .smallOrdered($"label", $"prediction")
   }
 
   /** Decision-threshold sweep (M7): F1 at a fixed candidate grid, computed
@@ -136,7 +136,7 @@ object MlDrift {
         ($"value" / 100.0).as("prob"))
       Classification.thresholdSweep(scored, "label", "prob", grid)
         .select($"threshold", $"tp", $"fp", $"fn", $"f1")
-        .orderBy($"threshold")
+        .smallOrdered($"threshold")
     }
   }
 
@@ -188,7 +188,7 @@ object MlDrift {
       .agg(count(lit(1)).as("n"),
         sum(k).as("sum_k"),
         avg(k).cast("float").as("avg_k"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   /** Range join: event pairs of the same user within 10 minutes, counted
@@ -209,7 +209,7 @@ object MlDrift {
       toleranceMicros = 600000000L, payload = Seq("event_type"))
       .groupBy($"event_type_a".as("type_a"), $"event_type_b".as("type_b"))
       .agg(count(lit(1)).as("n_pairs"))
-      .orderBy($"type_a", $"type_b")
+      .smallOrdered($"type_a", $"type_b")
   }
 
   /** Typed JSON parsing (from_json with an explicit schema — the
@@ -243,7 +243,7 @@ object MlDrift {
         distinctValueHint = Some(10000L))
       .select($"event_type", $"p25".cast("float").as("p25"),
         $"p50".cast("float").as("p50"), $"p75".cast("float").as("p75"))
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   /** Deterministic stratified sampling (operators.Sampling.stratifiedExact):

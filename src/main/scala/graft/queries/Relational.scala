@@ -54,7 +54,7 @@ object Relational {
         avg($"l_extendedprice").cast("float").as("avg_price"),
         avg($"l_discount").cast("float").as("avg_disc"),
         count(lit(1)).as("count_order"))
-      .orderBy($"l_returnflag", $"l_linestatus")
+      .smallOrdered($"l_returnflag", $"l_linestatus")
   }
 
   /** Selective filter + narrow projection + top-k: predicate and the 4-column
@@ -112,7 +112,7 @@ object Relational {
       .agg(
         sum($"__rev").cast("float").as("revenue"),
         count(lit(1)).as("n_orders"))
-      .orderBy($"r_name", $"n_name")
+      .smallOrdered($"r_name", $"n_name")
   }
 
   /** Left-semi join: customers that placed at least one order. The semi join
@@ -132,7 +132,7 @@ object Relational {
       .join(t.orders, $"c_custkey" === $"o_custkey", "left_semi")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy($"c_mktsegment")
+      .smallOrdered($"c_mktsegment")
   }
 
   /** Left-anti join: customers with no high-value order. The filter on the
@@ -155,7 +155,7 @@ object Relational {
         $"c_custkey" === $"o_custkey", "left_anti")
       .groupBy($"c_mktsegment")
       .agg(count(lit(1)).as("n_customers"))
-      .orderBy($"c_mktsegment")
+      .smallOrdered($"c_mktsegment")
   }
 
   /** Windowed top-k per group (rank-and-filter): single shuffle on the
@@ -180,7 +180,7 @@ object Relational {
       .filter($"rn" <= 3)
       .select($"o_orderpriority", $"rn", $"o_orderkey",
         $"o_totalprice".as("total_price"))
-      .orderBy($"o_orderpriority", $"rn")
+      .smallOrdered($"o_orderpriority", $"rn")
   }
 
   /** Latest-value-per-key (SURVEY.md §2.5 W1 shape: latest metric per
@@ -222,7 +222,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         avg($"value").cast("float").as("avg_value"),
         sum($"value").cast("float").as("sum_value"))
-      .orderBy($"day", $"event_type")
+      .smallOrdered($"day", $"event_type")
   }
 
   /** INTERSECT: high-balance customers that also appear in orders. */
@@ -265,11 +265,25 @@ object Relational {
       |  count(*) AS n_rows
       |FROM lineitem""".stripMargin) { (s, dir) =>
     import s.implicits._
-    Tables(s, dir).lineitem.agg(
-      countDistinct($"l_partkey").as("n_parts"),
-      countDistinct($"l_suppkey").as("n_supps"),
-      countDistinct($"l_orderkey").as("n_orders"),
-      count(lit(1)).as("n_rows"))
+    // Multiple DISTINCT aggregates in one Aggregate plan via Expand — 4x
+    // the input rows through the exchange. Submitting one single-distinct
+    // job per column concurrently (the q12 branch-split pattern) keeps
+    // each job expand-free and the wall clock at max, not sum; at 100 TB
+    // each branch is an independent shuffle-light count over one column.
+    val li = Tables(s, dir).lineitem
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val branches = Seq(
+      Future(li.select(countDistinct($"l_partkey")).head().getLong(0)),
+      Future(li.select(countDistinct($"l_suppkey")).head().getLong(0)),
+      Future(li.select(countDistinct($"l_orderkey")).head().getLong(0)),
+      Future(li.count()))
+    val Seq(nParts, nSupps, nOrders, nRows) =
+      Await.result(Future.sequence(branches), Duration.Inf)
+    li.sparkSession.range(1).select(
+      lit(nParts).as("n_parts"), lit(nSupps).as("n_supps"),
+      lit(nOrders).as("n_orders"), lit(nRows).as("n_rows"))
   }
 
   /** describe() (SURVEY.md §2.2 P12): count/mean/std/min/quartiles/max per
@@ -325,7 +339,7 @@ object Relational {
           $"std".cast("float").as("std"), $"vmin",
           $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
           $"p75".cast("float").as("p75"), $"vmax")
-        .orderBy($"col_name")
+        .smallOrdered($"col_name")
     }
   }
 
@@ -358,7 +372,7 @@ object Relational {
         $"std".cast("float").as("std"), $"vmin",
         $"p25".cast("float").as("p25"), $"p50".cast("float").as("p50"),
         $"p75".cast("float").as("p75"), $"vmax")
-      .orderBy($"event_type")
+      .smallOrdered($"event_type")
   }
 
   /** Null/duplicate profile (SURVEY.md §2.2 P10/P11): null scan + duplicate
@@ -408,7 +422,7 @@ object Relational {
       .agg(count(lit(1)).as("n"),
         min($"l_extendedprice").as("lo"),
         max($"l_extendedprice").as("hi"))
-      .orderBy($"bucket")
+      .smallOrdered($"bucket")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -86,7 +86,7 @@ object TextVector {
       Tables(s, dir).documentsFanned
         .groupBy(TextAnalysis.predictLang($"text").as("lang_pred"))
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy($"lang_pred")
+        .smallOrdered($"lang_pred")
     }
   }
 
@@ -252,7 +252,7 @@ object TextVector {
         VectorFunctions.cosineSim($"embedding", $"qe").cast("float").as("sim"))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 3)
-      .orderBy($"qid", $"rn")
+      .smallOrdered($"qid", $"rn")
   }
 
   /** Multimodal binary-column plumbing (decode stub, SURVEY brief): treat
@@ -366,7 +366,7 @@ object TextVector {
     val emb = Tables(s, dir).embeddingsFanned
     Ann.annTopK(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
       k = 3, numPlanes = 6, portable = true)
-      .orderBy($"qid", $"rn")
+      .smallOrdered($"qid", $"rn")
   }
 
   /** IVF ANN probe path (operators.Ann.ivfProbe) under the oracle gate:
@@ -420,7 +420,7 @@ object TextVector {
     val emb = Tables(s, dir).embeddingsFanned
     Ann.ivfProbe(emb, emb.filter($"vec_id" < 10), "vec_id", "embedding",
       k = 3, nProbe = 2, centroids = Ann.portableCentroids(dim = 64, nLists = 8))
-      .orderBy($"qid", $"rn")
+      .smallOrdered($"qid", $"rn")
   }
 
   /** Embedding-cosine near-neighbor pairs (sim >= 0.35) via multi-band

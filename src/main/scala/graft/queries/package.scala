@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Shared syntax for the gated query definitions. */
+package object queries {
+
+  /** Total ordering for SMALL results (every gated query emits a bounded
+    * summary — at most ~10k rows by construction). `orderBy` plans a global
+    * sort: a RangePartitioning exchange whose boundary sampling pass
+    * RE-EXECUTES the child plan when AQE isn't interposing stage
+    * materialization, then sorts across `spark.sql.shuffle.partitions`
+    * tasks — two jobs and a double execution to order a handful of rows.
+    * `smallOrdered` shuffles the bounded result to ONE partition (the
+    * exchange keeps every upstream stage at full parallelism — unlike
+    * `coalesce(1)`, which would collapse the compute stage itself) and
+    * sorts locally: same total order, no sampling pass, one sort task.
+    * Measured at sf0.1: 155→116 ms post-aggregate, 147→79 ms post-scan-
+    * kernel. Use ONLY for bounded outputs; a large ordered result needs
+    * the range exchange's parallel sort and should keep `orderBy`.
+    */
+  implicit final class SmallOrderedOps(private val df: DataFrame) extends AnyVal {
+    def smallOrdered(cols: Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+}

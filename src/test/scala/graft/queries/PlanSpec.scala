@@ -128,11 +128,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q59: constraint audit is one scan with partial aggregation") {
-    val p = plan("q59_constraint_audit")
-    assert(p.contains("partial_sum") || p.contains("partial_count"),
-      "no map-side partials in the audit pass")
-    assert(!p.contains("Join"), "audit should not join")
+  test("q59: audit branches partial-aggregate, never Expand, never join") {
+    // the audit submits its branches concurrently and assembles the bounded
+    // result on the driver (q59's own plan is a LocalTableScan); the scale
+    // shape to audit is the branch plans it submits
+    import graft.operators.Constraints
+    val li = graft.core.Tables(spark, sf("sf0.01")).lineitem
+    val checkP = Constraints.checkAggPlan(li,
+        Seq(Constraints.notNull("l_orderkey"),
+          Constraints.between("l_discount", 0.0, 0.1)))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(checkP.contains("partial_sum") || checkP.contains("partial_count"),
+      "no map-side partials in the check pass")
+    assert(!checkP.contains("Expand"), "check pass plans an Expand")
+    assert(!checkP.contains("Join"), "check pass joins")
+    val uniqP = Constraints.uniqueAggPlan(li, Seq("l_orderkey", "l_linenumber"))
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!uniqP.contains("Expand"),
+      "single-distinct uniqueness pass plans an Expand")
+    assert(!uniqP.contains("Join"), "uniqueness pass joins")
   }
 
   test("q56/q57: sketch aggregates partial-aggregate before the merge") {
