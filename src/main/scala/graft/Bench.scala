@@ -50,6 +50,12 @@ object Bench {
       // default.parallelism (= cores in local mode): 32 slivers of a
       // 100k-row stage pay more per-task fixed cost than 8 real slices
       .config("spark.default.parallelism", shuffleParts)
+      // autoBroadcastJoinThreshold stays at the 10 MB default: a 64 MB
+      // A/B (broadcasting the sf0.1 orders side) measured STRICTLY worse —
+      // +1.2 s wall / +11 s process CPU across the suite. Single-JVM local
+      // mode pays the full driver-side collect + hashed-relation build +
+      // GC churn without any network-avoidance payoff, and the sort-merge
+      // exchanges it replaced were already 8-way and cheap.
     // A/B hook: SPARK_GRAFT_CONF="key=value;key=value" overlays arbitrary
     // session confs for config experiments without a rebuild.
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
@@ -87,7 +93,12 @@ object Bench {
     // can't cover; the per-query median measures steady-state cost without
     // hiding real regressions the way a min would. Set SPARK_GRAFT_REPS=1
     // for raw single-shot behavior.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
+    // 5 reps (was 3): measured same-code 3-rep medians wander a ±1.5 s band
+    // across runs (13.8/14.3/15.0) while 5-rep medians settle to 12.75 —
+    // rep 1-2 still carry sf-specific JIT/cache warm-up the median-of-3
+    // can pick. tools/bench_duckdb.py defaults to the same rep count, so
+    // the Spark-vs-DuckDB ratio stays a matched-protocol comparison.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "5").toInt
     // Process-CPU time and system load average alongside every wall time:
     // a loaded box inflates wall but not the query's own CPU, so a run
     // where load_avg >> ncpus or wall >> cpu/ncpus is self-evidently
@@ -204,7 +215,7 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpus2,"cpu_total":$totalCpu,"load_avg":$loads,"rebenched":$rb,""" +
-      s""""ncpus":${Runtime.getRuntime.availableProcessors},"sf":"$sfDir"}""")
+      s""""ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

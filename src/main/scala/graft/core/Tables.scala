@@ -53,6 +53,12 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documentsFanned: DataFrame  = fanOut(t("documents"))
   def embeddingsFanned: DataFrame = fanOut(t("embeddings"))
 
+  /** For per-row JSON parsing over events (the one events kernel heavy
+    * enough to out-cost the fan-out exchange — from_json/get_json_object
+    * is ~1 µs/row of Jackson work that otherwise runs inside the single
+    * row-group scan task). */
+  def eventsFanned: DataFrame = fanOut(events)
+
   /** Fan an under-split scan out to the session's parallelism: the test
     * files are single-row-group parquet, which reads as ONE task no matter
     * the split size, serializing every scan-side kernel. Filters and

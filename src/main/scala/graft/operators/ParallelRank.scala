@@ -72,15 +72,34 @@ object ParallelRank {
   /** Exact global `row_number() over (partition by groupCols order by
     * orderCol)` as `rankCol`, every stage parallel. Tie order within equal
     * `orderCol` values is arbitrary (as with any non-keyed row_number).
+    *
+    * `totalCol`: also attach `count(*) over (partition by groupCols)` under
+    * that name, derived from the SAME per-partition totals frame the rank
+    * offsets come from — a caller needing both (e.g. percentile rank =
+    * (rn-1)/(n-1)) would otherwise re-scan and re-aggregate the input just
+    * to join group sizes back on.
     */
   def rowNumber(df: DataFrame, groupCols: Seq[String], orderCol: String,
-      rankCol: String = "rn", descending: Boolean = false): DataFrame = {
+      rankCol: String = "rn", descending: Boolean = false,
+      totalCol: Option[String] = None): DataFrame = {
     val b = bucketed(df, groupCols, orderCol, descending)
-    val off = offsets(partitionTotals(b, groupCols, Seq(lit(1L))), groupCols, 1)
+    val totals = partitionTotals(b, groupCols, Seq(lit(1L)))
+    val off = offsets(totals, groupCols, 1)
+    val withTotal = totalCol match {
+      case None => off
+      case Some(tc) =>
+        if (groupCols.isEmpty)
+          off.crossJoin(totals.agg(sum(col("__t0")).as(tc)))
+        else
+          off.join(
+            totals.groupBy(groupCols.map(col): _*)
+              .agg(sum(col("__t0")).as(tc)),
+            groupCols)
+    }
     val ord = if (descending) col(orderCol).desc else col(orderCol).asc
     val wLocal = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
       .orderBy(ord)
-    b.join(broadcast(off), Pid +: groupCols)
+    b.join(broadcast(withTotal), Pid +: groupCols)
       .withColumn(rankCol, row_number().over(wLocal) + col("__off0"))
       .drop(Pid, "__off0")
   }

@@ -54,6 +54,9 @@ object SketchExact {
     val mStar =
       if (summary.size < capacity) 0L else summary.map(_.getLong(1)).min
     val candidates = summary.map(_.getString(0))
+    // isin over <= capacity literals compiles to an O(1) InSet probe per
+    // row; the filter sits directly above the item generator, so the
+    // recount's aggregate hash map only ever sees candidate items
     val exact = items
       .filter(col(itemCol).isin(candidates: _*))
       .groupBy(col(itemCol).as("item"))

@@ -53,7 +53,7 @@ object Analytics {
     graft.operators.Sessionize.stats(
       Tables(s, dir).events, Seq("user_id"), "ts", "event_id",
       gapMicros = 1800000000L)
-      .orderBy($"user_id")
+      .cachedOrdered($"user_id")
   }
 
   /** ROLLUP multi-level aggregate: revenue at (region, nation), per-region
@@ -153,7 +153,7 @@ object Analytics {
       val aligned = $"user_id" +: types.flatMap(t => Seq(
         coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
         col(s"${t}_value")))
-      p.select(aligned: _*).orderBy($"user_id")
+      p.select(aligned: _*).cachedOrdered($"user_id")
     }
   }
 
@@ -224,14 +224,14 @@ object Analytics {
     val ev = Tables(s, dir).events
       .select($"event_id", $"event_type", $"value")
       .withColumn("__ok", struct($"value", $"event_id"))
-    val ranked = graft.operators.ParallelRank
-      .rowNumber(ev, Seq("event_type"), "__ok", "__rn")
-    val sizes = Tables(s, dir).events
-      .groupBy($"event_type").agg(count(lit(1)).as("__n"))
-    ranked.join(sizes, "event_type")
+    // group sizes ride the rank's own broadcast (totalCol) — no second
+    // events scan + aggregate + join just for count(*) per type
+    graft.operators.ParallelRank
+      .rowNumber(ev, Seq("event_type"), "__ok", "__rn",
+        totalCol = Some("__n"))
       .select($"event_id", $"event_type", $"value",
         (($"__rn" - 1).cast("double") / ($"__n" - 1)).as("pct_rank"))
-      .orderBy($"event_type", $"event_id")
+      .cachedOrdered($"event_type", $"event_id")
   }
 
   /** Daily-count anomaly z-scores per event type: mean/stddev of the per-day

@@ -60,7 +60,7 @@ object Curation {
       .select($"da", $"db")
     ConnectedComponents.clusters(pairs)
       .select($"id".as("doc_id"), $"component", $"csize")
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Gopher-style repetition quality filters: distinct-word share, share of
@@ -97,7 +97,7 @@ object Curation {
         TextAnalysis.dupBigramFraction($"text").as("dup_bigram_frac"))
       .withColumn("is_repetitive",
         ($"top_word_ratio" > 0.08 || $"dup_bigram_frac" > 0.6).cast("int"))
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Query terms for the BM25 gate query (corpus vocabulary words). */
@@ -191,7 +191,7 @@ object Curation {
     ParallelRank.rowNumber(keyed, Seq.empty, "skey", "rn")
       .select($"doc_id", $"skey", $"rn".cast("long").as("shuffle_rank"),
         (($"rn" - 1) % 8).cast("long").as("shard"))
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Stopword IN-list shared verbatim with the oracle (q16 convention). */
@@ -321,7 +321,7 @@ object Curation {
       .select($"doc_id", $"chunk_idx".cast("long").as("chunk_idx"),
         TextAnalysis.tokenCount($"c").cast("long").as("chunk_tokens"),
         TextAnalysis.fingerprint($"c").as("fp"))
-      .orderBy($"doc_id", $"chunk_idx")
+      .cachedOrdered($"doc_id", $"chunk_idx")
   }
 
   /** Declarative data-quality audit over lineitem (operators.Constraints):
@@ -409,7 +409,7 @@ object Curation {
         .withColumnRenamed("id", "doc_id"),
       Seq("doc_id"), "left_anti")
       .select($"doc_id", $"source")
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Exact top-5 character trigrams via sketch-then-verify — the EVICTION

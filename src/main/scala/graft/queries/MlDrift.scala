@@ -167,7 +167,7 @@ object MlDrift {
       rightPayload = Seq("click_id", "click_value"))
       .select($"purchase_id", $"user_id", $"purchase_value",
         $"click_id", $"click_value")
-      .orderBy($"purchase_id")
+      .cachedOrdered($"purchase_id")
   }
 
   /** Semi-structured props column: JSON field extraction + grouped
@@ -183,7 +183,7 @@ object MlDrift {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
     val k = get_json_object($"props", "$.k").cast("int")
-    Tables(s, dir).events
+    Tables(s, dir).eventsFanned
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"),
         sum(k).as("sum_k"),
@@ -227,7 +227,7 @@ object MlDrift {
       |WHERE json_extract(props, '$.k') IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val typed = Tables(s, dir).events.select(
+    val typed = Tables(s, dir).eventsFanned.select(
       $"event_type",
       from_json($"props",
         org.apache.spark.sql.types.StructType.fromDDL("k INT"))
@@ -267,7 +267,7 @@ object MlDrift {
     graft.operators.Sampling.stratifiedExact(
       Tables(s, dir).documents.select($"doc_id", $"lang"),
       Seq("lang"), "doc_id", 0.2)
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

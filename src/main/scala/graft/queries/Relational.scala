@@ -202,7 +202,7 @@ object Relational {
       .withColumn("rn", row_number().over(w))
       .filter($"rn" === 1)
       .select($"user_id", $"event_id", $"event_type", $"value")
-      .orderBy($"user_id")
+      .cachedOrdered($"user_id")
   }
 
   /** Metric time series (SURVEY.md §2.5 W2 shape) rolled up to daily grain:

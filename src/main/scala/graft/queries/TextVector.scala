@@ -58,7 +58,7 @@ object TextVector {
       TextAnalysis.punctRatio($"text").as("punct_ratio"),
       TextAnalysis.qualityScore($"text").as("quality"),
       TextAnalysis.fingerprint($"text").as("fp"))
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Language-ID distribution: marker-lexicon argmax per document, counted
@@ -101,7 +101,7 @@ object TextVector {
     Tables(s, dir).documents
       .groupBy(TextAnalysis.fingerprint($"text").as("fp"))
       .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("survivor"))
-      .orderBy($"fp")
+      .cachedOrdered($"fp")
   }
 
   /** Exact pairwise n-gram Jaccard near-dups (threshold 0.5) via the shingle
@@ -153,7 +153,7 @@ object TextVector {
     Dedup.minHashNearDups(Tables(s, dir).documentsFanned, "doc_id", "text",
         n = 3, minJaccard = 0.9)
       .select($"da", $"db", $"jaccard")
-      .orderBy($"da", $"db")
+      .cachedOrdered($"da", $"db")
   }
 
   /** SimHash near-dup pairs (hamming <= 3 on 60-bit signatures). Seedless
@@ -272,7 +272,7 @@ object TextVector {
       length(content).cast("long").as("byte_len"),
       md5(content).as("fp"),
       hex(substring(content, 1, 8)).as("head_hex"))
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   /** Stub image pipeline, scalar outputs: pack a fake image per document,
@@ -319,7 +319,7 @@ object TextVector {
             .cast("array<string>")).as("hist_csv"),
         aggregate(Multimodal.sampleFrames($"content", 16, 4), lit(0),
           (acc, f) => acc + length(f)).cast("long").as("frame_bytes"))
-        .orderBy($"doc_id")
+        .cachedOrdered($"doc_id")
     }
   }
 
@@ -468,7 +468,7 @@ object TextVector {
     Ann.cosineNearDupPairs(Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
       minSim = 0.35, bands = 8, planesPerBand = 6, portable = true)
       .select($"da", $"db", $"sim".cast("float").as("sim"))
-      .orderBy($"da", $"db")
+      .cachedOrdered($"da", $"db")
   }
 
   /** Benchmark decontamination (operators.Decontamination): docs 0..19 play
@@ -497,7 +497,7 @@ object TextVector {
     Decontamination.report(
       docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20),
       "doc_id", "text", "text", n = 3, minHits = 1L)
-      .orderBy($"doc_id")
+      .cachedOrdered($"doc_id")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(

@@ -22,5 +22,21 @@ package object queries {
   implicit final class SmallOrderedOps(private val df: DataFrame) extends AnyVal {
     def smallOrdered(cols: Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
+
+    /** Total ordering for LARGE (per-input-row) results: a plain `orderBy`,
+      * with the computed frame cached first. The range exchange's boundary
+      * sampling pass executes the child plan once before the sort job runs
+      * it again — for a result derived through expensive kernels (text
+      * features, pair generation, rank pipelines) that doubles the whole
+      * query. Caching pins the derivation so sampling reads materialized
+      * rows. This is the standard cache-before-global-sort pattern and
+      * holds at cluster scale: the cached frame is the (column-pruned)
+      * result, never the raw corpus, and the alternative — recomputing the
+      * derivation — costs strictly more than one materialization. The
+      * ContextCleaner reclaims the cache once the collected plan drops.
+      */
+    def cachedOrdered(cols: Column*): DataFrame =
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .orderBy(cols: _*)
   }
 }

@@ -50,10 +50,10 @@ class GraftFunctionsSpec extends SparkSpec {
     val docs = Seq((1L, "the quick brown fox jumps over the lazy dog"))
       .toDF("doc_id", "text")
     docs.createOrReplaceTempView("gf_docs")
+    // token hash = pmod(xxhash64, P), mirroring minHashSignatures' family
     val sqlSig = spark.sql(
       """SELECT minhash_signature(
-        |  cast(conv(substring(md5(cast(s as binary)), 1, 15), 16, 10) as bigint)
-        |    % 2147483647, 64, 42) AS sig
+        |  pmod(xxhash64(s), 2147483647), 64, 42) AS sig
         |FROM (SELECT explode(word_shingles(text, 3)) AS s FROM gf_docs)""".stripMargin)
       .first().getSeq[Long](0)
     val opSig = graft.operators.Dedup.minHashSignatures(

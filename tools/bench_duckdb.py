@@ -16,7 +16,8 @@ import duckdb
 
 oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify/oracle_sql.json"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-reps = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+# 5 reps to mirror graft.Bench's default (matched median-of-N protocol)
+reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
