@@ -79,10 +79,76 @@ object ParallelRank {
     * (rn-1)/(n-1)) would otherwise re-scan and re-aggregate the input just
     * to join group sizes back on.
     */
+  /** Cell-count cap for the driver-side offsets dispatch: P × G rows of
+    * longs; 64k rows ≈ 2 MB collected. */
+  val DriverCellBudget: Int = 1 << 16
+
   def rowNumber(df: DataFrame, groupCols: Seq[String], orderCol: String,
       rankCol: String = "rn", descending: Boolean = false,
-      totalCol: Option[String] = None): DataFrame = {
-    val b = bucketed(df, groupCols, orderCol, descending)
+      totalCol: Option[String] = None,
+      smallGroupsHint: Boolean = false): DataFrame = {
+    val b0 = bucketed(df, groupCols, orderCol, descending)
+    if (!smallGroupsHint)
+      joinOffsets(b0, groupCols, orderCol, rankCol, descending, totalCol)
+    else {
+      // Driver-offsets dispatch (callers assert bounded group count): the
+      // per-(partition, group) totals frame has P × G rows — collect it,
+      // prefix-sum on the driver, and broadcast the offsets as a LOCAL
+      // relation. The declarative offsets branch is a self-join + re-agg +
+      // nested-broadcast cascade that costs ~4 extra Spark jobs per query;
+      // a LocalTableScan broadcast builds driver-side with none. The
+      // bucketed frame is CACHED first: the collect and the final pass are
+      // separate physical plans, and an uncached range exchange re-samples
+      // its boundaries per plan (rdd.id seeds the sampler), which can
+      // shift rows between pids across the two executions and corrupt the
+      // offsets. Budget-guarded with fallback to the join path.
+      val b = b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val totals = partitionTotals(b, groupCols, Seq(lit(1L)))
+      // plain collect, not limit(N).collect(): CollectLimit executes
+      // incrementally (1 partition, then 4x more per round) — several jobs
+      // for the one frame we're about to read whole. The budget check is
+      // post-collect: the hint asserts bounded groups, and P × G rows of
+      // longs are driver-safe whenever the assertion holds.
+      val rows = totals.collect()
+      if (rows.length > DriverCellBudget)
+        joinOffsets(b, groupCols, orderCol, rankCol, descending, totalCol)
+      else {
+        val spark = df.sparkSession
+        // rows: (pid, group..., __t0) -> per group sorted by pid:
+        // exclusive prefix = offset; sum = group total
+        val byGroup = rows.groupBy(r => (1 to groupCols.size).map(r.get))
+        val outRows = byGroup.valuesIterator.flatMap { cell =>
+          val sorted = cell.sortBy(_.getInt(0))
+          val counts = sorted.map(_.getLong(groupCols.size + 1))
+          val total = counts.sum
+          val offs = counts.scanLeft(0L)(_ + _)
+          sorted.zip(offs).map { case (r, off) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq.init ++ (Seq(off) ++ totalCol.map(_ => total)))
+          }
+        }.toSeq
+        val schema = org.apache.spark.sql.types.StructType(
+          totals.schema.fields.init ++
+            (Seq(org.apache.spark.sql.types.StructField("__off0",
+              org.apache.spark.sql.types.LongType, nullable = false)) ++
+              totalCol.map(tc => org.apache.spark.sql.types.StructField(tc,
+                org.apache.spark.sql.types.LongType, nullable = false))))
+        val local = spark.createDataFrame(
+          new java.util.ArrayList(scala.jdk.CollectionConverters
+            .SeqHasAsJava(outRows).asJava), schema)
+        val ord = if (descending) col(orderCol).desc else col(orderCol).asc
+        val wLocal = Window.partitionBy((col(Pid) +: groupCols.map(col)): _*)
+          .orderBy(ord)
+        b.join(broadcast(local), Pid +: groupCols)
+          .withColumn(rankCol, row_number().over(wLocal) + col("__off0"))
+          .drop(Pid, "__off0")
+      }
+    }
+  }
+
+  private def joinOffsets(b: DataFrame, groupCols: Seq[String],
+      orderCol: String, rankCol: String, descending: Boolean,
+      totalCol: Option[String]): DataFrame = {
     val totals = partitionTotals(b, groupCols, Seq(lit(1L)))
     val off = offsets(totals, groupCols, 1)
     val withTotal = totalCol match {

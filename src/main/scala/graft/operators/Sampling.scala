@@ -41,12 +41,15 @@ object Sampling {
       fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0, s"bad fraction $fraction")
     val keyed = df.withColumn("__sk", hashKey(idCol))
-    val ranked = ParallelRank.rowNumber(keyed, strataCols, "__sk", "__rn")
-    val quotas = df.groupBy(strataCols.map(col): _*)
-      .agg(ceil(count(lit(1)) * fraction).cast("long").as("__quota"))
-    ranked.join(quotas, strataCols)
-      .filter(col("__rn") <= col("__quota"))
-      .select(df.columns.map(col): _*) // original column order (the join
+    // stratum sizes ride the rank's offsets broadcast (totalCol) instead
+    // of a second scan + aggregate + join; strata are bounded by contract
+    // (stratification over unbounded strata is meaningless), so the
+    // driver-offsets dispatch applies too
+    val ranked = ParallelRank.rowNumber(keyed, strataCols, "__sk", "__rn",
+      totalCol = Some("__n"), smallGroupsHint = true)
+    ranked
+      .filter(col("__rn") <= ceil(col("__n") * fraction).cast("long"))
+      .select(df.columns.map(col): _*) // original column order (the rank
                                        // fronts the strata key columns)
   }
 

@@ -228,7 +228,7 @@ object Analytics {
     // events scan + aggregate + join just for count(*) per type
     graft.operators.ParallelRank
       .rowNumber(ev, Seq("event_type"), "__ok", "__rn",
-        totalCol = Some("__n"))
+        totalCol = Some("__n"), smallGroupsHint = true)
       .select($"event_id", $"event_type", $"value",
         (($"__rn" - 1).cast("double") / ($"__n" - 1)).as("pct_rank"))
       .cachedOrdered($"event_type", $"event_id")

@@ -188,7 +188,8 @@ object Curation {
     import s.implicits._
     val keyed = Tables(s, dir).documents
       .select($"doc_id", md5($"doc_id".cast("string").cast("binary")).as("skey"))
-    ParallelRank.rowNumber(keyed, Seq.empty, "skey", "rn")
+    ParallelRank.rowNumber(keyed, Seq.empty, "skey", "rn",
+      smallGroupsHint = true)
       .select($"doc_id", $"skey", $"rn".cast("long").as("shuffle_rank"),
         (($"rn" - 1) % 8).cast("long").as("shard"))
       .cachedOrdered($"doc_id")

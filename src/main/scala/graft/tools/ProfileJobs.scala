@@ -1,56 +1,58 @@
 package graft.tools
 
-import scala.collection.mutable
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
-
-import graft.SparkEntry
-
-/** Per-job anatomy of a gated query: how many Spark jobs one execution
-  * launches and where the wall time goes (job gaps = driver-side planning /
-  * AQE re-optimization / collect processing). Floor diagnosis for the
-  * bench gate: a sub-second query spending half its wall between jobs is
-  * bounded by round trips, not compute.
+/** Per-query job/stage anatomy for the bench floor: how many Spark jobs,
+  * stages and tasks each gated query launches, and where task time goes.
+  * The per-query floor is mostly COUNT-driven (each job pays scheduling +
+  * first-task latency), so this ranks queries by what to fuse next.
+  * Usage: SPARK_GRAFT_ONLY=... SPARK_GRAFT_SF_DIR=... runMain graft.tools.ProfileJobs
   */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q13_grouped_describe").split(",")
-    val spark = graft.core.GraftSession.local(cores = 32, appName = "profile-jobs")
+    val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8").toInt
+    val builder = graft.core.GraftSession.configure(
+      SparkSession.builder().master("local[32]").appName("profile-jobs"),
+      shufflePartitions = shuffleParts)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+      .config("spark.default.parallelism", shuffleParts)
+      .config("spark.locality.wait", "0")
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    final case class J(id: Int, start: Long, var end: Long = -1L, var stages: Int = 0)
-    val jobs = mutable.ArrayBuffer[J]()
+
+    @volatile var jobs = 0
+    @volatile var stages = 0
+    @volatile var tasks = 0
+    @volatile var taskTimeMs = 0L
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.synchronized {
-          jobs += J(e.jobId, System.nanoTime(), stages = e.stageIds.size)
-        }
-      override def onJobEnd(e: SparkListenerJobEnd): Unit =
-        jobs.synchronized {
-          jobs.find(_.id == e.jobId).foreach(_.end = System.nanoTime())
-        }
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages += 1
+        tasks += s.stageInfo.numTasks
+        taskTimeMs += s.stageInfo.taskMetrics.executorRunTime
+      }
     })
-    names.foreach { name =>
-      val fn = SparkEntry.queries(name)
-      // warm
+
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    // warm pass (JIT + codegen), unprofiled
+    selected.foreach { case (_, fn) =>
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      Thread.sleep(300)
-      jobs.synchronized(jobs.clear())
+    }
+    println(f"${"query"}%-32s ${"jobs"}%5s ${"stages"}%7s ${"tasks"}%6s ${"taskSec"}%8s ${"wallSec"}%8s")
+    selected.foreach { case (name, fn) =>
+      spark.catalog.clearCache()
+      jobs = 0; stages = 0; tasks = 0; taskTimeMs = 0L
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300)
-      val js = jobs.synchronized(jobs.toVector).sortBy(_.start)
-      println(f"== $name wall=$wall%.3f s, ${js.size} jobs")
-      var prevEnd = t0
-      js.foreach { j =>
-        val gap = (j.start - prevEnd) / 1e9
-        val dur = (j.end - j.start) / 1e9
-        println(f"  job ${j.id}%3d stages=${j.stages} gapBefore=$gap%6.3f dur=$dur%6.3f")
-        prevEnd = math.max(prevEnd, j.end)
-      }
-      val totalJob = js.map(j => (j.end - j.start) / 1e9).sum
-      println(f"  sum(job)=$totalJob%.3f  driver-side=${wall - totalJob}%.3f")
+      // listener is async; give the bus a beat to drain before reading
+      Thread.sleep(120)
+      println(f"$name%-32s $jobs%5d $stages%7d $tasks%6d ${taskTimeMs / 1000.0}%8.2f $wall%8.2f")
     }
     spark.stop()
   }
