@@ -50,6 +50,11 @@ object Bench {
       // default.parallelism (= cores in local mode): 32 slivers of a
       // 100k-row stage pay more per-task fixed cost than 8 real slices
       .config("spark.default.parallelism", shuffleParts)
+      // scan-kernel fan-out stays at cores/2 regardless of shuffle sizing
+      // (Tables.fanOut) — the compute-bound text/vector kernels want the
+      // machine, the tiny post-agg exchanges don't
+      .config("spark.graft.fanout",
+        math.max(cpus.toInt / 2, shuffleParts.toInt).toString)
       // autoBroadcastJoinThreshold stays at the 10 MB default: a 64 MB
       // A/B (broadcasting the sf0.1 orders side) measured STRICTLY worse —
       // +1.2 s wall / +11 s process CPU across the suite. Single-JVM local

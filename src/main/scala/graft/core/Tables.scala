@@ -73,10 +73,14 @@ final case class Tables(spark: SparkSession, dir: String) {
     // 16-way fan-out beats 32-way on BOTH wall and CPU (16 heavier tasks
     // amortize per-task kernel setup better than 32 slivers). Deliberately
     // INDEPENDENT of spark.sql.shuffle.partitions: shuffle sizing tracks
-    // post-agg data volume (8 at bench scale), while fan-out parallelizes
-    // scan-side compute kernels, which want the machine's cores.
-    val target = math.max(spark.sparkContext.defaultParallelism / 2,
-      spark.sessionState.conf.numShufflePartitions)
+    // post-agg data volume (4-8 at bench scale), while fan-out parallelizes
+    // scan-side compute kernels, which want the machine's cores. The
+    // explicit conf exists because the bench pins default.parallelism to
+    // its (small) shuffle sizing — without it the fan-out silently follows
+    // and kernel stages collapse to the shuffle width.
+    val target = spark.conf.getOption("spark.graft.fanout").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 2,
+        spark.sessionState.conf.numShufflePartitions))
     if (df.rdd.getNumPartitions * 2 > target) df
     else df.repartition(target)
   }

@@ -88,6 +88,21 @@ object ProfileScan {
         .repartition(1).sortWithinPartitions(col("doc_id"))
         .write.format("noop").mode("overwrite").save()
     }
+    // irreducible floors: what a query can never undercut on this harness
+    time("floor: range(1) noop (plan+1 job)") {
+      spark.range(1).write.format("noop").mode("overwrite").save()
+    }
+    time("floor: range agg 1-exchange") {
+      spark.range(100).groupBy((col("id") % 4).as("g")).count()
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("floor: region scan noop") {
+      t.region.write.format("noop").mode("overwrite").save()
+    }
+    time("floor: events 2-col agg") {
+      t.events.groupBy(col("event_type")).agg(sum("value"))
+        .write.format("noop").mode("overwrite").save()
+    }
     spark.stop()
   }
 }
