@@ -5,16 +5,16 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // Shuffle parallelism: cores/4, measured optimum at bench scale
-    // (32 cores, sf0.1): the A/B ladder 32/16/8/4-way measured 26/20/18/17s
-    // suite wall with the best totals at 8 (4 concentrates the heavy
-    // queries too much) — tiny per-partition volumes make per-task fixed
-    // cost (codegen instance, hash map, vectorized-reader setup) the
-    // dominant term. Scan-side fan-out is sized separately (Tables.fanOut
-    // follows cores/2, not this). A real cluster sizes this to data
-    // volume instead (GraftSession scaladoc).
+    // Shuffle parallelism: cores/8, measured optimum at bench scale
+    // (32 cores, sf0.1): with scan fan-out decoupled (spark.graft.fanout)
+    // and the pair-gen exchange pinned to the fan-out width, the 8-vs-4
+    // A/B measured 12.77 vs 11.8 s suite wall and -11 s process CPU at 4 —
+    // tiny per-partition volumes make per-task fixed cost (codegen
+    // instance, hash map, vectorized-reader setup) the dominant term, and
+    // the CPU-heavy exchanges no longer follow this knob. A real cluster
+    // sizes this to data volume instead (GraftSession scaladoc).
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.max(cpus.toInt / 4, 1).toString)
+      math.max(cpus.toInt / 8, 1).toString)
     val builder = graft.core.GraftSession
       .configure(
         SparkSession.builder().master(s"local[$cpus]"),
