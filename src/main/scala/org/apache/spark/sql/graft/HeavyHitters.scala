@@ -167,3 +167,167 @@ case class SpaceSavingAgg(
       newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
 }
+
+/** Space-Saving over every character n-gram of a text column, updating the
+  * summary INLINE per document row instead of exploding one row per n-gram:
+  * the generator (`transform(sequence(...), substring)` + explode) costs an
+  * array allocation and a full operator-pipeline row transition per n-gram —
+  * for corpus-scale text that is billions of row transitions whose only
+  * purpose is feeding an aggregate that immediately re-compresses them to
+  * `capacity` entries. Here the n-gram walk happens inside update(), so the
+  * per-row cost is the substring loop alone and the plan stays a single
+  * scan + single aggregate.
+  *
+  * N-gram semantics match the SQL generator the oracle replays
+  * (`substr(text, i, n)` for i in 1..greatest(len-(n-1), 1), SQL
+  * character — not byte — positions): a text shorter than n contributes
+  * its whole self (the empty string for empty text), exactly like
+  * substring's clamped-window behavior.
+  */
+case class SpaceSavingNgramsAgg(
+    child: Expression,
+    n: Int,
+    capacity: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[SpaceSavingSummary]
+  with ImplicitCastInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("item", StringType, nullable = false),
+      StructField("cnt", LongType, nullable = false),
+      StructField("err", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "heavy_hitter_ngrams"
+
+  override def createAggregationBuffer(): SpaceSavingSummary =
+    new SpaceSavingSummary(capacity)
+
+  override def update(buffer: SpaceSavingSummary,
+      input: InternalRow): SpaceSavingSummary = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String]
+      val last = math.max(t.numChars() - (n - 1), 1)
+      var i = 1
+      while (i <= last) {
+        buffer.add(t.substringSQL(i, n).toString)
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: SpaceSavingSummary,
+      other: SpaceSavingSummary): SpaceSavingSummary = {
+    buffer.merge(other)
+    buffer
+  }
+
+  override def eval(buffer: SpaceSavingSummary): Any = {
+    val rows = buffer.counts.toSeq
+      .sortBy { case (k, ce) => (-ce(0), k) }
+      .map { case (k, ce) =>
+        InternalRow(UTF8String.fromString(k), ce(0), ce(1))
+      }
+    new GenericArrayData(rows.toArray[Any])
+  }
+
+  override def serialize(buffer: SpaceSavingSummary): Array[Byte] =
+    SpaceSavingAgg(child, capacity).serialize(buffer)
+  override def deserialize(bytes: Array[Byte]): SpaceSavingSummary =
+    SpaceSavingAgg(child, capacity).deserialize(bytes)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SpaceSavingNgramsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SpaceSavingNgramsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
+
+/** Exact counts of a FIXED candidate n-gram set over a text column, one
+  * long per candidate, walked inline per row (same n-gram semantics as
+  * SpaceSavingNgramsAgg). This is the verify pass of sketch-then-recount
+  * top-k: the aggregate state is exactly |candidates| longs regardless of
+  * the corpus' n-gram cardinality, and the exchange carries one such
+  * vector per partition. Output: array<long> in candidate order.
+  */
+case class NgramCandidateCountsAgg(
+    child: Expression,
+    n: Int,
+    candidates: Seq[String],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with ImplicitCastInputTypes {
+
+  require(n >= 1, s"n must be >= 1, got $n")
+  require(candidates.nonEmpty, "empty candidate set")
+
+  @transient private lazy val index: java.util.HashMap[UTF8String, Integer] = {
+    val m = new java.util.HashMap[UTF8String, Integer](candidates.size * 2)
+    candidates.zipWithIndex.foreach { case (c, i) =>
+      m.put(UTF8String.fromString(c), i)
+    }
+    m
+  }
+
+  override def children: Seq[Expression] = Seq(child)
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_candidate_counts"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](candidates.size)
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val t = v.asInstanceOf[UTF8String]
+      val last = math.max(t.numChars() - (n - 1), 1)
+      var i = 1
+      while (i <= last) {
+        val idx = index.get(t.substringSQL(i, n))
+        if (idx != null) buffer(idx) += 1L
+        i += 1
+      }
+    }
+    buffer
+  }
+
+  override def merge(buffer: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buffer.length) { buffer(i) += other(i); i += 1 }
+    buffer
+  }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8)
+    buffer.foreach(bb.putLong)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): NgramCandidateCountsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): NgramCandidateCountsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+}
