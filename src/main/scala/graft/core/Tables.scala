@@ -98,4 +98,20 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Exact epoch microseconds, tolerant of the timestamp flavor the scan
+    * produced. Parquet writers vary: the test corpus has shipped `events.ts`
+    * both as TIMESTAMP(NANOS) (read as nano-epoch long under
+    * `nanosAsLong`, rebuilt by `Tables.events`) and as TIMESTAMP_NTZ
+    * (micros, isAdjustedToUTC=false) — and `unix_micros` hard-rejects the
+    * NTZ flavor. The cast to TimestampType is a no-op for instant
+    * timestamps and interprets NTZ in the session timezone (pinned UTC by
+    * GraftSession/Verify), which is exactly DuckDB's `epoch_us(ts)` reading
+    * of a naive timestamp — so oracle replays stay bit-identical. All
+    * integer time math in the engine routes through this helper.
+    */
+  def epochUs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.unix_micros
+    unix_micros(c.cast(org.apache.spark.sql.types.TimestampType))
+  }
 }

@@ -20,7 +20,7 @@ object Funnel {
 
   private val DayUs = 86400000000L
 
-  private def us(tsCol: String): Column = unix_micros(col(tsCol))
+  private def us(tsCol: String): Column = graft.core.Tables.epochUs(col(tsCol))
 
   /** Per-user first-touch times of the two funnel steps: (user_id, from_us,
     * to_us) with nulls where the step never happened.

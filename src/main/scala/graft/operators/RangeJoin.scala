@@ -23,10 +23,11 @@ object RangeJoin {
   def pairsWithin(df: DataFrame, keyCols: Seq[String], tsCol: String,
       idCol: String, toleranceMicros: Long,
       payload: Seq[String]): DataFrame = {
-    val band = floor(unix_micros(col(tsCol)) / toleranceMicros)
+    val tus = graft.core.Tables.epochUs(col(tsCol))
+    val band = floor(tus / toleranceMicros)
     val base = df.select(
       (keyCols.map(col) :+ col(idCol).as("__id") :+
-        unix_micros(col(tsCol)).as("__us") :+ band.as("__band")) ++
+        tus.as("__us") :+ band.as("__band")) ++
         payload.map(col): _*)
     val probes = base
       .withColumn("__probe",

@@ -32,7 +32,7 @@ object Sessionize {
     require(keys.nonEmpty, "sessionization needs at least one key")
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieBreakCol))
-    val tus = unix_micros(col(tsCol))
+    val tus = graft.core.Tables.epochUs(col(tsCol))
     val prev = lag(tus, 1).over(w)
     df.withColumn("__new_session",
         when(prev.isNull || tus - prev > gapMicros, 1L).otherwise(0L))
@@ -55,8 +55,8 @@ object Sessionize {
       .groupBy(keyCols :+ col("session_id"): _*)
       .agg(
         count(lit(1)).as("n_ev"),
-        (max(unix_micros(col(tsCol))) - min(unix_micros(col(tsCol))))
-          .as("dur_us"))
+        (max(graft.core.Tables.epochUs(col(tsCol))) -
+          min(graft.core.Tables.epochUs(col(tsCol)))).as("dur_us"))
     perSession.groupBy(keyCols: _*)
       .agg(
         count(lit(1)).as("n_sessions"),

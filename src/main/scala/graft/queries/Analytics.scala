@@ -252,7 +252,7 @@ object Analytics {
       |ORDER BY d.event_type, day""".stripMargin) { (s, dir) =>
     import s.implicits._
     val d = Tables(s, dir).events
-      .select($"event_type", unix_micros($"ts").as("t_us"))
+      .select($"event_type", Tables.epochUs($"ts").as("t_us"))
       .select($"event_type", expr("t_us div 86400000000").as("day"))
       .groupBy($"event_type", $"day").agg(count(lit(1)).as("c"))
     val st = d.groupBy($"event_type").agg(
