@@ -57,6 +57,16 @@ object DistributedQuantiles {
     */
   val SmallHistogramBudget: Long = 1L << 17
 
+  /** Default for `spark.graft.quantiles.smallInputBytes`: inputs whose
+    * optimizer size estimate is at or under this take the one-job
+    * driver-histogram path regardless of value cardinality (the collapsed
+    * histogram can't exceed the input). 32 MB of input is at most a few
+    * hundred MB of driver-side Row objects — comfortably inside any real
+    * driver, and two orders of magnitude under where the distributed paths
+    * start to win.
+    */
+  val SmallInputBytesDefault: Long = 1L << 25
+
   /** (group..., <qname>...) exact interpolated quantiles.
     *
     * `groupCountHint`: expected number of distinct groups. When absent, a
@@ -110,6 +120,28 @@ object DistributedQuantiles {
         "(group, value) pairs within histogram budget; computing order " +
         "statistics from the collapsed histogram on the driver (one job)")
       return viaDriverHistogram(df, groupCols, valueCol, qs, withMoments)
+    }
+    // Small-INPUT regime (no hint needed): the optimizer's size estimate for
+    // the input plan is free driver-side metadata (parquet footer bytes
+    // scaled by column pruning — no job runs). When the whole input is at
+    // most `smallInputBytes`, the collapsed (group, value, count) frame is
+    // driver-bounded by the input itself, so the one-job driver-histogram
+    // path is safe even for near-unique continuous columns the
+    // distinctValueHint can't honestly cover. This is the same dispatch
+    // shape a single-node engine applies implicitly; at lake scale the
+    // estimate is astronomically over the budget and the distributed paths
+    // below always run. Set spark.graft.quantiles.smallInputBytes=0 to
+    // disable (QuantileDispatchSpec pins the distributed paths this way).
+    val smallBytes = spark.conf
+      .getOption("spark.graft.quantiles.smallInputBytes")
+      .map(_.toLong).getOrElse(SmallInputBytesDefault)
+    if (smallBytes > 0 &&
+        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+      log.info("DistributedQuantiles: input estimated at " +
+        s"${df.queryExecution.optimizedPlan.stats.sizeInBytes} bytes <= " +
+        s"$smallBytes; sorting distributed and walking the collected rows " +
+        "on the driver (one job)")
+      return viaSortedCollect(df, groupCols, valueCol, qs, withMoments)
     }
     val estGroups: Long =
       if (groupCols.isEmpty) 1L
@@ -355,6 +387,112 @@ object DistributedQuantiles {
       groupCols.map(c => perValue.schema(c)) ++ momentFieldsOf(withMoments) ++
         qs.map { case (name, _) => StructField(name, DoubleType) })
     spark.createDataFrame(outRows.asJava, schema)
+  }
+
+  /** Small-input path (byte-gated in `run`): ONE collect job with NO
+    * exchange — project (group..., value), collect, sort on the driver,
+    * and compute every group's stats in a single linear walk over
+    * contiguous runs. A distributed sort would add a range-partitioner
+    * sampling pass + shuffle for data the driver is about to hold anyway;
+    * `viaDriverHistogram`'s hash-group collapse is ~3× slower than this
+    * when values are near-unique (600k boxed keys). Rank arithmetic
+    * indexes the sorted slice directly — bit-identical
+    * quantiles/min/max/n vs the two-job path; moments accumulate
+    * ascending (summation-order ulp vs the grouped accumulation, absorbed
+    * by the float32 metric casts). NaNs sort last both here
+    * (j.l.Double.compare / Arrays.sort) and in Spark's range sort, so the
+    * paths agree on pathological inputs too.
+    */
+  private def viaSortedCollect(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, qs: Seq[(String, Double)],
+      withMoments: Boolean): DataFrame = {
+    val spark = df.sparkSession
+    val gcols = groupCols.map(col)
+    val proj = df.select(gcols :+ col(valueCol).cast("double").as("__v"): _*)
+    val g = groupCols.length
+    if (g == 0) {
+      // group-less: collect through the Double encoder — a primitive
+      // array, no per-row boxing (a 600k-Row collect measured ~3× the
+      // whole two-job path; the primitive collect is ~20 ms at that size)
+      import spark.implicits._
+      val vs = proj.select(col("__v")).as[Double].collect()
+      java.util.Arrays.sort(vs)
+      val n = vs.length
+      val quantiles = qs.map { case (_, q) =>
+        val kk = (n - 1).toDouble * q
+        val frac = kk - math.floor(kk)
+        val lo = vs(math.floor(kk).toInt)
+        val hi = vs(math.ceil(kk).toInt)
+        lo * (1.0 - frac) + hi * frac
+      }
+      val moments: Seq[Any] = if (!withMoments) Nil else {
+        var s = 0.0; var s2 = 0.0
+        var r = 0
+        while (r < n) { val x = vs(r); s += x; s2 += x * x; r += 1 }
+        val mean = s / n
+        val std =
+          if (n < 2) Double.NaN
+          else math.sqrt(math.max(0.0, (s2 - s * s / n) / (n - 1)))
+        Seq[Any](n.toLong, mean, std, vs(0), vs(n - 1))
+      }
+      val schema = StructType(momentFieldsOf(withMoments) ++
+        qs.map { case (name, _) => StructField(name, DoubleType) })
+      return spark.createDataFrame(
+        Seq(Row.fromSeq(moments ++ quantiles)).asJava, schema)
+    }
+    val rows = proj.collect()
+    // driver sort on (group..., value): group cols via their natural
+    // orderings (the same total order Spark's sort would produce)
+    java.util.Arrays.sort(rows, new java.util.Comparator[Row] {
+      override def compare(a: Row, b: Row): Int = {
+        var c = 0
+        var k = 0
+        while (c == 0 && k < g) {
+          c = (a.get(k), b.get(k)) match {
+            case (x: java.lang.Comparable[_], y) =>
+              x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
+            case (null, null) => 0
+            case (null, _) => -1
+            case (_, null) => 1
+          }
+          k += 1
+        }
+        if (c != 0) c
+        else java.lang.Double.compare(a.getDouble(g), b.getDouble(g))
+      }
+    })
+    val out = mutable.ArrayBuffer[Row]()
+    var i = 0
+    while (i < rows.length) {
+      var j = i + 1
+      while (j < rows.length &&
+          (0 until g).forall(c => rows(j).get(c) == rows(i).get(c))) j += 1
+      val n = j - i
+      def v(r: Int): Double = rows(i + r).getDouble(g)
+      val quantiles = qs.map { case (_, q) =>
+        val kk = (n - 1).toDouble * q
+        val frac = kk - math.floor(kk)
+        val lo = v(math.floor(kk).toInt)
+        val hi = v(math.ceil(kk).toInt)
+        lo * (1.0 - frac) + hi * frac
+      }
+      val moments: Seq[Any] = if (!withMoments) Nil else {
+        var s = 0.0; var s2 = 0.0
+        var r = 0
+        while (r < n) { val x = v(r); s += x; s2 += x * x; r += 1 }
+        val mean = s / n
+        val std =
+          if (n < 2) Double.NaN
+          else math.sqrt(math.max(0.0, (s2 - s * s / n) / (n - 1)))
+        Seq[Any](n.toLong, mean, std, v(0), v(n - 1))
+      }
+      out += Row.fromSeq((0 until g).map(rows(i).get) ++ moments ++ quantiles)
+      i = j
+    }
+    val schema = StructType(
+      groupCols.map(c => proj.schema(c)) ++ momentFieldsOf(withMoments) ++
+        qs.map { case (name, _) => StructField(name, DoubleType) })
+    spark.createDataFrame(out.asJava, schema)
   }
 
   /** High-group-cardinality path: quantiles from `ParallelRank.quantiles`

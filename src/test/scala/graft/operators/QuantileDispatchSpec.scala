@@ -9,8 +9,21 @@ import graft.SparkSpec
   * `ParallelRank.quantiles` path — and both paths must return identical
   * results so the dispatch is invisible to callers.
   */
-class QuantileDispatchSpec extends SparkSpec {
+class QuantileDispatchSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // The small-input-bytes dispatch would reroute every in-memory test frame
+  // here to the driver-histogram path; pin it off so each test exercises
+  // the path it names (its own equality test below re-enables it locally).
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.quantiles.smallInputBytes")
+    super.afterAll()
+  }
 
   // 100k groups x 4 rows each: over budget at any partition count when the
   // hint reports the true G; values are exact in double.
@@ -92,6 +105,36 @@ class QuantileDispatchSpec extends SparkSpec {
       distinctValueHint = Some(DistributedQuantiles.SmallHistogramBudget + 1))
       .as[(Long, Double)].collect()
     assert(got.length == 1)
+  }
+
+  test("small-input-bytes dispatch equals the two-job path (near-unique values)") {
+    // near-unique continuous values — the regime no distinctValueHint can
+    // honestly declare bounded; the byte-gated driver path must agree with
+    // the range-shuffle path bit-for-bit on order statistics
+    val df = spark.range(0, 20000L)
+      .select((col("id") % 7L).as("g"),
+        (col("id") * 0.3141592653589793).as("v"))
+    val qs = Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75)
+    val cols = Seq("g", "n", "mean", "std", "vmin", "vmax", "p25", "p50", "p75")
+    val twoJob = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(7L), preCollapse = false)
+      .select(cols.map(col): _*).collect().sortBy(_.getLong(0))
+    spark.conf.set("spark.graft.quantiles.smallInputBytes",
+      DistributedQuantiles.SmallInputBytesDefault.toString)
+    val small =
+      try DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+        groupCountHint = Some(7L))
+        .select(cols.map(col): _*).collect().sortBy(_.getLong(0))
+      finally spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+    assert(twoJob.length == 7 && small.length == 7)
+    twoJob.zip(small).foreach { case (x, y) =>
+      assert(x.getLong(0) == y.getLong(0) && x.getLong(1) == y.getLong(1))
+      assert(math.abs(x.getDouble(2) - y.getDouble(2)) < 1e-9)
+      assert(math.abs(x.getDouble(3) - y.getDouble(3)) < 1e-9 ||
+        (x.getDouble(3).isNaN && y.getDouble(3).isNaN))
+      (4 to 8).foreach(i =>
+        assert(x.getDouble(i) == y.getDouble(i), s"col $i at g=${x.getLong(0)}"))
+    }
   }
 
   test("estimate pre-pass (no hint) routes a high-G frame to the fallback") {
