@@ -418,6 +418,13 @@ object DistributedQuantiles {
       val vs = proj.select(col("__v")).as[Double].collect()
       java.util.Arrays.sort(vs)
       val n = vs.length
+      val emptySchema = StructType(momentFieldsOf(withMoments) ++
+        qs.map { case (name, _) => StructField(name, DoubleType) })
+      // empty input -> empty frame, matching the two-job path (whose
+      // totals frame simply has no groups); indexing vs(-1) would throw
+      if (n == 0)
+        return spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), emptySchema)
       val quantiles = qs.map { case (_, q) =>
         val kk = (n - 1).toDouble * q
         val frac = kk - math.floor(kk)

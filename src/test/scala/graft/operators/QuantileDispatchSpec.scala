@@ -137,6 +137,20 @@ class QuantileDispatchSpec extends SparkSpec
     }
   }
 
+  test("small-input dispatch: empty input yields an empty frame, like the two-job path") {
+    val df = spark.range(0, 100L)
+      .select((col("id") % 5L).as("g"), col("id").cast("double").as("v"))
+      .filter(col("v") < 0) // empty after filter
+    val qs = Seq("p50" -> 0.5)
+    spark.conf.set("spark.graft.quantiles.smallInputBytes",
+      DistributedQuantiles.SmallInputBytesDefault.toString)
+    try {
+      assert(DistributedQuantiles.describe(df, Nil, "v", qs).count() == 0)
+      assert(DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+        groupCountHint = Some(5L)).count() == 0)
+    } finally spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+  }
+
   test("estimate pre-pass (no hint) routes a high-G frame to the fallback") {
     // with no hint the approx_count_distinct estimate (~100k) x partitions
     // exceeds the 2^20 budget -> ParallelRank path; result stays correct
