@@ -217,20 +217,26 @@ object Bench {
     // rounded to 10 ms (full precision stays on the stderr BENCH DONE
     // lines), bounding the contract line to ~1.9 KB for 63 queries even if
     // every value hits three digits.
+    // Locale.ROOT formatting throughout: the f interpolator uses the JVM
+    // default locale, and a comma-decimal locale (de_DE etc.) would emit
+    // {"q01":12,34,...} — corrupting the very artifact this block exists
+    // to protect. Same rule as the alert formatter (Alerts.scala).
+    def d2(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     def jmap(f: ((String, Double, Double, Double)) => (String, Double)) =
-      results.map(f).map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+      results.map(f).map { case (k, v) => "\"" + k + "\":" + d2(v) }
         .mkString("{", ",", "}")
     val qs = jmap(r => (r._1, r._2))
     val cpus2 = jmap(r => (r._1, r._3))
     val loads = jmap(r => (r._1, r._4))
     val total = results.collect { case (_, v, _, _) if v >= 0 => v }.sum
     val totalCpu = results.collect { case (_, w, c, _) if w >= 0 => c }.sum
-    val rb = rebenched.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
+    val rb = rebenched.map { case (k, v) => "\"" + k + "\":" + d2(v) }
       .mkString("{", ",", "}")
     println(s"""{"diag":"bench","cpu_sec":$cpus2,"load_avg":$loads,""" +
       s""""rebenched":$rb}""")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
-      f""""cpu_total":$totalCpu%.2f,"ncpus":${Runtime.getRuntime.availableProcessors}%d,"reps":$reps%d,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,""" +
+      s""""cpu_total":${d2(totalCpu)},"ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

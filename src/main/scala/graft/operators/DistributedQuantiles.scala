@@ -135,8 +135,27 @@ object DistributedQuantiles {
     val smallBytes = spark.conf
       .getOption("spark.graft.quantiles.smallInputBytes")
       .map(_.toLong).getOrElse(SmallInputBytesDefault)
-    if (smallBytes > 0 &&
-        df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes) {
+    // Two eligibility guards on the byte gate:
+    //  - size-only stats do NOT model generator fan-out (explode over a
+    //    20 MB scan can be gigabytes of rows at an under-budget estimate),
+    //    so any Generate in the plan disqualifies the driver path;
+    //  - the driver comparator orders group keys via j.l.Comparable, so
+    //    only atomic group-key types qualify (struct/array keys keep the
+    //    distributed paths, which order them natively).
+    val smallInputEligible = smallBytes > 0 &&
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= smallBytes &&
+      df.queryExecution.optimizedPlan.collectFirst {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }.isEmpty &&
+      groupCols.forall(c => df.schema(c).dataType match {
+        case _: org.apache.spark.sql.types.NumericType => true
+        case StringType | org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _ => false
+      })
+    if (smallInputEligible) {
       log.info("DistributedQuantiles: input estimated at " +
         s"${df.queryExecution.optimizedPlan.stats.sizeInBytes} bytes <= " +
         s"$smallBytes; sorting distributed and walking the collected rows " +
@@ -403,6 +422,33 @@ object DistributedQuantiles {
     * (j.l.Double.compare / Arrays.sort) and in Spark's range sort, so the
     * paths agree on pathological inputs too.
     */
+  /** Stats for one ASCENDING-sorted slice accessed by index: exact
+    * interpolated quantiles (ranks index the slice directly) + moments.
+    * Shared by both viaSortedCollect branches so the grouped and
+    * group-less results can't drift apart.
+    */
+  private def sliceStats(n: Int, v: Int => Double,
+      qs: Seq[(String, Double)], withMoments: Boolean): Seq[Any] = {
+    val quantiles = qs.map { case (_, q) =>
+      val kk = (n - 1).toDouble * q
+      val frac = kk - math.floor(kk)
+      val lo = v(math.floor(kk).toInt)
+      val hi = v(math.ceil(kk).toInt)
+      lo * (1.0 - frac) + hi * frac
+    }
+    val moments: Seq[Any] = if (!withMoments) Nil else {
+      var s = 0.0; var s2 = 0.0
+      var r = 0
+      while (r < n) { val x = v(r); s += x; s2 += x * x; r += 1 }
+      val mean = s / n
+      val std =
+        if (n < 2) Double.NaN
+        else math.sqrt(math.max(0.0, (s2 - s * s / n) / (n - 1)))
+      Seq[Any](n.toLong, mean, std, v(0), v(n - 1))
+    }
+    moments ++ quantiles
+  }
+
   private def viaSortedCollect(df: DataFrame, groupCols: Seq[String],
       valueCol: String, qs: Seq[(String, Double)],
       withMoments: Boolean): DataFrame = {
@@ -417,35 +463,14 @@ object DistributedQuantiles {
       import spark.implicits._
       val vs = proj.select(col("__v")).as[Double].collect()
       java.util.Arrays.sort(vs)
-      val n = vs.length
-      val emptySchema = StructType(momentFieldsOf(withMoments) ++
+      val schema = StructType(momentFieldsOf(withMoments) ++
         qs.map { case (name, _) => StructField(name, DoubleType) })
       // empty input -> empty frame, matching the two-job path (whose
       // totals frame simply has no groups); indexing vs(-1) would throw
-      if (n == 0)
-        return spark.createDataFrame(
-          java.util.Collections.emptyList[Row](), emptySchema)
-      val quantiles = qs.map { case (_, q) =>
-        val kk = (n - 1).toDouble * q
-        val frac = kk - math.floor(kk)
-        val lo = vs(math.floor(kk).toInt)
-        val hi = vs(math.ceil(kk).toInt)
-        lo * (1.0 - frac) + hi * frac
-      }
-      val moments: Seq[Any] = if (!withMoments) Nil else {
-        var s = 0.0; var s2 = 0.0
-        var r = 0
-        while (r < n) { val x = vs(r); s += x; s2 += x * x; r += 1 }
-        val mean = s / n
-        val std =
-          if (n < 2) Double.NaN
-          else math.sqrt(math.max(0.0, (s2 - s * s / n) / (n - 1)))
-        Seq[Any](n.toLong, mean, std, vs(0), vs(n - 1))
-      }
-      val schema = StructType(momentFieldsOf(withMoments) ++
-        qs.map { case (name, _) => StructField(name, DoubleType) })
-      return spark.createDataFrame(
-        Seq(Row.fromSeq(moments ++ quantiles)).asJava, schema)
+      val outRows =
+        if (vs.isEmpty) Nil
+        else Seq(Row.fromSeq(sliceStats(vs.length, vs(_), qs, withMoments)))
+      return spark.createDataFrame(outRows.asJava, schema)
     }
     val rows = proj.collect()
     // driver sort on (group..., value): group cols via their natural
@@ -455,12 +480,14 @@ object DistributedQuantiles {
         var c = 0
         var k = 0
         while (c == 0 && k < g) {
+          // null cases FIRST (nulls sort first, matching Spark's asc
+          // default); a Comparable-first match would NPE on x.compareTo(null)
           c = (a.get(k), b.get(k)) match {
-            case (x: java.lang.Comparable[_], y) =>
-              x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
             case (null, null) => 0
             case (null, _) => -1
             case (_, null) => 1
+            case (x: java.lang.Comparable[_], y) =>
+              x.asInstanceOf[java.lang.Comparable[Any]].compareTo(y)
           }
           k += 1
         }
@@ -475,25 +502,9 @@ object DistributedQuantiles {
       while (j < rows.length &&
           (0 until g).forall(c => rows(j).get(c) == rows(i).get(c))) j += 1
       val n = j - i
-      def v(r: Int): Double = rows(i + r).getDouble(g)
-      val quantiles = qs.map { case (_, q) =>
-        val kk = (n - 1).toDouble * q
-        val frac = kk - math.floor(kk)
-        val lo = v(math.floor(kk).toInt)
-        val hi = v(math.ceil(kk).toInt)
-        lo * (1.0 - frac) + hi * frac
-      }
-      val moments: Seq[Any] = if (!withMoments) Nil else {
-        var s = 0.0; var s2 = 0.0
-        var r = 0
-        while (r < n) { val x = v(r); s += x; s2 += x * x; r += 1 }
-        val mean = s / n
-        val std =
-          if (n < 2) Double.NaN
-          else math.sqrt(math.max(0.0, (s2 - s * s / n) / (n - 1)))
-        Seq[Any](n.toLong, mean, std, v(0), v(n - 1))
-      }
-      out += Row.fromSeq((0 until g).map(rows(i).get) ++ moments ++ quantiles)
+      val base = i
+      out += Row.fromSeq((0 until g).map(rows(i).get) ++
+        sliceStats(n, r => rows(base + r).getDouble(g), qs, withMoments))
       i = j
     }
     val schema = StructType(

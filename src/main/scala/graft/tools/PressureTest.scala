@@ -4,19 +4,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
 /** Curation-chain pressure test beyond the gated SFs: amplify the sf0.1
-  * corpus ~10× with SKEWED near-dup cluster sizes (a few 400-member
-  * clusters, many 30- and 6-member ones) and a hot boilerplate prefix on a
-  * third of the documents, then drive pairs → clusters → survivors
-  * end-to-end. The pair volume (~millions) exceeds the 2M driver
-  * union-find budget, so ConnectedComponents takes its DISTRIBUTED
-  * label-propagation path on real amplified data — the regime the driver
-  * suite can't reach. Prints a summary for PRESSURE.md.
+  * corpus ~30× with SKEWED near-dup cluster sizes (a few 1200-member
+  * clusters, many 90- and 18-member ones) and a hot boilerplate prefix on
+  * a third of the documents, then drive pairs → clusters → survivors
+  * end-to-end. The pair volume (~7.6M) exceeds the 2M driver union-find
+  * budget, so ConnectedComponents takes its DISTRIBUTED label-propagation
+  * path on real amplified data — the regime the driver suite can't reach.
+  * Prints a summary for PRESSURE.md.
   *
   * Checks (hard failures, not prints):
   *  - the edge count actually exceeds the driver budget (distributed path);
   *  - label propagation converges (assign throws otherwise);
   *  - pair growth stays near-linear in docs (bucket caps hold: pairs/doc
-  *    bounded), and every amplified replica clusters with its source.
+  *    bounded);
+  *  - engine labels partition the ids EXACTLY like a driver union-find
+  *    over the full edge list (both directions), and every vertex of the
+  *    pair graph is labeled — no dropped ids.
   */
 object PressureTest {
   def main(args: Array[String]): Unit = {
@@ -116,6 +119,14 @@ object PressureTest {
     println(s"PRESSURE label-vs-union-find: splits=$splits merges=$merges")
     require(splits == 0 && merges == 0,
       s"engine labels diverge from ground truth: $splits splits, $merges merges")
+    // completeness: the bijection check above iterates only labeled rows —
+    // an engine bug DROPPING part of a component would still show
+    // splits=0/merges=0. Every distinct endpoint of the pair graph must be
+    // labeled exactly once.
+    val nVertices = pairs.select($"da".as("id"))
+      .union(pairs.select($"db".as("id"))).distinct().count()
+    require(engine.length.toLong == nVertices,
+      s"labels cover ${engine.length} ids but the pair graph has $nVertices")
 
     val survivors = timed("survivors")(
       amplified.join(

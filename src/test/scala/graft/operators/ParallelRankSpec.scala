@@ -11,8 +11,21 @@ import graft.SparkSpec
   * partitioning they were computed from, so the totals branch and the rank
   * branch MUST share one physical shuffle (ReuseExchange).
   */
-class ParallelRankSpec extends SparkSpec {
+class ParallelRankSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
   import spark.implicits._
+
+  // pin the two-job RDD path for the DistributedQuantiles cross-checks —
+  // the small-input dispatch would reroute these KB-sized frames to the
+  // driver sorted-collect path and void the "agree bit-for-bit" intent
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.quantiles.smallInputBytes")
+    super.afterAll()
+  }
 
   private def sample = {
     val rnd = new scala.util.Random(7)

@@ -137,6 +137,28 @@ class QuantileDispatchSpec extends SparkSpec
     }
   }
 
+  test("small-input dispatch: null group keys sort first and match the two-job path") {
+    // null group values must not NPE the driver comparator and must group
+    // exactly like the distributed path (which treats null as an ordinary key)
+    val df = spark.range(0, 9000L)
+      .select(when(col("id") % 3L === 0L, lit(null)).otherwise(col("id") % 3L).as("g"),
+        ((col("id") * 13L) % 997L).cast("double").as("v"))
+    val qs = Seq("p50" -> 0.5)
+    val twoJob = DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+      groupCountHint = Some(3L))
+      .select(col("g"), col("n"), col("p50")).collect()
+      .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2))).sortBy(_._1.map(_.toString))
+    spark.conf.set("spark.graft.quantiles.smallInputBytes",
+      DistributedQuantiles.SmallInputBytesDefault.toString)
+    val small =
+      try DistributedQuantiles.describe(df, Seq("g"), "v", qs,
+        groupCountHint = Some(3L))
+        .select(col("g"), col("n"), col("p50")).collect()
+        .map(r => (Option(r.get(0)), r.getLong(1), r.getDouble(2))).sortBy(_._1.map(_.toString))
+      finally spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+    assert(twoJob.length == 3 && small.toSeq == twoJob.toSeq)
+  }
+
   test("small-input dispatch: empty input yields an empty frame, like the two-job path") {
     val df = spark.range(0, 100L)
       .select((col("id") % 5L).as("g"), col("id").cast("double").as("v"))

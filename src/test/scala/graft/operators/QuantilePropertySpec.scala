@@ -10,7 +10,21 @@ import graft.SparkSpec
   * duplicates, negatives, single elements, skewed groups, q at the edges.
   * Spark rounds: each case is a real distributed run at 4 cores.
   */
-class QuantilePropertySpec extends SparkSpec {
+class QuantilePropertySpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  // pin the DISTRIBUTED paths: every property frame here is tiny, and the
+  // small-input-bytes dispatch would otherwise reroute all 30 cases to the
+  // driver sorted-collect path (whose equality is covered separately in
+  // QuantileDispatchSpec), leaving the two-job arithmetic unexercised
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    spark.conf.set("spark.graft.quantiles.smallInputBytes", "0")
+  }
+  override def afterAll(): Unit = {
+    spark.conf.unset("spark.graft.quantiles.smallInputBytes")
+    super.afterAll()
+  }
 
   private def referenceQuantile(sorted: Vector[Double], q: Double): Double = {
     val k = (sorted.length - 1).toDouble * q
