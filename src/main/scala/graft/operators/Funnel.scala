@@ -11,10 +11,11 @@ import org.apache.spark.sql.functions._
   * Spark, and a quotient landing within an ulp of the next integer would
   * truncate wrong). Results are bit-deterministic and SQL-replayable.
   * Shapes: funnel = one groupBy(user) with conditional-min partials + one
-  * groupBy(cohort) — two shuffles, both map-side combined; retention = the
-  * same first-touch aggregate joined to the distinct (user, period)
-  * activity frame, offsets counted in ONE Expand pass. Nothing is windowed
-  * over a global order and nothing collects.
+  * groupBy(cohort) — two shuffles, both map-side combined; retention = one
+  * linear chain: a per-user aggregate carrying (cohort week, distinct
+  * active-week set), exploded to offsets and counted per cohort — two
+  * shuffles, no join. Nothing is windowed over a global order and nothing
+  * collects.
   */
 object Funnel {
 
@@ -62,18 +63,22 @@ object Funnel {
       horizon: Int = 3): DataFrame = {
     require(horizon >= 0 && horizon <= 12, "retention horizon 0..12")
     val weekUs = 7L * DayUs
-    val first = events.groupBy(col(userCol).as("user_id"))
-      .agg(min(us(tsCol)).as("first_us"))
-      .select(col("user_id"), expr(s"first_us div $weekUs").as("cohort_week"))
-    val active = events
+    // ONE linear chain, no join: the per-user aggregate carries BOTH the
+    // cohort week (min) and the distinct active-week set — after it, each
+    // (user, week) exists at most once, so the per-cohort distinct-user
+    // counts become plain conditional counts on the exploded offsets. Two
+    // exchanges total (user grain, cohort grain) vs the previous
+    // first-touch ⋈ distinct-actives shape's three plus a join build. The
+    // per-user set is bounded by calendar weeks, never by event volume.
+    val perUser = events
       .select(col(userCol).as("user_id"), us(tsCol).as("t_us"))
       .select(col("user_id"), expr(s"t_us div $weekUs").as("w"))
-      .distinct()
-    val joined = active.join(first, "user_id")
-      .select(col("user_id"), col("cohort_week"),
-        (col("w") - col("cohort_week")).as("k"))
+      .groupBy("user_id")
+      .agg(min(col("w")).as("cohort_week"), collect_set(col("w")).as("ws"))
     val counts = (0 to horizon).map(k =>
-      count_distinct(when(col("k") === k, col("user_id"))).as(s"w$k"))
-    joined.groupBy("cohort_week").agg(counts.head, counts.tail: _*)
+      count(when(col("k") === k, lit(1))).as(s"w$k"))
+    perUser.select(col("cohort_week"), explode(col("ws")).as("w"))
+      .select(col("cohort_week"), (col("w") - col("cohort_week")).as("k"))
+      .groupBy("cohort_week").agg(counts.head, counts.tail: _*)
   }
 }

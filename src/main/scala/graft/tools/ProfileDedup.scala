@@ -33,6 +33,22 @@ object ProfileDedup {
       time("  pairs explode")(pairs.count())
       time("  pairs agg")(pairs.groupBy("da", "db").agg(count(lit(1)).as("inter")).count())
     }
+    locally {
+      // DuckDB-oracle formulation A/B: equi-self-join on the hashed
+      // shingle key + aggregate, instead of collect_set + pair explode
+      val sh8 = sh.select(col("id"), xxhash64(col("s")).as("s"))
+      val a = sh8.select(col("s"), col("id").as("da"))
+      val b = sh8.select(col("s"), col("id").as("db"))
+      val joined = a.join(b, "s").filter(col("da") < col("db"))
+        .groupBy("da", "db").agg(count(lit(1)).as("inter"))
+      time("join-form pairs agg")(joined.count())
+      val rep = sh8.repartition(16, col("s"))
+      val a2 = rep.select(col("s"), col("id").as("da"))
+      val b2 = rep.select(col("s"), col("id").as("db"))
+      time("join-form pre-part")(
+        a2.join(b2, "s").filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("inter")).count())
+    }
     time("jaccardPairs full")(Dedup.jaccardPairs(docs, "doc_id", "text").count())
     time("minhash sigs")(Dedup.minHashSignatures(sh).count())
     time("lsh candidates")(Dedup.lshCandidates(Dedup.minHashSignatures(sh)).count())
