@@ -471,6 +471,66 @@ object TextVector {
       .cachedOrdered($"da", $"db")
   }
 
+  /** Embedding-space dedup survivors: the vector-space twin of q61's
+    * text chain — sign-LSH cosine pairs (q35's operator) close into
+    * clusters (q44's operator), non-minimum members anti-join away. Only
+    * (long, long) id pairs ever shuffle after the verified pair frame;
+    * the embeddings themselves never leave their scan. Oracle replays the
+    * portable hyperplane family bit-exactly, closes the pair graph with a
+    * recursive CTE, and keeps rows whose id is absent from the non-min
+    * member set.
+    */
+  private val q64 = QueryDef.sql(
+    "embedding-cosine dedup survivors: vectors minus non-min near-dup members")(
+    """WITH RECURSIVE pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 48)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |nd AS (SELECT da, db FROM cand
+      |  JOIN embeddings ea ON cand.da = ea.vec_id
+      |  JOIN embeddings eb ON cand.db = eb.vec_id
+      |  WHERE list_cosine_similarity(
+      |      list_transform(ea.embedding, x -> x::DOUBLE),
+      |      list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35),
+      |edges AS (SELECT da AS src, db AS dst FROM nd
+      |          UNION SELECT db AS src, da AS dst FROM nd),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, w.r FROM edges e JOIN reach w ON e.dst = w.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
+      |SELECT e.vec_id, e.label FROM embeddings e
+      |LEFT JOIN comp c ON e.vec_id = c.id AND c.id <> c.component
+      |WHERE c.id IS NULL ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{Ann, ConnectedComponents}
+    val pairs = Ann.cosineNearDupPairs(
+        Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
+        minSim = 0.35, bands = 8, planesPerBand = 6, portable = true)
+      .select($"da", $"db")
+    val nonSurvivors = ConnectedComponents.nonSurvivors(pairs)
+      .withColumnRenamed("id", "vec_id")
+    Tables(s, dir).embeddings
+      .join(nonSurvivors, Seq("vec_id"), "left_anti")
+      .select($"vec_id", $"label")
+      .smallOrdered($"vec_id")
+  }
+
   /** Benchmark decontamination (operators.Decontamination): docs 0..19 play
     * the eval benchmark, the rest the training corpus; per-doc n-gram
     * containment + contamination flag. Integer-count ratio — bit-exact
@@ -514,6 +574,7 @@ object TextVector {
     "q31_ann_topk" -> q31,
     "q35_cosine_pairs" -> q35,
     "q37_decontamination" -> q37,
-    "q43_ivf_ann" -> q43
+    "q43_ivf_ann" -> q43,
+    "q64_embedding_dedup_survivors" -> q64
   )
 }
