@@ -151,6 +151,17 @@ class PlanSpec extends SparkSpec {
     assert(!uniqP.contains("Join"), "uniqueness pass joins")
   }
 
+  test("q64: embedding column never crosses a shuffle; anti-join carries ids only") {
+    val p = plan("q64_embedding_dedup_survivors")
+    // the cluster chain and the final anti-join move only (long, long) id
+    // frames; the embedding array must stay below its scans — any hash
+    // exchange keyed or carrying `embedding` is the 100 TB blow-up
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("embedding")),
+      s"an exchange carries the embedding column:\n${exchanges.mkString("\n")}")
+    assert(p.contains("LeftAnti"), "survivor selection is not an anti-join")
+  }
+
   test("q56/q57: sketch aggregates partial-aggregate before the merge") {
     for ((q, fn) <- Seq("q56_token_heavy_hitters" -> "heavy_hitters",
         "q57_sketch_quantiles" -> "kll_quantiles")) {
