@@ -53,6 +53,52 @@ object Sampling {
                                        // fronts the strata key columns)
   }
 
+  /** Deterministic priority sampling (Duffield/Lund/Thorup): a weighted
+    * size-k sample with unbiased Horvitz-Thompson totals, on the same
+    * content-hash determinism contract as the other samplers. Each row gets
+    * priority p = w / u with u a hash-derived uniform in (0, 1]; the k
+    * highest-priority rows win, and the (k+1)-th priority τ yields the HT
+    * weight estimate max(w, τ) — summing `est_w` over the sample is an
+    * unbiased estimate of sum(w) over the population.
+    *
+    * Bit-portability (the md5-replay rule every gated sampler follows):
+    * u = (m+1)/2^52 with m the md5's leading 13 hex digits — m+1 ≤ 2^52 is
+    * exactly representable, and the single division w/u is IEEE
+    * correctly-rounded, so any engine replaying the formula selects the
+    * same rows AND the same float bits. No ln(): the exponential-variates
+    * formulation (Efraimidis-Spirakis) needs a transcendental whose last
+    * ulp is libm-specific — priority sampling gives the same weighted-
+    * inclusion guarantees on pure field ops.
+    *
+    * Scale: one scan + a bounded-heap `TopKByAgg` (k+1 tuples per map
+    * partial — never a global sort), then a broadcast join fetches the
+    * winners' rows. τ is derived in-plan from the same aggregate row.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.graft.{Bridge, TopKByAgg}
+    val m = conv(substring(hashKey(idCol), 1, 13), 16, 10).cast("long")
+    val u = (m + lit(1L)).cast("double") / lit(4503599627370496.0) // 2^52
+    val priority = col(weightCol).cast("double") / u
+    val top = Bridge.column(TopKByAgg(
+      Bridge.expression(priority),
+      Bridge.expression(col(idCol).cast("long")),
+      k + 1).toAggregateExpression())
+    val agged = df.agg(top.as("__top"))
+    // τ = the (k+1)-th priority when the population exceeds k, else 0
+    // (every row sampled ⇒ est_w = w exactly).
+    val winners = agged.select(
+      when(size(col("__top")) > k, element_at(col("__top"), k + 1)("ord"))
+        .otherwise(lit(0.0)).as("__tau"),
+      posexplode(slice(col("__top"), 1, k)).as(Seq("__pos", "__e")))
+      .select(col("__e")("id").as("__wid"), col("__tau"))
+    df.join(winners, col(idCol).cast("long") === col("__wid"))
+      .withColumn("est_w",
+        greatest(col(weightCol).cast("double"), col("__tau")))
+      .drop("__wid", "__tau")
+  }
+
   /** Per-group quality quota: keep at most `quota` rows per group, the
     * highest `scoreCol` values winning (ties to the smallest `idCol`) —
     * the per-domain cap of corpus curation (no single source may dominate

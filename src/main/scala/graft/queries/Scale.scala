@@ -1,0 +1,269 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{BloomJoin, Merge, Sampling, SkewJoin}
+
+/** Join-at-scale + sampling operator surface (round 8): bloom-pruned
+  * semi-joins, CDC merge/upsert, salted skew joins, grouped sketch
+  * quantiles, set-similarity fuzzy joins, priority sampling, grouping
+  * sets, and sketch-certified distinct counts.
+  *
+  * Scale notes: the bloom filter and the fuzzy join's blocking keys keep
+  * every candidate-generation exchange narrow (8-byte hashes, never text);
+  * the merge's changeset side broadcasts; the grouped KLL sketch and the
+  * priority sample's bounded heap move O(k) state per partition through
+  * map-side partials, never a sorted column.
+  */
+object Scale {
+
+  /** Bloom-pruned exact semi-join: the dimension side's keys become a
+    * bloom filter applied AT THE FACT SCAN (before any exchange), so the
+    * exact left-semi join that follows shuffles only probable matches —
+    * Spark's runtime row-level filter shape under explicit operator
+    * control (`operators.BloomJoin`). No false negatives ⇒ exact result.
+    */
+  private val q65 = QueryDef.sql(
+    "bloom-pruned exact semi-join: lineitems of urgent orders")(
+    """SELECT l_returnflag, cast(sum(l_quantity) AS REAL) AS sum_qty,
+      |  count(*) AS cnt
+      |FROM lineitem WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val dim = t.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_orderkey")
+    BloomJoin.semiJoin(t.lineitem, "l_orderkey", dim, "o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(sum($"l_quantity").cast("float").as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .smallOrdered($"l_returnflag")
+  }
+
+  /** CDC merge: urgent-order customers get an account credit (SCD-1
+    * update), suppliers are promoted to new customer rows (insert), and
+    * deeply negative balances are purged (delete; tombstone wins over a
+    * concurrent update for the same key). `operators.Merge` — the base
+    * table never shuffles: both anti-joins broadcast the changeset.
+    */
+  private val q66 = QueryDef.sql(
+    "CDC merge/upsert: credit updates + supplier inserts + balance purges")(
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey IN (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+      |ins AS (
+      |  SELECT 1000000 + s_suppkey AS c_custkey, s_name AS c_name,
+      |         s_nationkey AS c_nationkey, s_acctbal AS c_acctbal,
+      |         'SUPPLIER' AS c_mktsegment
+      |  FROM supplier),
+      |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |del AS (SELECT c_custkey FROM customer WHERE c_acctbal < -500.0)
+      |SELECT * FROM (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |  UNION ALL SELECT * FROM chg) m
+      |WHERE m.c_custkey NOT IN (SELECT c_custkey FROM del)
+      |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val urgent = t.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val updates = t.customer
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .withColumn("c_acctbal", $"c_acctbal" + lit(10.0))
+    val inserts = t.supplier.select(
+      (lit(1000000L) + $"s_suppkey").as("c_custkey"),
+      $"s_name".as("c_name"),
+      $"s_nationkey".as("c_nationkey"),
+      $"s_acctbal".as("c_acctbal"),
+      lit("SUPPLIER").as("c_mktsegment"))
+    val deletes = t.customer.filter($"c_acctbal" < -500.0).select($"c_custkey")
+    Merge.upsertDelete(t.customer, updates.unionByName(inserts), deletes,
+      "c_custkey")
+      .cachedOrdered($"c_custkey")
+  }
+
+  /** Salted skew join gated against the plain-join oracle: the fact side
+    * gets a deterministic per-row salt, the dim side replicates `salt`
+    * ways, and the hot key's rows spread over `salt` tasks by plan shape
+    * (`operators.SkewJoin` — AQE's skew split only rescues sort-merge
+    * partitions after a stage materializes). Result must be IDENTICAL to
+    * the unsalted join — that identity is what this gate certifies.
+    */
+  private val q67 = QueryDef.sql(
+    "salted equi-join (skew-spread) == plain join: revenue by priority")(
+    """SELECT o_orderpriority,
+      |  cast(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+      |  count(*) AS cnt
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    SkewJoin.saltedEquiJoin(
+      t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      t.orders.select($"o_orderkey", $"o_orderpriority"),
+      Seq("o_orderkey"), salt = 8)
+      .groupBy($"o_orderpriority")
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).cast("float")
+        .as("revenue"),
+        count(lit(1)).as("cnt"))
+      .smallOrdered($"o_orderpriority")
+  }
+
+  /** Grouped single-pass KLL quantiles: one sketch per group through
+    * map-side partials — the per-group companion of q57 (global) and the
+    * approximate companion of q13's exact grouped describe. Exact regime
+    * at every gated SF (k = 65536 ≥ the largest group), same rank
+    * semantics as q57.
+    */
+  private val q68 = QueryDef.sql(
+    "grouped KLL sketch quantiles of events.value per event_type")(
+    """WITH s AS (SELECT event_type, value AS v,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM events)
+      |SELECT event_type,
+      |  min(CASE WHEN rn >= greatest(ceil(0.25::DOUBLE * n), 1) THEN v END) AS p25,
+      |  min(CASE WHEN rn >= greatest(ceil(0.5::DOUBLE * n), 1) THEN v END) AS p50,
+      |  min(CASE WHEN rn >= greatest(ceil(0.75::DOUBLE * n), 1) THEN v END) AS p75
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.sql.graft.{Bridge, KllSketchAgg}
+    val sk = Bridge.column(
+      KllSketchAgg(Bridge.expression(col("value")), k = 65536,
+        qs = Seq(0.25, 0.5, 0.75)).toAggregateExpression())
+    Tables(s, dir).events
+      .groupBy($"event_type").agg(sk.as("q"))
+      .select($"event_type", $"q"(0).as("p25"), $"q"(1).as("p50"),
+        $"q"(2).as("p75"))
+      .smallOrdered($"event_type")
+  }
+
+  /** Fuzzy string join (edit distance ≤ 1) via deletion-neighborhood
+    * blocking (FastSS): each name emits itself plus every single-deletion
+    * variant as a blocking key; two names within one edit share a variant,
+    * so an equi-join on the variant's 8-byte hash generates candidates —
+    * no all-pairs step anywhere — and `levenshtein` verifies exactly
+    * (hash collisions and distance-2 collisions both die there). The
+    * exchange carries (hash, id, name), never the variant strings.
+    */
+  private val q69 = QueryDef.sql(
+    "fuzzy self-join: customer-name pairs within edit distance 1")(
+    """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+      |  cast(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey < b.c_custkey
+      |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
+      |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val vars = Tables(s, dir).customer
+      .select($"c_custkey".as("id"), $"c_name".as("nm"))
+      .select($"id", $"nm", explode(expr(
+        """transform(sequence(0, length(nm)), i ->
+          |  CASE WHEN i = 0 THEN nm
+          |  ELSE concat(substring(nm, 1, i - 1), substring(nm, i + 1)) END)"""
+          .stripMargin)).as("v"))
+      .select($"id", $"nm", xxhash64($"v").as("hv"))
+    vars.as("a").join(vars.as("b"),
+        $"a.hv" === $"b.hv" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        $"a.nm".as("nm_a"), $"b.nm".as("nm_b"))
+      .distinct()
+      .withColumn("dist", levenshtein($"nm_a", $"nm_b").cast("long"))
+      .filter($"dist" <= 1)
+      .select($"id_a", $"id_b", $"dist")
+      .cachedOrdered($"id_a", $"id_b")
+  }
+
+  /** Deterministic priority sampling (`Sampling.prioritySample`): weighted
+    * size-40 document sample by n_chars with Horvitz-Thompson estimate
+    * weights — sum(est_w) over the sample unbiasedly estimates total
+    * corpus chars. Bit-portable: hash-uniform u = (m+1)/2^52, priority
+    * w/u — field ops only (no ln), so the oracle replays the exact floats.
+    */
+  private val q70 = QueryDef.sql(
+    "priority sample: 40 docs weighted by n_chars + HT estimate weights")(
+    """WITH pr AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(n_chars AS DOUBLE) /
+      |      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+      |              AS BIGINT) + 1 AS DOUBLE) / 4503599627370496.0) AS p
+      |  FROM documents),
+      |r AS (SELECT *, row_number() OVER (ORDER BY p DESC, doc_id) AS rn FROM pr),
+      |tau AS (SELECT coalesce(max(CASE WHEN rn = 41 THEN p END), 0.0) AS t FROM r)
+      |SELECT doc_id, n_chars,
+      |  greatest(CAST(n_chars AS DOUBLE), t) AS est_w
+      |FROM r, tau WHERE rn <= 40
+      |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Sampling.prioritySample(
+      Tables(s, dir).documents.select($"doc_id", $"n_chars"),
+      "doc_id", "n_chars", k = 40)
+      .select($"doc_id", $"n_chars", $"est_w")
+      .smallOrdered($"doc_id")
+  }
+
+  /** Non-hierarchical grouping sets — revenue by priority AND by status in
+    * ONE Expand pass over one scan (a shape neither rollup nor cube
+    * expresses: two independent one-dimension aggregates that would
+    * otherwise each rescan the fact table).
+    */
+  private val q71 = QueryDef.sql(
+    "grouping sets: order revenue by priority and by status, one pass")(
+    """SELECT o_orderpriority, o_orderstatus,
+      |  cast(sum(o_totalprice) AS REAL) AS revenue, count(*) AS n_orders
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+      |ORDER BY o_orderpriority ASC NULLS FIRST,
+      |         o_orderstatus ASC NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).orders
+      .groupingSets(
+        Seq(Seq($"o_orderpriority"), Seq($"o_orderstatus")),
+        $"o_orderpriority", $"o_orderstatus")
+      .agg(sum($"o_totalprice").cast("float").as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .smallOrdered($"o_orderpriority".asc_nulls_first,
+        $"o_orderstatus".asc_nulls_first)
+  }
+
+  /** Sketch-certified distinct counts: the output is the EXACT per-type
+    * distinct-user count, with Spark's HLL++ estimate
+    * (`approx_count_distinct`, the one-pass 100 TB path) asserted in-plan
+    * to within ±10% of it — a broken sketch merge fails the query loudly
+    * instead of silently drifting (the q62/q63 certification pattern
+    * applied to the built-in sketch).
+    */
+  private val q72 = QueryDef.sql(
+    "distinct users per event type, HLL++ estimate certified in-plan")(
+    """SELECT event_type, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("n_users"),
+        approx_count_distinct($"user_id", 0.02).as("__est"))
+      .filter(assert_true(
+        $"__est" >= $"n_users" * 0.9 && $"__est" <= $"n_users" * 1.1,
+        concat(lit("HLL++ estimate out of ±10% bound: est="), $"__est",
+          lit(" exact="), $"n_users")).isNull)
+      .select($"event_type", $"n_users")
+      .smallOrdered($"event_type")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q65_bloom_semi_join" -> q65,
+    "q66_merge_upsert" -> q66,
+    "q67_salted_join" -> q67,
+    "q68_grouped_quantiles" -> q68,
+    "q69_fuzzy_name_join" -> q69,
+    "q70_priority_sample" -> q70,
+    "q71_grouping_sets" -> q71,
+    "q72_distinct_certified" -> q72
+  )
+}

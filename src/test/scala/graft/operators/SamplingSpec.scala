@@ -39,4 +39,38 @@ class SamplingSpec extends SparkSpec {
     // schema passthrough: original columns only
     assert(out.columns.toSeq == Seq("id", "stratum"))
   }
+
+  private lazy val weighted = (1L to 5000L).map(i => (i, 1L + i % 100))
+    .toDF("id", "w")
+
+  test("prioritySample: deterministic, partitioning-independent, size k") {
+    val a = Sampling.prioritySample(weighted, "id", "w", k = 200)
+    val b = Sampling.prioritySample(weighted.repartition(13), "id", "w", 200)
+    val idsA = a.select($"id").as[Long].collect().sorted
+    val idsB = b.select($"id").as[Long].collect().sorted
+    assert(idsA.length == 200)
+    assert(idsA.toSeq == idsB.toSeq, "selection depends on partitioning")
+    // est_w floats identical across partitionings too (τ is a plan value)
+    val ewA = a.orderBy($"id").select($"est_w").as[Double].collect()
+    val ewB = b.orderBy($"id").select($"est_w").as[Double].collect()
+    assert(ewA.toSeq == ewB.toSeq)
+  }
+
+  test("prioritySample: Horvitz-Thompson estimate lands near the true total") {
+    val out = Sampling.prioritySample(weighted, "id", "w", k = 500)
+    val est = out.agg(sum($"est_w")).head().getDouble(0)
+    val truth = weighted.agg(sum($"w")).head().getLong(0).toDouble
+    // unbiased with variance ~ (truth/k)·tail-weight: ±15% is generous at k=500
+    assert(math.abs(est - truth) / truth < 0.15,
+      s"HT estimate $est vs true $truth")
+    // every sampled row's estimate weight >= its own weight (max(w, τ))
+    assert(out.filter($"est_w" < $"w".cast("double")).count() == 0)
+  }
+
+  test("prioritySample: k >= population returns every row with est_w = w") {
+    val tiny = (1L to 50L).map(i => (i, i)).toDF("id", "w")
+    val out = Sampling.prioritySample(tiny, "id", "w", k = 50)
+    assert(out.count() == 50)
+    assert(out.filter($"est_w" =!= $"w".cast("double")).count() == 0)
+  }
 }

@@ -170,4 +170,52 @@ class PlanSpec extends SparkSpec {
         s"$q: no partial sketch aggregation before the exchange")
     }
   }
+
+  test("q65: bloom probe sits in the fact scan stage below the semi-join") {
+    val p = plan("q65_bloom_semi_join")
+    assert(p.contains("might_contain"), "no bloom probe in the plan")
+    assert(p.contains("LeftSemi"), "exactness join missing")
+    // the probe must be a plain Filter over the scan, not a join itself:
+    // might_contain appears before (above in text = below in plan) any join
+    val probeLine = p.linesIterator.indexWhere(_.contains("might_contain"))
+    assert(probeLine >= 0)
+  }
+
+  test("q66: merge never shuffles the base — anti-joins and union only") {
+    val p = plan("q66_merge_upsert")
+    assert(p.contains("LeftAnti"), "merge without anti-joins")
+    assert(!p.contains("CartesianProduct"), "cartesian product in merge")
+    // base-side customer scan must not feed a hash exchange keyed on the
+    // merge key (the whole point: the changeset broadcasts instead). The
+    // final orderBy's range exchange is the only allowed base movement.
+    assert(!p.contains("hashpartitioning(c_custkey"),
+      "base table hash-shuffles on the merge key")
+  }
+
+  test("q68: grouped KLL sketch partial-aggregates per group") {
+    assert(plan("q68_grouped_quantiles").contains("partial_kll_quantiles"),
+      "no map-side sketch partials")
+  }
+
+  test("q69: fuzzy join blocks on the 8-byte variant hash, never all-pairs") {
+    val p = plan("q69_fuzzy_name_join")
+    assert(!p.contains("CartesianProduct"), "all-pairs fuzzy join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop fuzzy join")
+    assert(p.contains("xxhash64"), "variant hash missing — join on strings?")
+  }
+
+  test("q70: priority sample is one bounded-heap aggregate, no global sort") {
+    val p = plan("q70_priority_sample")
+    assert(p.contains("topk_by"), "no bounded-heap aggregate")
+    assert(p.contains("partial_topk_by"), "heap has no map-side partials")
+  }
+
+  test("q71: grouping sets compile to ONE Expand over one scan") {
+    val p = plan("q71_grouping_sets")
+    // formatted mode prefixes nodes with "(n) "
+    val expands = "\\(\\d+\\) Expand".r.findAllIn(p).length
+    assert(expands == 1, s"$expands Expand nodes (want exactly 1)")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans scans (grouping sets must share one)")
+  }
 }
