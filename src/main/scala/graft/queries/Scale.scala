@@ -150,6 +150,12 @@ object Scale {
     * no all-pairs step anywhere — and `levenshtein` verifies exactly
     * (hash collisions and distance-2 collisions both die there). The
     * exchange carries (hash, id, name), never the variant strings.
+    *
+    * The scan side fans out (`Tables.fanOut`): Catalyst pushes the
+    * levenshtein verify into the candidate join's condition, so the
+    * verify's CPU runs in the probe-side stage — on a single-row-group
+    * test file that stage is ONE task without the fan-out (measured 11.9 s
+    * serial vs ~1 s fanned at sf0.1).
     */
   private val q69 = QueryDef.sql(
     "fuzzy self-join: customer-name pairs within edit distance 1")(
@@ -161,7 +167,8 @@ object Scale {
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val vars = Tables(s, dir).customer
+    val t = Tables(s, dir)
+    val vars = t.fanOut(t.customer)
       .select($"c_custkey".as("id"), $"c_name".as("nm"))
       .select($"id", $"nm", explode(expr(
         """transform(sequence(0, length(nm)), i ->
@@ -256,6 +263,51 @@ object Scale {
       .smallOrdered($"event_type")
   }
 
+  /** Per-label embedding centroids, gated bit-exactly: the reported value
+    * is the FIXED-POINT centroid — elements quantized to 1e-6 as exact
+    * integers, summed exactly (|q| ≤ 1e6, n ≤ 2^33 before 2^53 overflows),
+    * one correctly-rounded division at the end — so accumulation ORDER
+    * cannot move a single bit (a float32-cast mean demonstrably flips a
+    * rounding-boundary ulp between engines; exact integer time math is the
+    * same rule). The partial hash aggregate collapses the d×n melt to
+    * (labels × d) rows per partition before the exchange. In the same
+    * plan, MLlib's `Summarizer` vector mean (the float path: ONE 64-dim
+    * buffer per partition per label through `array_to_vector`) is asserted
+    * within quantization tolerance of the fixed-point truth — the
+    * q62/q63/q72 certification pattern, here certifying the float
+    * aggregate everyone would actually run at 100 TB.
+    */
+  private val q73 = QueryDef.sql(
+    "per-label fixed-point embedding centroids, float path certified")(
+    """SELECT label, i,
+      |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+      |            AS BIGINT)) AS DOUBLE) / count(*) AS c
+      |FROM embeddings, unnest(range(1, len(embedding) + 1)) AS r(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    import org.apache.spark.ml.stat.Summarizer
+    val emb = Tables(s, dir).embeddings
+    val fixed = emb
+      .select($"label", posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000.0) AS BIGINT))"))
+        .as(Seq("pos", "q")))
+      .groupBy($"label", ($"pos" + 1).cast("long").as("i"))
+      .agg((sum($"q").cast("double") / count(lit(1))).as("c"))
+    val float = emb
+      .groupBy($"label")
+      .agg(Summarizer.mean(array_to_vector($"embedding")).as("m"))
+      .select($"label", posexplode(vector_to_array($"m")).as(Seq("fpos", "cf")))
+      .select($"label", ($"fpos" + 1).cast("long").as("i"),
+        ($"cf" * 1000000.0).as("cf"))
+    fixed.join(float, Seq("label", "i"))
+      .filter(assert_true(abs($"c" - $"cf") <= 2.0,
+        concat(lit("float centroid off fixed-point truth: "), $"c", lit(" vs "),
+          $"cf")).isNull)
+      .select($"label", $"i", $"c")
+      .smallOrdered($"label", $"i")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q65_bloom_semi_join" -> q65,
     "q66_merge_upsert" -> q66,
@@ -264,6 +316,7 @@ object Scale {
     "q69_fuzzy_name_join" -> q69,
     "q70_priority_sample" -> q70,
     "q71_grouping_sets" -> q71,
-    "q72_distinct_certified" -> q72
+    "q72_distinct_certified" -> q72,
+    "q73_label_centroids" -> q73
   )
 }

@@ -210,6 +210,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_topk_by"), "heap has no map-side partials")
   }
 
+  test("q73: fixed-point centroid partial-aggregates the melt; float path " +
+    "keeps vector buffers (object hash aggregate)") {
+    val p = plan("q73_label_centroids")
+    assert(p.contains("partial_sum"),
+      "melt not collapsed by map-side partials before the exchange")
+    assert(p.contains("ObjectHashAggregate"),
+      "Summarizer vector aggregate missing (float certification path)")
+  }
+
   test("q71: grouping sets compile to ONE Expand over one scan") {
     val p = plan("q71_grouping_sets")
     // formatted mode prefixes nodes with "(n) "
