@@ -124,6 +124,59 @@ class DedupSpec extends SparkSpec {
     assert(spark.read.parquet(store).distinct().count() == 3)
   }
 
+  test("crossNearDups matches ref x batch only, never within a side") {
+    val s = spark
+    import s.implicits._
+    val ref = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // dup WITHIN ref
+      (5L, "completely different text about spark engines here now")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog"), // dup of ref 1,3
+      (4L, "totally unrelated content in this brand new batch document"),
+      (6L, "totally unrelated content in this brand new batch document")
+    ).toDF("doc_id", "text") // 4,6 dup WITHIN batch only
+    val got = Dedup.crossNearDups(ref, batch, "doc_id", "text",
+        n = 3, minJaccard = 0.9)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only cross pairs: batch doc 2 matches both ref copies; the in-ref
+    // (1,3) and in-batch (4,6) dup pairs must NOT appear
+    assert(got == Set((1L, 2L), (3L, 2L)))
+  }
+
+  test("crossNearDups agrees with the self-join operator on cross pairs") {
+    val s = spark
+    import s.implicits._
+    val all = docs
+    val ref = all.filter($"doc_id" % 2 === 1)
+    val batch = all.filter($"doc_id" % 2 === 0)
+    val cross = Dedup.crossNearDups(ref, batch, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .select("da", "db", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val self = Dedup.minHashNearDups(all, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      .select("da", "db", "jaccard").collect()
+      .collect { case r if (r.getLong(0) % 2 == 1) != (r.getLong(1) % 2 == 1) =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (if (a % 2 == 1) (a, b) else (b, a)) -> r.getDouble(2)
+      }.toMap
+    assert(cross == self)
+  }
+
+  test("duplicatePassageShare: exact dups share 1, uniques share 0") {
+    val r = Dedup.duplicatePassageShare(docs, "doc_id", "text", n = 3)
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("n_dup"), x.getAs[Double]("dup_share"))).toMap
+    // docs 1,2 identical -> every passage duplicated; doc 3 shares 6 of 7
+    // 3-shingles with them; doc 4 unique; doc 5 too short for 3-shingles
+    assert(r(1L)._2 == 1.0 && r(2L)._2 == 1.0)
+    assert(r(3L) == (6L, 6.0 / 7))
+    assert(r(4L) == (0L, 0.0))
+    assert(!r.contains(5L))
+  }
+
   test("simHash is deterministic and identical for identical text") {
     val h = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
