@@ -162,9 +162,13 @@ object Pipeline {
       |  min(CASE WHEN cw * 4 >= 3 * w THEN v END) AS p75
       |FROM c GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
+    val t = Tables(s, dir)
+    // fan the single-row-group scan out before the range exchange: the
+    // boundary-sampling pass and the exchange write otherwise serialize
+    // through one task (Tables.fanOut rationale)
     WeightedQuantiles.byGroup(
-        Tables(s, dir).lineitem
-          .select($"l_returnflag", $"l_extendedprice", $"l_quantity"),
+        t.fanOut(t.lineitem
+          .select($"l_returnflag", $"l_extendedprice", $"l_quantity")),
         Seq("l_returnflag"), "l_extendedprice", $"l_quantity",
         Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
       .smallOrdered($"l_returnflag")
@@ -248,12 +252,16 @@ object Pipeline {
       |ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
     val ev = Tables(s, dir).events.select($"event_type", $"value")
+    // events.value (and therefore |value − med|) lives on a 0.01 grid —
+    // the (type, value) histogram is bounded at any SF, so both quantile
+    // passes route through the one-aggregate driver-walk dispatch
+    val grid = Some(1L << 16)
     val med = WeightedQuantiles.byGroup(ev, Seq("event_type"), "value",
-      lit(1L), Seq(("med", 1, 2)))
+      lit(1L), Seq(("med", 1, 2)), distinctValueHint = grid)
     val dev = ev.join(broadcast(med), "event_type")
       .select($"event_type", abs($"value" - $"med").as("ad"))
     val mad = WeightedQuantiles.byGroup(dev, Seq("event_type"), "ad",
-      lit(1L), Seq(("mad", 1, 2)))
+      lit(1L), Seq(("mad", 1, 2)), distinctValueHint = grid)
     val outl = ev.join(broadcast(med), "event_type")
       .join(broadcast(mad), "event_type")
       .groupBy($"event_type")

@@ -38,6 +38,35 @@ class WeightedQuantilesSpec extends SparkSpec {
     assert(r.getDouble(3) == 9.0)
   }
 
+  test("all four dispatches agree: hint, byte gate, rdd two-job, declarative") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, spark_partition_id}
+    val rnd = new scala.util.Random(11)
+    val df = Seq.tabulate(4000) { i =>
+      (s"g${i % 5}", math.floor(rnd.nextDouble() * 40) / 4.0,
+        1L + rnd.nextInt(7))
+    }.toDF("g", "v", "w").repartition(9)
+    val qs = Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4))
+    def norm(r: org.apache.spark.sql.DataFrame) =
+      r.collect().map(x => x.getString(0) ->
+        (x.getDouble(1), x.getDouble(2), x.getDouble(3))).toMap
+    val viaHint = norm(WeightedQuantiles.byGroup(df, Seq("g"), "v",
+      col("w"), qs, distinctValueHint = Some(1000L)))
+    val viaByteGate = norm(WeightedQuantiles.byGroup(df, Seq("g"), "v",
+      col("w"), qs))
+    val base = df.select(col("g"), col("v").cast("double").as("v"),
+      col("w").as("__w"))
+    val viaRdd = norm(WeightedQuantiles.viaRddTwoJob(base, Seq("g"), "v", qs))
+    val viaDecl = norm(WeightedQuantiles.declarative(
+      base.repartitionByRange(col("g"), col("v"))
+        .withColumn("__pid", spark_partition_id()),
+      Seq("g"), "v", qs))
+    assert(viaHint == viaByteGate)
+    assert(viaHint == viaRdd)
+    assert(viaHint == viaDecl)
+  }
+
   test("matches the SQL window formulation on random data, any partitioning") {
     val s = spark
     import s.implicits._
