@@ -58,4 +58,43 @@ object AsOfJoin {
       df.withColumn(c, col("__match").getField(c))
     }.drop("__match")
   }
+
+  /** Forward as-of: each left row matched to the EARLIEST right row with
+    * right.ts >= left.ts per key (time-to-next-event joins: conversion
+    * latency, next-maintenance lookup). Mirror of `latestPrior`: same
+    * union + one-shuffle window plan, with the running `last` replaced by
+    * a `first(ignoreNulls)` over the FOLLOWING frame. Equal timestamps
+    * sort left-before-right, so `right.ts == left.ts` matches (inclusive,
+    * matching DuckDB's `ASOF JOIN ... ON l.ts <= r.ts`).
+    */
+  def earliestAfter(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+      tsCol: String, rightPayload: Seq[String], inner: Boolean = true): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l2 = left
+      .withColumn("__side", lit(0))
+      .withColumn("__r", lit(null).cast(
+        org.apache.spark.sql.types.StructType(
+          rightPayload.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))))
+    val r2 = right.select(
+      (keyCols :+ tsCol).map(col) :+
+        lit(1).as("__side") :+
+        struct(rightPayload.map(col): _*).as("__r"): _*)
+    val leftOnly = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
+    val r3 = leftOnly.foldLeft(r2) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }.select(l2.columns.map(col): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val joined = l2.unionByName(r3)
+      .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .drop("__side", "__r")
+    val matched = if (inner) joined.filter(col("__match").isNotNull) else joined
+    rightPayload.foldLeft(matched) { (df, c) =>
+      df.withColumn(c, col("__match").getField(c))
+    }.drop("__match")
+  }
 }

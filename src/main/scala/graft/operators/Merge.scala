@@ -38,4 +38,40 @@ object Merge {
       .unionByName(upserts)
       .join(deleteKeys.select(col(key)), Seq(key), "left_anti")
   }
+
+  /** Snapshot diff — the inverse of the merge: classify every key of two
+    * same-schema snapshots as added / removed / changed / unchanged (the
+    * change-data-feed a lakehouse table format derives between versions,
+    * and the audit step of any ingestion pipeline). One full-outer
+    * equi-join on the key; non-key columns compare null-safely (`<=>`),
+    * never through a rendered string (double formatting differs across
+    * engines — a md5-of-concat fingerprint is NOT portable). Output:
+    * (key..., status) for every key present in either snapshot.
+    *
+    * Scale: the join shuffles both snapshots by key once; no window, no
+    * driver state. Bucketed snapshots co-locate and skip the exchange
+    * entirely (operators.Bucketing).
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{lit, when}
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      s"snapshot schemas must match: ${before.columns.mkString(",")} vs " +
+        after.columns.mkString(","))
+    val valueCols = before.columns.filterNot(keyCols.contains).toSeq
+    def tagged(df: DataFrame, p: String, flag: String) =
+      valueCols.foldLeft(df) { (d, c) => d.withColumnRenamed(c, s"$p$c") }
+        .withColumn(flag, lit(true))
+    val a = tagged(before, "__b_", "__in_b")
+    val b = tagged(after, "__a_", "__in_a")
+    val differs = valueCols
+      .map(c => !(col(s"__b_$c") <=> col(s"__a_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    a.join(b, keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__in_a").isNull, "removed")
+          .when(col("__in_b").isNull, "added")
+          .when(differs, "changed")
+          .otherwise("unchanged").as("status"): _*)
+  }
 }

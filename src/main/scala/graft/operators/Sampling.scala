@@ -109,6 +109,44 @@ object Sampling {
     * ParallelRank.rowNumber over a composite (group, score-desc) key ranks
     * in parallel — swap in when a domain exceeds partition budget.
     */
+  /** Largest-remainder (Hamilton) apportionment of an integer budget across
+    * categories by integer weight — the training-mix planner: given
+    * per-source weights (token counts, doc counts), how many of `total`
+    * training slots does each source get so that quotas sum EXACTLY to
+    * `total` and deviate from proportionality by less than one seat?
+    * base_i = ⌊total·w_i / W⌋; the seats left over go to the largest
+    * remainders total·w_i mod W (ties to the first key ascending). All
+    * integer arithmetic — bit-portable, no float shares anywhere.
+    *
+    * Input is the per-category weight frame (the caller's aggregate).
+    * Output: (key..., wt, base_quota, extra_seat, quota). The frame is
+    * category-grained — bounded like every apportionment table — so the
+    * remainder ranking runs as one bounded window (the `smallOrdered`
+    * convention); weights up to 2^31 and totals up to 2^31 stay exact in
+    * the 64-bit products.
+    */
+  def apportionLargestRemainder(weights: DataFrame, keyCols: Seq[String],
+      weightCol: String, total: Long): DataFrame = {
+    require(total >= 0, s"total must be >= 0, got $total")
+    import org.apache.spark.sql.expressions.Window
+    val wt = col(weightCol).cast("long")
+    // per-key base quota + remainder against the grand total
+    val grand = weights.agg(sum(wt).as("__W"))
+    val q = weights.crossJoin(broadcast(grand))
+      .select(keyCols.map(col) :+ wt.as("wt") :+
+        expr(s"($total * CAST($weightCol AS BIGINT)) DIV __W").as("__base") :+
+        expr(s"($total * CAST($weightCol AS BIGINT)) % __W").as("__rem"): _*)
+    val extra = q.agg((lit(total) - sum(col("__base"))).as("__extra"))
+    val w = Window.orderBy(col("__rem").desc +: keyCols.map(col): _*)
+    q.withColumn("__rr", row_number().over(w))
+      .crossJoin(broadcast(extra))
+      .select(keyCols.map(col) ++ Seq(col("wt"),
+        col("__base").as("base_quota"),
+        when(col("__rr") <= col("__extra"), 1L).otherwise(0L).as("extra_seat"),
+        (col("__base") + when(col("__rr") <= col("__extra"), 1L)
+          .otherwise(0L)).as("quota")): _*)
+  }
+
   def qualityQuota(df: DataFrame, groupCols: Seq[String], scoreCol: String,
       idCol: String, quota: Int): DataFrame = {
     require(quota >= 1, s"quota must be >= 1, got $quota")

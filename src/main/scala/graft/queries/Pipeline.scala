@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, WeightedQuantiles}
+import graft.operators.{Dedup, Merge, Sampling, WeightedQuantiles}
 
 /** Pipeline-statistics surface (round 7, second batch): substring-level
   * duplication signals, incremental cross-corpus near-dup, Markov event
@@ -272,6 +272,191 @@ object Pipeline {
       .smallOrdered($"event_type")
   }
 
+  /** Largest-remainder apportionment of 100 training slots across sources
+    * by total characters — the mix planner ahead of per-source draws
+    * (`Sampling.apportionLargestRemainder`). Quotas sum to exactly 100;
+    * every decision is 64-bit integer arithmetic (base = ⌊N·w/W⌋, extras
+    * to the largest N·w mod W, ties to the first source).
+    */
+  private val q81 = QueryDef.sql(
+    "largest-remainder apportionment: 100 slots across sources by chars")(
+    """WITH w AS (SELECT source, sum(n_chars)::BIGINT AS wt FROM documents
+      |  GROUP BY 1),
+      |t AS (SELECT sum(wt)::BIGINT AS W FROM w),
+      |q AS (SELECT source, wt, (100 * wt) // W AS base, (100 * wt) % W AS rem
+      |  FROM w, t),
+      |rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source) AS rr
+      |  FROM q),
+      |n AS (SELECT 100 - sum(base)::BIGINT AS extra FROM q)
+      |SELECT source, wt, base::BIGINT AS base_quota,
+      |  (CASE WHEN rr <= extra THEN 1 ELSE 0 END)::BIGINT AS extra_seat,
+      |  (base + CASE WHEN rr <= extra THEN 1 ELSE 0 END)::BIGINT AS quota
+      |FROM rk, n ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val weights = Tables(s, dir).documents
+      .groupBy($"source").agg(sum($"n_chars").as("chars"))
+    Sampling.apportionLargestRemainder(weights, Seq("source"), "chars",
+        total = 100L)
+      .withColumnRenamed("wt", "wt")
+      .smallOrdered($"source")
+  }
+
+  /** Time-weighted average value per event type (the time-in-state mean of
+    * ops dashboards): each event's value holds until the next same-type
+    * event; TWAP = Σ duration·value / Σ duration. Values quantized to the
+    * 1e-2 fixed-point grid (the q73 rule) and durations are exact integer
+    * micros, so BOTH sums are exact 64-bit integers and the single double
+    * division replays bit-exactly. (Beyond ~10^18 μs·value mass the sums
+    * need DECIMAL(38) — same shape, wider type.)
+    */
+  private val q82 = QueryDef.sql(
+    "time-weighted average value per event type (fixed-point exact)")(
+    """WITH e AS (SELECT event_type, epoch_us(ts) AS t_us,
+      |    CAST(floor(value * 100.0) AS BIGINT) AS v100,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY event_type
+      |                             ORDER BY ts, event_id) AS nxt
+      |  FROM events),
+      |s AS (SELECT event_type,
+      |    sum((nxt - t_us) * v100)::BIGINT AS num,
+      |    sum(nxt - t_us)::BIGINT AS dur_us
+      |  FROM e WHERE nxt IS NOT NULL GROUP BY 1)
+      |SELECT event_type, num, dur_us,
+      |  (num::DOUBLE / dur_us::DOUBLE) / 100.0 AS twap
+      |FROM s ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    Tables(s, dir).events
+      .select($"event_type", $"ts", $"event_id",
+        Tables.epochUs($"ts").as("t_us"),
+        floor($"value" * 100.0).cast("long").as("v100"))
+      .withColumn("nxt", lead($"t_us", 1).over(w))
+      .filter($"nxt".isNotNull)
+      .groupBy($"event_type")
+      .agg(sum(($"nxt" - $"t_us") * $"v100").as("num"),
+        sum($"nxt" - $"t_us").as("dur_us"))
+      .select($"event_type", $"num", $"dur_us",
+        (($"num".cast("double") / $"dur_us".cast("double")) / 100.0)
+          .as("twap"))
+      .smallOrdered($"event_type")
+  }
+
+  /** Forward as-of join (`AsOfJoin.earliestAfter`): each signup matched to
+    * the user's earliest purchase at-or-after it — conversion latency. One
+    * union + one keyed window (same plan family as q32's backward as-of);
+    * latency is exact integer micros.
+    */
+  private val q83 = QueryDef.sql(
+    "forward as-of join: earliest following purchase per signup + latency")(
+    """SELECT s.event_id AS signup_id, s.user_id, p.event_id AS conv_id,
+      |  epoch_us(p.ts) - epoch_us(s.ts) AS latency_us
+      |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |  ON s.user_id = p.user_id AND s.ts <= p.ts
+      |ORDER BY signup_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir).events
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"event_id".as("signup_id"), $"user_id", $"ts")
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("conv_id"),
+        $"ts".as("conv_ts"))
+    graft.operators.AsOfJoin.earliestAfter(
+        signups, purchases, Seq("user_id"), "ts",
+        rightPayload = Seq("conv_id", "conv_ts"))
+      .select($"signup_id", $"user_id", $"conv_id",
+        (Tables.epochUs($"conv_ts") - Tables.epochUs($"ts")).as("latency_us"))
+      .cachedOrdered($"signup_id")
+  }
+
+  /** Int8 embedding quantization audit (the ANN-index compression step):
+    * per-vector max-abs scale to [-127, 127], elementwise ⌊x·scale⌋ — all
+    * decisions replayed exactly (float→double widening then one double
+    * multiply and floor, both engines identical). Per-label totals certify
+    * the quantized representation: sum/min/max of quantized codes are
+    * exact integers.
+    */
+  private val q84 = QueryDef.sql(
+    "int8 embedding quantization audit per label")(
+    """WITH v AS (SELECT label, vec_id,
+      |    127.0 / list_max(list_transform(embedding,
+      |      x -> abs(CAST(x AS DOUBLE)))) AS scale,
+      |    embedding FROM embeddings),
+      |q AS (SELECT label, vec_id,
+      |    unnest(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))) AS qv
+      |  FROM v)
+      |SELECT label, count(DISTINCT vec_id) AS n_vecs, sum(qv)::BIGINT AS sum_q,
+      |  min(qv)::BIGINT AS min_q, max(qv)::BIGINT AS max_q
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).embeddingsFanned
+      .select($"label", $"vec_id",
+        expr("127.0 / array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")
+          .as("scale"), $"embedding")
+      .select($"label", $"vec_id", explode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * scale) AS BIGINT))"))
+        .as("qv"))
+      .groupBy($"label")
+      .agg(countDistinct($"vec_id").as("n_vecs"), sum($"qv").as("sum_q"),
+        min($"qv").as("min_q"), max($"qv").as("max_q"))
+      .smallOrdered($"label")
+  }
+
+  /** Snapshot diff (`Merge.snapshotDiff`): classify every customer key
+    * across the q66 CDC merge as added / removed / changed / unchanged —
+    * the change-data-feed between table versions. One full-outer key join;
+    * values compare null-safely, never through rendered strings.
+    */
+  private val q85 = QueryDef.sql(
+    "snapshot diff: per-status counts between customer and its CDC merge")(
+    """WITH upd AS (
+      |  SELECT c_custkey, c_name, c_nationkey, c_acctbal + 10.0 AS c_acctbal,
+      |         c_mktsegment
+      |  FROM customer WHERE c_custkey IN (
+      |    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')),
+      |ins AS (
+      |  SELECT 1000000 + s_suppkey AS c_custkey, s_name AS c_name,
+      |         s_nationkey AS c_nationkey, s_acctbal AS c_acctbal,
+      |         'SUPPLIER' AS c_mktsegment
+      |  FROM supplier),
+      |chg AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+      |del AS (SELECT c_custkey FROM customer WHERE c_acctbal < -500.0),
+      |b AS (SELECT * FROM (
+      |  SELECT * FROM customer
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |  UNION ALL SELECT * FROM chg) m
+      |  WHERE m.c_custkey NOT IN (SELECT c_custkey FROM del)),
+      |d AS (SELECT coalesce(a.c_custkey, b.c_custkey) AS key,
+      |  CASE WHEN a.c_custkey IS NULL THEN 'added'
+      |       WHEN b.c_custkey IS NULL THEN 'removed'
+      |       WHEN a.c_name IS DISTINCT FROM b.c_name
+      |         OR a.c_nationkey IS DISTINCT FROM b.c_nationkey
+      |         OR a.c_acctbal IS DISTINCT FROM b.c_acctbal
+      |         OR a.c_mktsegment IS DISTINCT FROM b.c_mktsegment
+      |         THEN 'changed' ELSE 'unchanged' END AS status
+      |  FROM customer a FULL JOIN b ON a.c_custkey = b.c_custkey)
+      |SELECT status, count(*) AS n FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val urgent = t.orders
+      .filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+    val updates = t.customer
+      .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+      .withColumn("c_acctbal", $"c_acctbal" + lit(10.0))
+    val inserts = t.supplier.select(
+      (lit(1000000L) + $"s_suppkey").as("c_custkey"),
+      $"s_name".as("c_name"),
+      $"s_nationkey".as("c_nationkey"),
+      $"s_acctbal".as("c_acctbal"),
+      lit("SUPPLIER").as("c_mktsegment"))
+    val deletes = t.customer.filter($"c_acctbal" < -500.0).select($"c_custkey")
+    val after = Merge.upsertDelete(t.customer,
+      updates.unionByName(inserts), deletes, "c_custkey")
+    Merge.snapshotDiff(t.customer, after, Seq("c_custkey"))
+      .groupBy($"status").agg(count(lit(1)).as("n"))
+      .smallOrdered($"status")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q74_dup_passages" -> q74,
     "q75_incremental_neardup" -> q75,
@@ -279,6 +464,11 @@ object Pipeline {
     "q77_tvd_drift" -> q77,
     "q78_weighted_quantiles" -> q78,
     "q79_collocation_lift" -> q79,
-    "q80_mad_outliers" -> q80
+    "q80_mad_outliers" -> q80,
+    "q81_mix_apportionment" -> q81,
+    "q82_time_weighted_avg" -> q82,
+    "q83_forward_asof" -> q83,
+    "q84_int8_quantization" -> q84,
+    "q85_snapshot_diff" -> q85
   )
 }

@@ -73,4 +73,30 @@ class SamplingSpec extends SparkSpec {
     assert(out.count() == 50)
     assert(out.filter($"est_w" =!= $"w".cast("double")).count() == 0)
   }
+
+  test("apportionment: quotas sum to total, within one seat of proportional") {
+    val w = Seq(("a", 37L), ("b", 41L), ("c", 22L)).toDF("src", "w")
+    val out = Sampling.apportionLargestRemainder(w, Seq("src"), "w", total = 10L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // shares: 3.7, 4.1, 2.2 -> bases 3,4,2 = 9; one extra to largest
+    // remainder (a at .7)
+    assert(out == Map("a" -> ((3L, 1L, 4L)), "b" -> ((4L, 0L, 4L)),
+      "c" -> ((2L, 0L, 2L))))
+    assert(out.values.map(_._3).sum == 10L)
+  }
+
+  test("apportionment: remainder ties break to the first key ascending") {
+    val w = Seq(("x", 1L), ("y", 1L), ("z", 2L)).toDF("src", "w")
+    // total 5, W=4: shares 1.25, 1.25, 2.5 -> bases 1,1,2 = 4; one extra;
+    // remainders 1, 1, 2 -> z wins the seat outright
+    val out = Sampling.apportionLargestRemainder(w, Seq("src"), "w", total = 5L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out == Map("x" -> 1L, "y" -> 1L, "z" -> 3L))
+    // and with total 7: shares 1.75,1.75,3.5 -> bases 1,1,3 = 5; two extras;
+    // remainders 3,3,2 -> x and y (tie broken by key, both get one)
+    val out7 = Sampling.apportionLargestRemainder(w, Seq("src"), "w", total = 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(out7 == Map("x" -> 2L, "y" -> 2L, "z" -> 3L))
+  }
 }
