@@ -103,4 +103,26 @@ object Constraints {
         col("n").as("n_rows"),
         (col("n") === col("d")).cast("int").as("pass"))
   }
+
+  /** Functional-dependency audit (FD discovery's verification step): does
+    * `det` determine `dep`? Counts determinant keys carrying more than one
+    * distinct dependent value. One hash aggregate by key (map-side
+    * combined count-distinct per key), then a bounded summary row:
+    * (n_keys, violating_keys, max_distinct, violation_share). Exact
+    * integers + one double division.
+    */
+  def functionalDependency(df: DataFrame, det: Seq[String],
+      dep: Seq[String]): DataFrame = {
+    val name = s"fd(${det.mkString(",")} -> ${dep.mkString(",")})"
+    df.groupBy(det.map(col): _*)
+      .agg(count_distinct(struct(dep.map(col): _*)).as("nv"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum(when(col("nv") > 1L, 1L).otherwise(0L)).as("violating_keys"),
+        max(col("nv")).as("max_distinct"))
+      .select(lit(name).as("check_name"), col("n_keys"),
+        col("violating_keys"), col("max_distinct"),
+        (col("violating_keys").cast("double") / col("n_keys"))
+          .as("violation_share"),
+        (col("violating_keys") === 0L).cast("int").as("pass"))
+  }
 }

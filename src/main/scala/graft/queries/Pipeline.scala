@@ -457,6 +457,117 @@ object Pipeline {
       .smallOrdered($"status")
   }
 
+  /** Functional-dependency audit (`Constraints.functionalDependency`): is
+    * l_suppkey determined by l_orderkey? (It is not — the violation count
+    * and share quantify by how much.) One hash aggregate by key plus a
+    * bounded summary row; the FD check of schema discovery and data-quality
+    * suites.
+    */
+  private val q86 = QueryDef.sql(
+    "functional-dependency audit: l_orderkey -> l_suppkey")(
+    """WITH fd AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS nv
+      |  FROM lineitem GROUP BY 1)
+      |SELECT 'fd(l_orderkey -> l_suppkey)' AS check_name,
+      |  count(*) AS n_keys,
+      |  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::BIGINT AS violating_keys,
+      |  max(nv)::BIGINT AS max_distinct,
+      |  sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+      |    AS violation_share,
+      |  (CASE WHEN sum(CASE WHEN nv > 1 THEN 1 ELSE 0 END) = 0
+      |    THEN 1 ELSE 0 END)::INT AS pass
+      |FROM fd""".stripMargin) { (s, dir) =>
+    graft.operators.Constraints.functionalDependency(
+      Tables(s, dir).lineitem, Seq("l_orderkey"), Seq("l_suppkey"))
+  }
+
+  /** Benford first-significant-digit audit of l_extendedprice — the
+    * classic synthetic-data / fraud smell test. Digit extraction goes
+    * through integer-string rendering (portable — never decimal
+    * formatting); output is the per-digit observed distribution, shares
+    * as one exact-integer division each.
+    */
+  private val q87 = QueryDef.sql(
+    "Benford first-digit distribution of l_extendedprice")(
+    """WITH d AS (SELECT CAST(substr(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+      |      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM lineitem WHERE l_extendedprice >= 1),
+      |t AS (SELECT count(*) AS n FROM d)
+      |SELECT digit, count(*) AS obs,
+      |  count(*)::DOUBLE / n::DOUBLE AS share
+      |FROM d, t GROUP BY digit, n ORDER BY digit""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val d = Tables(s, dir).lineitem
+      .filter($"l_extendedprice" >= 1)
+      .select(substring(floor($"l_extendedprice").cast("long").cast("string"),
+        1, 1).cast("long").as("digit"))
+    val tot = d.agg(count(lit(1)).as("n"))
+    d.groupBy($"digit").agg(count(lit(1)).as("obs"))
+      .crossJoin(broadcast(tot))
+      .select($"digit", $"obs",
+        ($"obs".cast("double") / $"n".cast("double")).as("share"))
+      .smallOrdered($"digit")
+  }
+
+  /** Vocabulary coverage curve: the top-20 corpus tokens by occurrence
+    * count with their cumulative corpus share — the top-p/nucleus-style
+    * vocabulary-planning view. Global top-k plans as
+    * TakeOrderedAndProject (per-partition bounded heaps + driver merge —
+    * no vocabulary sort at any scale); rank and cumulative sum run over
+    * the 20-row result (bounded-window convention). Counts exact; each
+    * share one double division.
+    */
+  private val q88 = QueryDef.sql(
+    "vocabulary coverage curve: top-20 tokens + cumulative corpus share")(
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS t FROM documents),
+      |c AS (SELECT t, count(*) AS c FROM tok GROUP BY 1),
+      |n AS (SELECT sum(c)::BIGINT AS tot FROM c),
+      |r AS (SELECT t, c, row_number() OVER (ORDER BY c DESC, t) AS rank,
+      |    sum(c) OVER (ORDER BY c DESC, t) AS cum FROM c)
+      |SELECT rank, t AS token, c AS cnt,
+      |  cum::BIGINT AS cum_cnt, cum::DOUBLE / tot::DOUBLE AS cum_share
+      |FROM r, n WHERE rank <= 20 ORDER BY rank""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val counts = Tables(s, dir).documentsFanned
+      .select(explode(TextAnalysis.tokens($"text")).as("t"))
+      .groupBy($"t").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum($"c").as("tot"))
+    val top = counts.orderBy($"c".desc, $"t").limit(20)
+    val w = Window.orderBy($"c".desc, $"t") // 20-row frame post-limit
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    top
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum_cnt", sum($"c").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"rank", $"t".as("token"), $"c".as("cnt"), $"cum_cnt",
+        ($"cum_cnt".cast("double") / $"tot".cast("double")).as("cum_share"))
+      .smallOrdered($"rank")
+  }
+
+  /** Class-balance audit of the embedding labels: label count, total,
+    * majority share, and Kish effective sample size (Σn)²/Σn² — the
+    * degree to which imbalance shrinks the usable sample. All sums exact
+    * 64-bit integers; two double divisions.
+    */
+  private val q89 = QueryDef.sql(
+    "class balance + effective sample size over embedding labels")(
+    """WITH c AS (SELECT label, count(*)::BIGINT AS n FROM embeddings GROUP BY 1)
+      |SELECT count(*)::BIGINT AS n_classes, sum(n)::BIGINT AS n_rows,
+      |  max(n)::BIGINT AS max_class,
+      |  (sum(n) * sum(n))::DOUBLE / sum(n * n)::DOUBLE AS ess,
+      |  max(n)::DOUBLE / sum(n)::DOUBLE AS majority_share
+      |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).embeddings
+      .groupBy($"label").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_classes"), sum($"n").as("n_rows"),
+        max($"n").as("max_class"), sum($"n" * $"n").as("ss"))
+      .select($"n_classes", $"n_rows", $"max_class",
+        (($"n_rows" * $"n_rows").cast("double") / $"ss".cast("double"))
+          .as("ess"),
+        ($"max_class".cast("double") / $"n_rows".cast("double"))
+          .as("majority_share"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q74_dup_passages" -> q74,
     "q75_incremental_neardup" -> q75,
@@ -469,6 +580,10 @@ object Pipeline {
     "q82_time_weighted_avg" -> q82,
     "q83_forward_asof" -> q83,
     "q84_int8_quantization" -> q84,
-    "q85_snapshot_diff" -> q85
+    "q85_snapshot_diff" -> q85,
+    "q86_fd_audit" -> q86,
+    "q87_benford_digits" -> q87,
+    "q88_vocab_coverage" -> q88,
+    "q89_class_balance" -> q89
   )
 }

@@ -51,4 +51,22 @@ class ConstraintsSpec extends SparkSpec {
       .collect()
     assert(r.forall(_.getInt(3) == 1))
   }
+
+  test("functional dependency: holding FD passes, broken FD quantified") {
+    val s = spark
+    import s.implicits._
+    val t = Seq((1L, "a", 10), (1L, "a", 20), (2L, "b", 30), (3L, "a", 40),
+      (3L, "c", 50)).toDF("k", "v", "x")
+    // k -> v broken only at k=3 (a and c)
+    val broken = Constraints.functionalDependency(t, Seq("k"), Seq("v"))
+      .collect().head
+    assert(broken.getLong(1) == 3L)      // n_keys
+    assert(broken.getLong(2) == 1L)      // violating_keys
+    assert(broken.getLong(3) == 2L)      // max_distinct
+    assert(broken.getInt(5) == 0)        // pass
+    // (k, v) -> k holds trivially
+    val holds = Constraints.functionalDependency(t, Seq("k", "v"), Seq("k"))
+      .collect().head
+    assert(holds.getLong(2) == 0L && holds.getInt(5) == 1)
+  }
 }
