@@ -227,4 +227,43 @@ class PlanSpec extends SparkSpec {
     val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
     assert(scans == 1, s"$scans scans (grouping sets must share one)")
   }
+
+  test("q74/q75: dedup exchanges carry hashes and band keys, never text") {
+    for (q <- Seq("q74_dup_passages", "q75_incremental_neardup")) {
+      val p = plan(q)
+      assert(!p.contains("hashpartitioning(text"),
+        s"$q shuffles raw document text")
+      // every exchange partitioning expression is hash/band/id-shaped
+      val parts = "hashpartitioning\\(([a-zA-Z0-9_#]+)".r
+        .findAllMatchIn(p).map(_.group(1)).toSet
+      val bad = parts.filter(_.startsWith("text"))
+      assert(bad.isEmpty, s"$q text-keyed exchanges: $bad")
+    }
+  }
+
+  test("q84: embedding array never keys a shuffle; audit partial-aggregates") {
+    val p = plan("q84_int8_quantization")
+    assert(!p.contains("hashpartitioning(embedding"),
+      "embedding array shuffles")
+    assert(p.contains("partial_"), "no map-side partial aggregation")
+  }
+
+  test("q85: snapshot diff is one full-outer key join, no cartesian") {
+    val p = plan("q85_snapshot_diff")
+    assert(p.contains("FullOuter"), "no full-outer join planned")
+    assert(!p.contains("Cartesian"), "cartesian product planned")
+  }
+
+  test("q88: global top-k plans as TakeOrderedAndProject, not a full sort") {
+    val p = plan("q88_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), "limit+orderBy not fused")
+  }
+
+  test("q82: TWAP uses one keyed window over one scan") {
+    val p = plan("q82_time_weighted_avg")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans scans (want 1)")
+    val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
+    assert(windows == 1, s"$windows windows (want 1)")
+  }
 }
