@@ -568,6 +568,71 @@ object Pipeline {
           .as("majority_share"))
   }
 
+  /** Join-key skew audit — the partition-planning question ahead of any
+    * big join: how are fact rows distributed over the join key? Group
+    * sizes live on a bounded grid (≤ max lines per order at ANY scale), so
+    * the exact p50/p99 route through `WeightedQuantiles`' histogram
+    * dispatch; n/max/avg are one aggregate over the counts frame.
+    */
+  private val q90 = QueryDef.sql(
+    "join-key skew audit: lineitem rows per orderkey, exact p50/p99")(
+    """WITH c AS (SELECT l_orderkey, count(*)::BIGINT AS cnt FROM lineitem
+      |  GROUP BY 1),
+      |w AS (SELECT cnt, sum(1) OVER (ORDER BY cnt) AS cw,
+      |      count(*) OVER () AS n FROM c)
+      |SELECT count(*) AS n_keys, max(cnt)::BIGINT AS max_per_key,
+      |  (SELECT min(CASE WHEN cw*2 >= n THEN cnt END)::DOUBLE FROM w) AS p50,
+      |  (SELECT min(CASE WHEN cw*100 >= n*99 THEN cnt END)::DOUBLE FROM w)
+      |    AS p99,
+      |  sum(cnt)::DOUBLE / count(*) AS avg_per_key
+      |FROM c""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val counts = Tables(s, dir).lineitem
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
+    val summary = counts.agg(count(lit(1)).as("n_keys"),
+      max($"cnt").as("max_per_key"), sum($"cnt").as("__tot"))
+    val pct = WeightedQuantiles.byGroup(counts, Seq.empty, "cnt", lit(1L),
+      Seq(("p50", 1, 2), ("p99", 99, 100)), distinctValueHint = Some(1024L))
+    summary.crossJoin(broadcast(pct))
+      .select($"n_keys", $"max_per_key", $"p50", $"p99",
+        ($"__tot".cast("double") / $"n_keys").as("avg_per_key"))
+  }
+
+  /** Inter-event gap audit per type (downtime / heartbeat monitoring):
+    * max and median gap between consecutive same-type events, exact
+    * integer micros; the median gap routes through the weighted-quantile
+    * byte-gate dispatch (gaps are near-unique — no grid hint applies).
+    */
+  private val q91 = QueryDef.sql(
+    "inter-event gap audit per type: count, max and median gap")(
+    """WITH g AS (SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) AS gap
+      |  FROM events),
+      |d AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL),
+      |w AS (SELECT event_type, gap,
+      |    sum(1) OVER (PARTITION BY event_type ORDER BY gap) AS cw,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM d)
+      |SELECT event_type, count(*) AS n_gaps, max(gap)::BIGINT AS max_gap_us,
+      |  min(CASE WHEN cw*2 >= n THEN gap END)::DOUBLE AS p50_gap_us
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"event_type").orderBy($"ts", $"event_id")
+    val gaps = Tables(s, dir).events
+      .select($"event_type", $"ts", $"event_id",
+        Tables.epochUs($"ts").as("t_us"))
+      .withColumn("gap", $"t_us" - lag($"t_us", 1).over(w))
+      .filter($"gap".isNotNull)
+      .select($"event_type", $"gap")
+    val summary = gaps.groupBy($"event_type")
+      .agg(count(lit(1)).as("n_gaps"), max($"gap").as("max_gap_us"))
+    val med = WeightedQuantiles.byGroup(gaps, Seq("event_type"), "gap",
+      lit(1L), Seq(("p50_gap_us", 1, 2)))
+    summary.join(med, "event_type")
+      .select($"event_type", $"n_gaps", $"max_gap_us", $"p50_gap_us")
+      .smallOrdered($"event_type")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q74_dup_passages" -> q74,
     "q75_incremental_neardup" -> q75,
@@ -584,6 +649,8 @@ object Pipeline {
     "q86_fd_audit" -> q86,
     "q87_benford_digits" -> q87,
     "q88_vocab_coverage" -> q88,
-    "q89_class_balance" -> q89
+    "q89_class_balance" -> q89,
+    "q90_key_skew_audit" -> q90,
+    "q91_event_gap_audit" -> q91
   )
 }
