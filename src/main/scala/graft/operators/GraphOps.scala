@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Iterative graph operators beyond component labeling
+  * (`ConnectedComponents`): multi-source BFS hop distance and fixed-point
+  * PageRank. Both follow the house adaptive dispatch — a near-dup-sized edge
+  * list (the common case for graphs derived from pairwise operators) resolves
+  * on the driver in milliseconds, while anything above `driverEdgeBudget`
+  * runs the distributed iteration, whose per-round exchanges carry only
+  * (long, long) rows and whose lineage is truncated per round with
+  * `localCheckpoint` (the CC pattern: one bounded action per round, O(1)
+  * storage in rounds).
+  *
+  * PageRank is FIXED-POINT (scaled longs, integer division): iterative
+  * double summation is order-sensitive and would never hash-match an
+  * independent replay, while the integer recurrence is bit-identical under
+  * any partitioning and any engine — same rationale as the fixed-point
+  * centroids (Scale.q73) and time-weighted averages (Pipeline.q82).
+  */
+object GraphOps extends Logging {
+
+  /** Minimum hop distance from any seed, breadth-first, bounded by
+    * `maxHops`: returns (node, hop) for every node reachable within the
+    * bound (seeds at hop 0). Edges are directed (src, dst); pass both
+    * directions for an undirected walk.
+    */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int,
+      driverEdgeBudget: Long = 2000000L): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val out =
+      if (nEdges <= driverEdgeBudget) {
+        logInfo(s"GraphOps.bfsHops: $nEdges edges <= budget, driver path")
+        driverBfs(e, seeds, maxHops)
+      } else {
+        logInfo(s"GraphOps.bfsHops: $nEdges edges > budget, distributed path")
+        distributedBfs(e, seeds, maxHops)
+      }
+    e.unpersist()
+    out
+  }
+
+  private def driverBfs(e: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val adj = new java.util.HashMap[Long, java.util.ArrayList[Long]]()
+    e.collect().foreach { r =>
+      adj.computeIfAbsent(r.getLong(0), _ => new java.util.ArrayList[Long]())
+        .add(r.getLong(1))
+    }
+    val hop = new java.util.HashMap[Long, Int]()
+    var frontier = seeds.select(col("node").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    frontier.foreach(hop.put(_, 0))
+    var h = 0
+    while (frontier.nonEmpty && h < maxHops) {
+      h += 1
+      val next = scala.collection.mutable.ArrayBuffer.empty[Long]
+      frontier.foreach { u =>
+        val ns = adj.get(u)
+        if (ns != null) {
+          val it = ns.iterator()
+          while (it.hasNext) {
+            val v = it.next()
+            if (!hop.containsKey(v)) { hop.put(v, h); next += v }
+          }
+        }
+      }
+      frontier = next.toSeq
+    }
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    hop.forEach((k, v) => buf += ((k, v)))
+    buf.toSeq.toDF("node", "hop")
+  }
+
+  /** Distributed frontier expansion: each round shuffles only the frontier
+    * (the nodes discovered last round) against the edge list, anti-joins
+    * the visited set, and appends — `visited` is re-checkpointed per round
+    * so the plan stays flat. Wall cost is O(maxHops) rounds of two narrow
+    * exchanges; at 100 TB the frontier is the working set, never the graph.
+    */
+  private def distributedBfs(e: DataFrame, seeds: DataFrame, maxHops: Int): DataFrame = {
+    var visited = seeds.select(col("node").cast("long").as("node"))
+      .distinct().withColumn("hop", lit(0))
+      .localCheckpoint()
+    var frontier = visited
+    var h = 0
+    var frontierSize = frontier.count()
+    while (frontierSize > 0 && h < maxHops) {
+      h += 1
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("hop", lit(h))
+        .localCheckpoint()
+      val prev = visited
+      visited = visited.union(next).localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(prev)
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(frontier)
+      frontier = next
+      frontierSize = next.count()
+    }
+    visited
+  }
+
+  /** Rank scale: every node starts at 10^12; all arithmetic stays in longs. */
+  val RankScale = 1000000000000L
+
+  /** Fixed-point PageRank with damping 0.85 over directed (src, dst) edges
+    * and an explicit node universe: after each iteration
+    *
+    *   rank'(v) = (15·SCALE) div (100·N)  +  (85 · Σ_{u→v} rank(u) div deg(u)) div 100
+    *
+    * — all integer division, so the result is exact and partitioning-
+    * invariant. Dangling nodes simply leak their mass (same convention both
+    * in the operator and any SQL replay). Long headroom: total mass is
+    * ≤ N·SCALE, so the 85× intermediate stays under 2^63 up to N ≈ 10^5
+    * at this scale; larger graphs lower `RankScale` proportionally.
+    */
+  def pageRank(edges: DataFrame, nodes: DataFrame, iters: Int,
+      driverEdgeBudget: Long = 2000000L): DataFrame = {
+    val e = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = e.count()
+    val out =
+      if (nEdges <= driverEdgeBudget) {
+        logInfo(s"GraphOps.pageRank: $nEdges edges <= budget, driver path")
+        driverPageRank(e, nodes, iters)
+      } else {
+        logInfo(s"GraphOps.pageRank: $nEdges edges > budget, distributed path")
+        distributedPageRank(e, nodes, iters)
+      }
+    e.unpersist()
+    out
+  }
+
+  private def driverPageRank(e: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val ns = nodes.select(col("node").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    val idx = ns.zipWithIndex.toMap
+    val n = ns.length.toLong
+    require(n > 0, "pageRank of an empty node set")
+    // adjacency as index arrays; edges to nodes outside the universe drop
+    val es = e.collect().flatMap { r =>
+      for (s <- idx.get(r.getLong(0)); d <- idx.get(r.getLong(1))) yield (s, d)
+    }
+    val deg = new Array[Long](ns.length)
+    es.foreach { case (s, _) => deg(s) += 1 }
+    val base = (15L * RankScale) / (100L * n)
+    var rank = Array.fill(ns.length)(RankScale)
+    (1 to iters).foreach { _ =>
+      val incoming = new Array[Long](ns.length)
+      es.foreach { case (s, d) => incoming(d) += rank(s) / deg(s) }
+      rank = incoming.map(m => base + (85L * m) / 100L)
+    }
+    ns.zip(rank).toSeq.toDF("node", "rank")
+  }
+
+  private def distributedPageRank(e: DataFrame, nodes: DataFrame, iters: Int): DataFrame = {
+    val uni = nodes.select(col("node").cast("long").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = uni.count()
+    require(n > 0, "pageRank of an empty node set")
+    // keep only edges inside the universe so both paths agree; out-degree
+    // is computed over the FILTERED edges (same convention as the driver
+    // path) — (src, dst, deg) is the stable per-round probe side
+    val inUni = e
+      .join(uni.select(col("node").as("src")), "src")
+      .join(uni.select(col("node").as("dst")), "dst")
+      .select("src", "dst")
+    val ed = inUni
+      .join(inUni.groupBy("src").agg(count(lit(1)).as("deg")), "src")
+      .select("src", "dst", "deg")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ed.count()
+    val base = (15L * RankScale) / (100L * n)
+    var rank = uni.withColumn("rank", lit(RankScale)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val contrib = ed
+        .join(rank.select(col("node").as("src"), col("rank")), "src")
+        .select(col("dst"), expr("rank div deg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("m"))
+      val next = uni
+        .join(contrib.select(col("dst").as("node"), col("m")), Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) + expr(s"85 * coalesce(m, 0L) div 100")).as("rank"))
+        .localCheckpoint()
+      org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(rank)
+      rank = next
+    }
+    ed.unpersist(); uni.unpersist()
+    rank
+  }
+}

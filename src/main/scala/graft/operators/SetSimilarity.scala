@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.TextAnalysis
+
+/** Prefix-filtered set-similarity self-join (the AllPairs/PPJoin candidate
+  * scheme; public formulation: Bayardo et al. 2007 "Scaling Up All Pairs
+  * Similarity Search", Xiao et al. 2008 PPJoin): for a Jaccard threshold
+  * τ, two sets can only match if they share a token among either set's
+  * (n − ⌈τ·n⌉ + 1) GLOBALLY RAREST tokens — so the inverted index used for
+  * candidate generation holds only that prefix (≈ (1−τ)·n tokens per set)
+  * instead of every token, with zero false negatives at the threshold.
+  *
+  * Versus the full-index join (`Dedup.jaccardPairs`): the quadratic
+  * group-explode step sees only prefix postings — at τ = 0.7 that is ~30%
+  * of the postings and, because prefixes are the RAREST tokens, the hot
+  * groups (common shingles) vanish from pair generation entirely, which is
+  * the difference between a bounded and an exploding candidate count at
+  * corpus scale. Verification is exact over the per-document shingle sets.
+  */
+object SetSimilarity {
+
+  /** Document pairs (da < db) whose distinct word-`n`-gram shingle sets
+    * have Jaccard ≥ tauNum/tauDen. Output: (da, db, inter, na, nb) — all
+    * longs, exact (the threshold compare is an integer cross-
+    * multiplication; no doubles anywhere).
+    *
+    * Plan shape: the corpus is shingled ONCE into (id, n, hash64) postings
+    * (16-byte keys through every exchange — the raw n-grams never leave
+    * their scan; a 64-bit collision between two shingles of a candidate
+    * pair is the same ~2^-64-per-pair risk `Dedup.jaccardPairs` documents,
+    * and verification is over the string sets, so it can only add a
+    * spurious candidate, never a wrong row). Global document frequencies
+    * rank each document's postings (one aggregate + one join + one window
+    * by id — all linear); only `rn ≤ prefixLen` postings enter the
+    * inverted index that feeds pair generation. Candidates are verified
+    * with an exact `array_intersect` against the persisted shingle-set
+    * frame, joined id-to-id (AQE broadcasts the candidate side when small).
+    */
+  def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"bad threshold $tauNum/$tauDen")
+    // (id, shs, n) — feeds prefix generation AND both verify sides
+    val sets = df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("shs"))
+      .withColumn("n", size(col("shs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = sets
+      .select(col("id"), col("n"), explode(col("shs")).as("__s"))
+      .select(col("id"), col("n"), xxhash64(col("__s")).as("s"))
+    val freq = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix length n − ⌈τ·n⌉ + 1, integer ceiling (the double division is
+    // exact for set sizes < 2^26; cast truncation = floor for positives);
+    // ranked rarest-first with the hash as the deterministic tie-break
+    val prefLen = col("n") -
+      ((lit(tauNum) * col("n") + lit(tauDen) - 1) / lit(tauDen)).cast("int") + lit(1)
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = postings.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefLen)
+      .select(col("id"), col("s"))
+    val cand = Dedup.pairsWithinGroups(prefix, Seq("s")).distinct()
+    val a = sets.select(col("id").as("da"), col("shs").as("__sa"),
+      col("n").cast("long").as("na"))
+    val b = sets.select(col("id").as("db"), col("shs").as("__sb"),
+      col("n").cast("long").as("nb"))
+    cand.join(a, "da").join(b, "db")
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(lit(tauDen.toLong) * col("inter") >=
+        lit(tauNum.toLong) * (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SetSimilaritySpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"${sf()}/documents.parquet")
+
+  test("prefix-filtered pairs equal the full-index pairs at the threshold") {
+    // ground truth: the full inverted-index jaccard join, thresholded with
+    // the same integer cross-multiplication
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
+      .filter(lit(10L) * col("inter") >= lit(7L) * (col("na") + col("nb") - col("inter")))
+      .select("da", "db", "inter", "na", "nb")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val pref = SetSimilarity.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, tauNum = 7, tauDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(pref == full)
+    assert(pref.nonEmpty, "sf0.001 corpus should contain near-dup pairs")
+  }
+
+  test("higher threshold is a subset of lower threshold") {
+    val lo = SetSimilarity.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, tauNum = 7, tauDen = 10)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hi = SetSimilarity.prefixJaccardPairs(docs, "doc_id", "text",
+        n = 3, tauNum = 9, tauDen = 10)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hi.subsetOf(lo))
+  }
+
+  test("synthetic sets: exact jaccard thresholding with zero false negatives") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and 2 share 8 of 10 tokens (J = 8/12 = 0.667); doc 3 disjoint
+    val t1 = (1 to 10).map(i => s"w$i").mkString(" ")
+    val t2 = ((1 to 8).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val t3 = (1 to 10).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("id", "text")
+    // unigram sets (n = 1): pair (1,2) passes τ = 0.6, fails τ = 0.7
+    val at06 = SetSimilarity.prefixJaccardPairs(df, "id", "text", 1, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(at06 == Set((1L, 2L, 8L)))
+    val at07 = SetSimilarity.prefixJaccardPairs(df, "id", "text", 1, 7, 10)
+    assert(at07.count() == 0)
+  }
+}
