@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.TemporalOps
+
+/** Temporal state/interval surface (round 7): SCD2 dimension history,
+  * merged-interval coverage, and consecutive-day streaks — the
+  * gaps-and-islands family a warehouse needs for entity timelines. Every
+  * query is a single exchange by the entity key (`TemporalOps` scaladoc)
+  * and all time arithmetic is exact integer microseconds, so the oracle
+  * replays are hash-identical.
+  */
+object Temporal {
+
+  /** SCD2 history of each user's event_type "state": consecutive runs
+    * collapse into versioned validity intervals, the open version carries
+    * a NULL valid_to. The production shape for building type-2 dimensions
+    * from CDC/event logs.
+    */
+  private val q95 = QueryDef.sql(
+    "SCD2 state history: versioned validity intervals per user")(
+    """WITH o AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY epoch_us(ts), event_id) AS prev
+      |  FROM events),
+      |m AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, version, min(event_type) AS state,
+      |         min(ts_us) AS valid_from
+      |  FROM m GROUP BY 1, 2)
+      |SELECT user_id, state, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  version
+      |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    TemporalOps.scd2History(Tables(s, dir).events,
+        keyCol = "user_id", stateCol = "event_type",
+        tsCol = "ts", tieCol = "event_id")
+      .cachedOrdered($"user_id", $"version")
+  }
+
+  /** Merged 5-minute activity windows per user: total covered time, island
+    * count and longest contiguous stretch — the "active time" metric that
+    * naive per-event summation double-counts.
+    */
+  private val q96 = QueryDef.sql(
+    "gaps-and-islands: merged 5-minute activity coverage per user")(
+    """WITH iv AS (
+      |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
+      |  FROM events),
+      |o AS (
+      |  SELECT user_id, s, e,
+      |    max(e) OVER (PARTITION BY user_id ORDER BY s, e
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max
+      |  FROM iv),
+      |m AS (
+      |  SELECT user_id, s, e,
+      |    sum(CASE WHEN prev_max IS NULL OR s > prev_max THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY s, e ROWS UNBOUNDED PRECEDING)
+      |      AS island
+      |  FROM o)
+      |SELECT user_id, count(*) AS n_islands, sum(len)::BIGINT AS covered_us,
+      |       max(len) AS longest_us
+      |FROM (SELECT user_id, island, max(e) - min(s) AS len
+      |      FROM m GROUP BY 1, 2)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    TemporalOps.intervalCoverage(Tables(s, dir).events,
+        keyCol = "user_id", tsCol = "ts", durUs = 300000000L)
+      .smallOrdered($"user_id")
+  }
+
+  /** Longest consecutive-day activity streak per user (earliest streak
+    * wins ties) — the date-minus-row-number islands trick.
+    */
+  private val q97 = QueryDef.sql(
+    "longest consecutive-day activity streak per user")(
+    """WITH days AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |m AS (
+      |  SELECT user_id, d,
+      |    d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d)
+      |             AS INTEGER) AS grp
+      |  FROM days),
+      |s AS (
+      |  SELECT user_id, count(*) AS len, min(d) AS start_d
+      |  FROM m GROUP BY user_id, grp)
+      |SELECT user_id, max(len) AS streak,
+      |  min(CASE WHEN len = ml THEN start_d END) AS streak_start
+      |FROM (SELECT *, max(len) OVER (PARTITION BY user_id) AS ml FROM s)
+      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    TemporalOps.streaks(Tables(s, dir).events, keyCol = "user_id", tsCol = "ts")
+      .smallOrdered($"user_id")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q95_scd2_history" -> q95,
+    "q96_interval_coverage" -> q96,
+    "q97_daily_streaks" -> q97
+  )
+}
