@@ -15,7 +15,8 @@ object SparkEntry {
   /** All declared query groups, in inventory order. */
   private val all: Seq[(String, QueryDef)] =
     Relational.defs ++ TextVector.defs ++ MlDrift.defs ++ Analytics.defs ++
-      Curation.defs ++ Scale.defs ++ Pipeline.defs
+      Curation.defs ++ Scale.defs ++ Pipeline.defs ++ Graphs.defs ++
+      Temporal.defs ++ Stats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,194 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ParallelRank
+
+/** Statistics + planning surface (round 7): CUBE aggregation (completing
+  * the rollup / grouping-sets family), exact per-group OLS regression in
+  * integer arithmetic, deterministic per-key mode, a fully-parallel exact
+  * Gini concentration index, and the weighted curriculum interleave that
+  * turns per-source mix weights into a deterministic global training order.
+  *
+  * Exactness notes: every aggregate here is integer (quantities are
+  * integral, prices exact cents — both per-row-cast to longs before any
+  * sum), so results are bit-identical under any partitioning and any
+  * engine. The OLS slope is reported as an exact (numerator, denominator)
+  * long pair rather than a division — the same convention as the TVD and
+  * fixed-point families; at corpus scales where n·Σxy approaches 2^63 the
+  * sums widen to decimals, documented at the query.
+  */
+object Stats {
+
+  /** CUBE over (returnflag, linestatus): all four grouping combinations in
+    * one pass, with grouping indicators. Completes the multi-dimensional
+    * aggregate family (q40 rollup, q71 grouping sets).
+    */
+  private val q98 = QueryDef.sql(
+    "CUBE revenue/quantity by returnflag x linestatus with grouping ids")(
+    """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+      |  sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+      |  sum(CAST(round(l_extendedprice*100) AS BIGINT))::BIGINT
+      |    AS sum_price_cents,
+      |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+      |  CAST(grouping(l_linestatus) AS INTEGER) AS g_ls
+      |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+      |ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST,
+      |         l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).lineitem
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum($"l_quantity".cast("long")).as("sum_qty"),
+        sum(round($"l_extendedprice" * 100).cast("long")).as("sum_price_cents"),
+        grouping($"l_returnflag").cast("int").as("g_rf"),
+        grouping($"l_linestatus").cast("int").as("g_ls"))
+      .smallOrdered($"g_rf", $"g_ls", $"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first)
+  }
+
+  /** Exact OLS of price-cents on quantity per supplier nation: one
+    * map-side-combined aggregate produces the five sufficient statistics
+    * and the slope as an exact integer (num, den) pair — no doubles, no
+    * second pass. Long headroom: n·Σxy stays under 2^63 up to ~10^7 rows
+    * per group at these value ranges; beyond that the sums widen to
+    * DECIMAL(38,0) (same formula).
+    */
+  private val q99 = QueryDef.sql(
+    "exact per-nation OLS of price on quantity (integer sufficient stats)")(
+    """WITH pts AS (
+      |  SELECT s.s_nationkey AS nk, CAST(l.l_quantity AS BIGINT) AS x,
+      |         CAST(round(l.l_extendedprice*100) AS BIGINT) AS y
+      |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+      |a AS (
+      |  SELECT nk, count(*) AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |         sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
+      |  FROM pts GROUP BY nk)
+      |SELECT n_name AS nation, n, sx, sy, sxy, sxx,
+      |       n*sxy - sx*sy AS slope_num, n*sxx - sx*sx AS slope_den
+      |FROM a JOIN nation ON n_nationkey = nk
+      |ORDER BY nation""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+      .select($"s_nationkey".as("nk"),
+        $"l_quantity".cast("long").as("x"),
+        round($"l_extendedprice" * 100).cast("long").as("y"))
+      .groupBy($"nk")
+      .agg(count(lit(1)).as("n"), sum($"x").as("sx"), sum($"y").as("sy"),
+        sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
+      .join(broadcast(t.nation), $"n_nationkey" === $"nk")
+      .select($"n_name".as("nation"), $"n", $"sx", $"sy", $"sxy", $"sxx",
+        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
+        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+      .smallOrdered($"nation")
+  }
+
+  /** Deterministic per-user modal event type (highest count, lexicographic
+    * tie-break), aggregated to how many users each mode represents. The
+    * argmax is ONE struct-min aggregate — no rank window, no join-back.
+    */
+  private val q100 = QueryDef.sql(
+    "deterministic mode: users by their most frequent event type")(
+    """WITH c AS (
+      |  SELECT user_id, event_type, count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (
+      |  SELECT user_id, min(CASE WHEN rnk = 1 THEN event_type END) AS modal
+      |  FROM (SELECT *, rank() OVER (PARTITION BY user_id
+      |                               ORDER BY cnt DESC) AS rnk FROM c)
+      |  GROUP BY user_id)
+      |SELECT modal AS modal_event, count(*) AS users
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"user_id", $"event_type").agg(count(lit(1)).as("cnt"))
+      .groupBy($"user_id")
+      .agg(min(struct((-$"cnt").as("nc"), $"event_type".as("t"))).as("m"))
+      .groupBy($"m.t".as("modal_event"))
+      .agg(count(lit(1)).as("users"))
+      .smallOrdered($"modal_event")
+  }
+
+  /** Exact Gini concentration of customer revenue, fully parallel: ranks
+    * come from `ParallelRank` (range-exchange row numbers — no
+    * single-partition sort anywhere), the index as an exact integer
+    * (num, den) pair: G = (2·Σ i·rᵢ − (n+1)·Σ rᵢ) / (n·Σ rᵢ) over revenues
+    * sorted ascending with custkey tie-break.
+    */
+  private val q101 = QueryDef.sql(
+    "exact Gini concentration index of customer revenue (parallel ranks)")(
+    """WITH rev AS (
+      |  SELECT o.o_custkey AS c,
+      |         CAST(round(sum(l.l_extendedprice*100)) AS BIGINT) AS r
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  GROUP BY 1),
+      |rk AS (SELECT c, r, row_number() OVER (ORDER BY r, c) AS i FROM rev)
+      |SELECT count(*) AS n, sum(r)::BIGINT AS total_cents,
+      |  (2*sum(i*r) - (count(*)+1)*sum(r))::BIGINT AS gini_num,
+      |  (count(*)*sum(r))::BIGINT AS gini_den
+      |FROM rk""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val rev = t.lineitem
+      .join(t.orders.select($"o_orderkey", $"o_custkey"),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey".as("c"))
+      // per-row exact cents sum as double is exact to 2^53 ≈ $90T per
+      // customer; the cast to long happens post-aggregate like the oracle
+      .agg(round(sum($"l_extendedprice" * 100)).cast("long").as("r"))
+      // strict total order (r, c) packed into one sort key; custkey is
+      // guarded < 2^20 and r·2^20 < 2^63 at any plausible revenue
+      .withColumn("k",
+        when($"c" >= (1L << 20) || $"c" < 0L,
+          raise_error(concat(lit("gini: custkey out of 2^20 range: "), $"c")))
+          .otherwise(shiftleft($"r", 20) + $"c"))
+    ParallelRank.rowNumber(rev, Seq.empty, "k", rankCol = "i",
+        smallGroupsHint = true)
+      .agg(count(lit(1)).as("n"), sum($"r").as("total_cents"),
+        (lit(2L) * sum($"i" * $"r")).as("tw"),
+        sum($"r").as("tr"))
+      .select($"n", $"total_cents",
+        ($"tw" - ($"n" + 1L) * $"tr").as("gini_num"),
+        ($"n" * $"tr").as("gini_den"))
+  }
+
+  /** Weighted curriculum interleave: per-source document ranks spread onto
+    * a shared integer axis (rank · (L/w) for weight w | L), so a weight-3
+    * source appears 3× as densely as a weight-1 source in the merged
+    * order — the deterministic global training schedule for a data mix.
+    * Output: the first 200 schedule slots. Weights derive from the source
+    * id (1 + src mod 3) to keep the gate self-contained.
+    */
+  private val q102 = QueryDef.sql(
+    "weighted curriculum interleave: first 200 training-order slots")(
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    CAST(regexp_extract(source, '[0-9]+') AS INTEGER) % 3 + 1 AS w,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rs
+      |  FROM documents)
+      |SELECT CAST(rs * (6 // w) AS BIGINT) AS slot, source, doc_id
+      |FROM r ORDER BY slot, source LIMIT 200""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documents
+      .select($"doc_id", $"source",
+        (regexp_extract($"source", "[0-9]+", 0).cast("int") % 3 + 1).as("w"))
+      .withColumn("rs",
+        row_number().over(Window.partitionBy($"source").orderBy($"doc_id")))
+      .select((($"rs" * (lit(6).cast("int") / $"w").cast("int"))
+        .cast("long")).as("slot"), $"source", $"doc_id")
+      .orderBy($"slot", $"source").limit(200)
+      .smallOrdered($"slot", $"source")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q98_cube_revenue" -> q98,
+    "q99_group_ols" -> q99,
+    "q100_event_mode" -> q100,
+    "q101_gini_index" -> q101,
+    "q102_curriculum_interleave" -> q102
+  )
+}

@@ -266,4 +266,56 @@ class PlanSpec extends SparkSpec {
     val windows = "\\(\\d+\\) Window".r.findAllIn(p).length
     assert(windows == 1, s"$windows windows (want 1)")
   }
+
+  test("q95/q96: the whole islands chain rides ONE exchange by user_id") {
+    // every window and aggregate partitions by user_id, so Catalyst plans a
+    // single hash exchange for the entire chain (the trailing
+    // single-partition exchange is the bounded-result sort)
+    Seq("q95_scd2_history", "q96_interval_coverage").foreach { q =>
+      val p = plan(q)
+      val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).length
+      assert(hashEx >= 1, s"$q: no user_id exchange")
+      val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+      assert(exchanges <= 2, s"$q: $exchanges exchanges (want keyed + result)")
+      assert(!p.contains("rangepartitioning") || q == "q95_scd2_history",
+        s"$q: unexpected global sort")
+    }
+  }
+
+  test("q94: pair generation keys on hashed shingles; raw n-grams never " +
+    "key a shuffle") {
+    val p = plan("q94_prefix_setsim")
+    assert(p.contains("xxhash64"), "shingles not hashed for the index")
+    assert(!p.contains("hashpartitioning(__s"), "raw shingle keys a shuffle")
+    assert(!p.contains("CartesianProduct"), "all-pairs fallback planned")
+  }
+
+  test("q98: CUBE compiles to ONE Expand over one scan") {
+    val p = plan("q98_cube_revenue")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans scans (want 1)")
+    val expands = "\\(\\d+\\) Expand".r.findAllIn(p).length
+    assert(expands == 1, s"$expands Expands (want 1)")
+    assert(p.contains("partial"), "no map-side partial aggregation")
+  }
+
+  test("q99: supplier and nation dims broadcast; one fact scan, one agg " +
+    "exchange") {
+    val p = plan("q99_group_ols")
+    val bhj = "\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 2, s"$bhj broadcast joins (want 2)")
+    assert(p.contains("partial_sum"), "sufficient stats not map-side combined")
+  }
+
+  test("q101: ranks come from a range exchange, never one sort task") {
+    val p = plan("q101_gini_index")
+    assert(p.contains("rangepartitioning"), "no parallel range exchange")
+    assert(!p.contains("SinglePartition) Window") &&
+      !p.contains("Window [row_number"), "single-partition window planned")
+  }
+
+  test("q102: the schedule is TakeOrderedAndProject, not a full sort") {
+    val p = plan("q102_curriculum_interleave")
+    assert(p.contains("TakeOrderedAndProject"), "limit+orderBy not fused")
+  }
 }
