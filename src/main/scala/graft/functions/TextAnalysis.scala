@@ -88,6 +88,16 @@ object TextAnalysis {
   /** Overlapping token-window chunks (size/stride) — the document chunker
     * ahead of sequence packing. Native one-pass kernel.
     */
+  /** Per-document adjacent char-pair counts within tokens (BPE merge-scan
+    * kernel): array<struct<p,c>> of DISTINCT pairs with multiplicities —
+    * the per-row combiner that keeps the corpus pair aggregate's explode
+    * bounded by alphabet², not character count. Native one-pass kernel.
+    */
+  def charPairCounts(text: Column): Column = {
+    import org.apache.spark.sql.graft.{Bridge, CharPairCounts}
+    Bridge.column(CharPairCounts(Bridge.expression(text)))
+  }
+
   def wordChunks(text: Column, size: Int, stride: Int): Column = {
     import org.apache.spark.sql.graft.{Bridge, WordChunks}
     Bridge.column(WordChunks(Bridge.expression(text), size, stride))

@@ -69,6 +69,10 @@ object SetSimilarity {
     val b = sets.select(col("id").as("db"), col("shs").as("__sb"),
       col("n").cast("long").as("nb"))
     cand.join(a, "da").join(b, "db")
+      // PPJoin length filter: J(A,B) ≤ min(n)/max(n), so any pair whose
+      // sizes differ by more than τ is pruned BEFORE the O(n) intersect
+      .filter(lit(tauDen.toLong) * least(col("na"), col("nb")) >=
+        lit(tauNum.toLong) * greatest(col("na"), col("nb")))
       .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
       .filter(lit(tauDen.toLong) * col("inter") >=
         lit(tauNum.toLong) * (col("na") + col("nb") - col("inter")))

@@ -442,6 +442,32 @@ object Curation {
     graft.operators.SketchExact.topK(tris, "item", k = 5, capacity = 256)
   }
 
+  /** BPE merge-candidate scan (the first step of byte-pair-encoding
+    * vocabulary training, Sennrich et al. 2016): the corpus's most frequent
+    * adjacent character pairs within tokens. The native per-document
+    * kernel pre-aggregates pair counts (combiner form — the explode emits
+    * distinct pairs per doc, bounded by alphabet², never one row per
+    * character), the global sum map-side-combines, and the top-30 fuses to
+    * TakeOrderedAndProject.
+    */
+  private val q104 = QueryDef.sql(
+    "BPE merge candidates: top adjacent char pairs across the corpus")(
+    """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |p AS (
+      |  SELECT w[i:i+1] AS pair
+      |  FROM (SELECT w, unnest(range(1, len(w))) AS i FROM w)
+      |  WHERE len(w) >= 2)
+      |SELECT pair, count(*) AS cnt FROM p GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 30""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documentsFanned
+      .select(explode(TextAnalysis.charPairCounts($"text")).as("pc"))
+      .groupBy($"pc.p".as("pair"))
+      .agg(sum($"pc.c").as("cnt"))
+      .orderBy($"cnt".desc, $"pair").limit(30)
+      .smallOrdered($"cnt".desc, $"pair")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -455,6 +481,7 @@ object Curation {
     "q58_doc_chunking" -> q58,
     "q59_constraint_audit" -> q59,
     "q61_dedup_survivors" -> q61,
-    "q62_sketch_topk_exact" -> q62
+    "q62_sketch_topk_exact" -> q62,
+    "q104_bpe_merge_candidates" -> q104
   )
 }

@@ -308,6 +308,50 @@ object Scale {
       .smallOrdered($"label", $"i")
   }
 
+  /** Six-table star join with a cross-dimension predicate (the TPC-H Q5
+    * shape): revenue from LOCAL suppliers (customer and supplier in the
+    * same nation) for two regions and a date range. Exercises Catalyst's
+    * join planning end-to-end: date + region filters push to the scans,
+    * every dimension broadcasts, and the only big exchanges are the
+    * unavoidable lineitem⋈orders key shuffle (both sides fact-sized at
+    * scale) and the final per-nation aggregate.
+    */
+  private val q105 = QueryDef.sql(
+    "six-table local-supplier revenue join (TPC-H Q5 shape)")(
+    """SELECT n_name AS nation,
+      |  CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue,
+      |  count(*) AS n_items
+      |FROM customer
+      |JOIN orders   ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation   ON c_nationkey = n_nationkey
+      |JOIN region   ON n_regionkey = r_regionkey
+      |WHERE r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, nation""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    t.lineitem
+      .join(t.orders
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1999-01-01").cast("timestamp")),
+        $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.supplier),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(t.region.filter($"r_name".isin("ASIA", "EUROPE"))),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount"))
+        .cast("float").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .smallOrdered($"revenue".desc, $"nation")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q65_bloom_semi_join" -> q65,
     "q66_merge_upsert" -> q66,
@@ -317,6 +361,7 @@ object Scale {
     "q70_priority_sample" -> q70,
     "q71_grouping_sets" -> q71,
     "q72_distinct_certified" -> q72,
-    "q73_label_centroids" -> q73
+    "q73_label_centroids" -> q73,
+    "q105_local_supplier_revenue" -> q105
   )
 }

@@ -105,9 +105,42 @@ object Temporal {
       .smallOrdered($"user_id")
   }
 
+  /** Sliding-window distinct: distinct active users over the trailing
+    * 7 days, per day. NOT a sum of daily distincts (users active on
+    * several days must count once): day-grain dedup first, then each
+    * (user, day) row contributes to the ≤ 7 window-end days it falls in —
+    * a bounded explode (factor 7) followed by one distinct-count exchange.
+    * At scale this beats the join form (days × activity range join) by
+    * shuffling each activity row a constant number of times.
+    */
+  private val q103 = QueryDef.sql(
+    "sliding 7-day distinct active users per day")(
+    """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+      |days AS (SELECT DISTINCT d FROM ud)
+      |SELECT days.d AS day, count(DISTINCT ud.user_id) AS users_7d
+      |FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+      |GROUP BY days.d ORDER BY days.d""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ud = Tables(s, dir).events
+      .select(to_date($"ts").as("d"), $"user_id").distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // observed day universe: contributions beyond the last day are clipped
+    // so absent days don't materialize
+    val bounds = ud.agg(max($"d").as("dmax"))
+    val contrib = ud.crossJoin(broadcast(bounds))
+      .select($"user_id",
+        explode(sequence($"d", least(date_add($"d", 6), $"dmax"))).as("day"))
+    val days = ud.select($"d".as("day")).distinct()
+    contrib.join(days, "day")
+      .groupBy($"day")
+      .agg(countDistinct($"user_id").as("users_7d"))
+      .smallOrdered($"day")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
-    "q97_daily_streaks" -> q97
+    "q97_daily_streaks" -> q97,
+    "q103_sliding_distinct" -> q103
   )
 }

@@ -236,3 +236,64 @@ object WordChunks {
     new GenericArrayData(out.toArray)
   }
 }
+
+/** Per-document adjacent character-pair counts within whitespace tokens —
+  * the counting kernel of a BPE-style merge-candidate scan (Sennrich et al.
+  * 2016: the first merge is the corpus's most frequent symbol pair). The
+  * per-row pre-aggregation is the classic combiner trick: the downstream
+  * explode emits one row per DISTINCT pair per document (bounded by
+  * alphabet², typically a few hundred) instead of one per character, so
+  * the global aggregate's exchange shrinks by the average pair
+  * multiplicity. Pairs are Java char (UTF-16 unit) pairs — identical to
+  * codepoint pairs for BMP text.
+  */
+case class CharPairCounts(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("p", StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("c",
+        org.apache.spark.sql.types.LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "char_pair_counts"
+
+  override def nullSafeEval(input: Any): Any =
+    CharPairCounts.compute(input.asInstanceOf[UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"org.apache.spark.sql.graft.CharPairCounts.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharPairCounts {
+  def compute(text: UTF8String): ArrayData = {
+    val counts = new java.util.LinkedHashMap[String, Long]()
+    val toks = text.toString.split(" ", -1)
+    var t = 0
+    while (t < toks.length) {
+      val w = toks(t)
+      var i = 0
+      while (i + 2 <= w.length) {
+        val p = w.substring(i, i + 2)
+        counts.merge(p, 1L, (a, b) => a + b)
+        i += 1
+      }
+      t += 1
+    }
+    val out = new Array[Any](counts.size)
+    val it = counts.entrySet().iterator()
+    var k = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(k) = org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(e.getKey), e.getValue)
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
