@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming SCD2: the type-2 dimension history of `TemporalOps.scd2History`
+  * maintained incrementally over an event stream. Per-key state is THREE
+  * scalars (current state string, its valid_from, its version ordinal) —
+  * bounded regardless of stream length; every state CHANGE emits the closed
+  * version as an append-mode row identical to the batch operator's
+  * closed-interval rows (valid_to = the succeeding version's valid_from).
+  *
+  * Delivery contract: events must arrive in (ts, event_id) order PER KEY
+  * across micro-batches (within a batch any order is fine — the handler
+  * sorts). That is the same per-key-ordered contract the CDC apply stream
+  * (MergeStreams) documents; a bounded-lateness variant would buffer a
+  * watermark horizon per key before folding, trading state for reorder
+  * tolerance.
+  */
+object TemporalStreams {
+
+  final case class StateEvent(user_id: Long, state: String, ts_us: Long,
+      event_id: Long)
+  final case class VersionState(state: String, validFrom: Long, version: Long)
+  final case class ClosedVersion(user_id: Long, state: String, valid_from: Long,
+      valid_to: Long, version: Long)
+
+  /** Closed SCD2 versions of the stream; the OPEN version per key lives in
+    * the group state (queryable via the state store, emitted only when a
+    * later state change closes it — append-mode semantics).
+    */
+  def scd2(events: Dataset[StateEvent]): Dataset[ClosedVersion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[VersionState, ClosedVersion](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[StateEvent],
+            state: GroupState[VersionState]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+          val closed = Seq.newBuilder[ClosedVersion]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            cur match {
+              case None =>
+                cur = Some(VersionState(e.state, e.ts_us, 1L))
+              case Some(v) if v.state != e.state =>
+                closed += ClosedVersion(userId, v.state, v.validFrom,
+                  e.ts_us, v.version)
+                cur = Some(VersionState(e.state, e.ts_us, v.version + 1))
+              case Some(_) => () // same state: the run extends, nothing closes
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+}
