@@ -425,6 +425,39 @@ object Relational {
       .smallOrdered($"bucket")
   }
 
+  /** The `spark.sql` entry point driven end-to-end (SURVEY.md §3.3): ONE
+    * ANSI SQL string — correlated scalar subqueries (per-nation balance
+    * average as an exact integer cross-multiplication, no float compare on
+    * a decision boundary) plus a correlated EXISTS — runs verbatim on both
+    * engines; `Tables.registerAll()` exposes the corpus as temp views and
+    * Catalyst decorrelates the subqueries into aggregate + broadcast joins
+    * (no per-row re-execution anywhere).
+    */
+  private val Q106Sql =
+    """SELECT n_name AS nation, count(*) AS n_rich
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE CAST(round(c_acctbal*100) AS BIGINT) *
+      |      (SELECT count(*) FROM customer c2
+      |       WHERE c2.c_nationkey = customer.c_nationkey)
+      |    > (SELECT sum(CAST(round(c3.c_acctbal*100) AS BIGINT))
+      |       FROM customer c3 WHERE c3.c_nationkey = customer.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_orderpriority = '1-URGENT')
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
+  private val q106 = QueryDef.sql(
+    "SQL entry point: correlated subqueries + EXISTS, one string, both engines")(
+    Q106Sql) { (s, dir) =>
+    // register + analyze atomically: the shared test session builds queries
+    // from several SF dirs, and view resolution happens at analysis time —
+    // after s.sql returns, the plan is bound and re-registration is harmless
+    Relational.synchronized {
+      Tables(s, dir).registerAll()
+      s.sql(Q106Sql)
+    }
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q01_pricing_summary" -> q01,
     "q02_filter_topk" -> q02,
@@ -440,6 +473,7 @@ object Relational {
     "q12_summary_stats" -> q12,
     "q13_grouped_describe" -> q13,
     "q14_null_dup_profile" -> q14,
-    "q15_histogram" -> q15
+    "q15_histogram" -> q15,
+    "q106_sql_entry_subqueries" -> q106
   )
 }

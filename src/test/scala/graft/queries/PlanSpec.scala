@@ -318,4 +318,15 @@ class PlanSpec extends SparkSpec {
     val p = plan("q102_curriculum_interleave")
     assert(p.contains("TakeOrderedAndProject"), "limit+orderBy not fused")
   }
+
+  test("q106: correlated subqueries decorrelate to joins — no per-row " +
+    "re-execution, no cartesian") {
+    val p = plan("q106_sql_entry_subqueries")
+    assert(!p.contains("CartesianProduct"), "cartesian product planned")
+    // decorrelation rewrites both scalar subqueries and the EXISTS into
+    // aggregate + join shapes; a surviving correlated subquery would print
+    // as a Subquery/InSubquery node in the physical plan
+    assert(!p.toLowerCase.contains("subqueryexec"), "subquery not decorrelated")
+    assert(p.contains("LeftSemi"), "EXISTS not planned as a semi join")
+  }
 }
