@@ -49,6 +49,28 @@ object SetSimilarity {
         TextAnalysis.wordShingles(col(textCol), n).as("shs"))
       .withColumn("n", size(col("shs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = prefixCandidates(sets, tauNum, tauDen)
+    val a = sets.select(col("id").as("da"), col("shs").as("__sa"),
+      col("n").cast("long").as("na"))
+    val b = sets.select(col("id").as("db"), col("shs").as("__sb"),
+      col("n").cast("long").as("nb"))
+    cand.join(a, "da").join(b, "db")
+      // PPJoin length filter: J(A,B) ≤ min(n)/max(n), so any pair whose
+      // sizes differ by more than τ is pruned BEFORE the O(n) intersect
+      .filter(lit(tauDen.toLong) * least(col("na"), col("nb")) >=
+        lit(tauNum.toLong) * greatest(col("na"), col("nb")))
+      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(lit(tauDen.toLong) * col("inter") >=
+        lit(tauNum.toLong) * (col("na") + col("nb") - col("inter")))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
+
+  /** Candidate (da < db) pairs from the prefix-filtered inverted index over
+    * a (id, shs, n) set frame — exposed separately so callers can measure
+    * or reuse the candidate set (the verify step is `Dedup.verifyPairs`-
+    * shaped and lives in `prefixJaccardPairs`).
+    */
+  def prefixCandidates(sets: DataFrame, tauNum: Int, tauDen: Int): DataFrame = {
     val postings = sets
       .select(col("id"), col("n"), explode(col("shs")).as("__s"))
       .select(col("id"), col("n"), xxhash64(col("__s")).as("s"))
@@ -63,19 +85,6 @@ object SetSimilarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefLen)
       .select(col("id"), col("s"))
-    val cand = Dedup.pairsWithinGroups(prefix, Seq("s")).distinct()
-    val a = sets.select(col("id").as("da"), col("shs").as("__sa"),
-      col("n").cast("long").as("na"))
-    val b = sets.select(col("id").as("db"), col("shs").as("__sb"),
-      col("n").cast("long").as("nb"))
-    cand.join(a, "da").join(b, "db")
-      // PPJoin length filter: J(A,B) ≤ min(n)/max(n), so any pair whose
-      // sizes differ by more than τ is pruned BEFORE the O(n) intersect
-      .filter(lit(tauDen.toLong) * least(col("na"), col("nb")) >=
-        lit(tauNum.toLong) * greatest(col("na"), col("nb")))
-      .withColumn("inter", size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
-      .filter(lit(tauDen.toLong) * col("inter") >=
-        lit(tauNum.toLong) * (col("na") + col("nb") - col("inter")))
-      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+    Dedup.pairsWithinGroups(prefix, Seq("s")).distinct()
   }
 }

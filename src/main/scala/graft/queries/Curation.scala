@@ -468,6 +468,53 @@ object Curation {
       .smallOrdered($"cnt".desc, $"pair")
   }
 
+  /** Vocabulary OOV audit (tokenizer-coverage gate for incoming data): a
+    * reference vocabulary — the top-16 tokens by document frequency over
+    * the "training half" of the corpus (sources src0–src9, ties broken by
+    * token) — is broadcast against the other half, reporting per-source
+    * total and out-of-vocabulary token counts (duplicates counted: OOV
+    * RATE is what a tokenizer sees). The corpus side never shuffles: the
+    * bounded vocab broadcasts into an anti-join probe at the scan. The
+    * vocab cap sits BELOW the corpus' distinct-token count (31) so the
+    * gate certifies a real OOV split, not an everything-in-vocab
+    * degenerate; a production run would pass the tokenizer's actual vocab
+    * size here.
+    */
+  private val q107 = QueryDef.sql(
+    "vocabulary OOV audit: per-source out-of-vocab token counts")(
+    """WITH vocab AS (
+      |  SELECT t FROM (
+      |    SELECT t, count(*) AS df FROM (
+      |      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS t
+      |      FROM documents
+      |      WHERE CAST(regexp_extract(source, '[0-9]+') AS INTEGER) < 10)
+      |    GROUP BY t)
+      |  ORDER BY df DESC, t LIMIT 16),
+      |toks AS (
+      |  SELECT source, unnest(string_split(text, ' ')) AS t FROM documents
+      |  WHERE CAST(regexp_extract(source, '[0-9]+') AS INTEGER) >= 10)
+      |SELECT source, count(*) AS total_tokens,
+      |  sum(CASE WHEN t NOT IN (SELECT t FROM vocab) THEN 1 ELSE 0 END)::BIGINT
+      |    AS oov_tokens
+      |FROM toks GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+      .withColumn("srcnum", regexp_extract($"source", "[0-9]+", 0).cast("int"))
+    val vocab = docs.filter($"srcnum" < 10)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .distinct()
+      .groupBy($"t").agg(count(lit(1)).as("df"))
+      .orderBy($"df".desc, $"t").limit(16)
+      .select($"t")
+    docs.filter($"srcnum" >= 10)
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .join(broadcast(vocab.withColumn("__v", lit(1))), Seq("t"), "left")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("total_tokens"),
+        sum(when($"__v".isNull, 1L).otherwise(0L)).as("oov_tokens"))
+      .smallOrdered($"source")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -482,6 +529,7 @@ object Curation {
     "q59_constraint_audit" -> q59,
     "q61_dedup_survivors" -> q61,
     "q62_sketch_topk_exact" -> q62,
-    "q104_bpe_merge_candidates" -> q104
+    "q104_bpe_merge_candidates" -> q104,
+    "q107_oov_audit" -> q107
   )
 }

@@ -24,6 +24,10 @@ object TemporalStreams {
   final case class VersionState(state: String, validFrom: Long, version: Long)
   final case class ClosedVersion(user_id: Long, state: String, valid_from: Long,
       valid_to: Long, version: Long)
+  final case class IntervalEvent(user_id: Long, ts_us: Long)
+  final case class OpenIsland(start: Long, end: Long, island: Long)
+  final case class ClosedIsland(user_id: Long, island: Long, start_us: Long,
+      end_us: Long, len_us: Long)
 
   /** Closed SCD2 versions of the stream; the OPEN version per key lives in
     * the group state (queryable via the state store, emitted only when a
@@ -50,6 +54,45 @@ object TemporalStreams {
                   e.ts_us, v.version)
                 cur = Some(VersionState(e.state, e.ts_us, v.version + 1))
               case Some(_) => () // same state: the run extends, nothing closes
+            }
+          }
+          cur.foreach(state.update)
+          closed.result().iterator
+      }
+  }
+
+  /** Streaming twin of `TemporalOps.intervalCoverage`'s island merge: each
+    * event opens [ts, ts + durUs); overlapping or touching intervals extend
+    * the open island; a gap closes it and emits the island as an
+    * append-mode row (the open island stays in state — TWO longs + an
+    * ordinal per key). Same per-key-ordered delivery contract as `scd2`.
+    * Downstream per-key coverage totals are `sum(len_us)` over the emitted
+    * islands plus the open one in the state store.
+    */
+  def intervalIslands(events: Dataset[IntervalEvent],
+      durUs: Long): Dataset[ClosedIsland] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenIsland, ClosedIsland](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[IntervalEvent],
+            state: GroupState[OpenIsland]) =>
+          val sorted = rows.toSeq.sortBy(_.ts_us)
+          val closed = Seq.newBuilder[ClosedIsland]
+          var cur = state.getOption
+          sorted.foreach { e =>
+            val s = e.ts_us
+            val en = e.ts_us + durUs
+            cur match {
+              case None => cur = Some(OpenIsland(s, en, 1L))
+              case Some(o) if s <= o.end =>
+                cur = Some(o.copy(end = math.max(o.end, en)))
+              case Some(o) =>
+                closed += ClosedIsland(userId, o.island, o.start, o.end,
+                  o.end - o.start)
+                cur = Some(OpenIsland(s, en, o.island + 1))
             }
           }
           cur.foreach(state.update)

@@ -52,6 +52,16 @@ object ProfileSetSim {
       }
       time("full q94 noop")(
         cand.write.format("noop").mode("overwrite").save())
+      // candidate-volume A/B: the full inverted index generates one
+      // candidate per shingle-sharing pair; the prefix index only for
+      // pairs sharing a RAREST-prefix shingle — the quadratic-step cut
+      // that is the operator's reason to exist
+      if (rep == 1) {
+        val fullCand = Dedup.jaccardPairs(df, "doc_id", "text", 3).count()
+        val prefCand = SetSimilarity.prefixCandidates(sets, 7, 10).count()
+        println(s"  candidates: full-index=$fullCand prefix=$prefCand " +
+          f"(${100.0 * prefCand / math.max(fullCand, 1)}%.1f%%)")
+      }
       sets.unpersist()
     }
     spark.stop()

@@ -52,6 +52,47 @@ class TemporalStreamsSpec extends SparkSpec {
     assert(events.count() > 0)
   }
 
+  test("streaming interval islands equal the batch coverage aggregates " +
+    "(sentinel flush)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = s.sqlContext
+    val durUs = 300000000L
+    val evs = graft.core.Tables(s, sf()).events
+      .select($"user_id", graft.core.Tables.epochUs($"ts").as("ts_us"))
+      .as[TemporalStreams.IntervalEvent]
+      .collect().sortBy(_.ts_us)
+    // a far-future sentinel per user flushes each open island so the
+    // emitted set covers every real island exactly once (the sentinel's
+    // own island stays in state)
+    val sentinels = evs.map(_.user_id).distinct
+      .map(u => TemporalStreams.IntervalEvent(u, evs.last.ts_us + (1L << 40)))
+
+    val input = MemoryStream[TemporalStreams.IntervalEvent]
+    val q = TemporalStreams.intervalIslands(input.toDS(), durUs)
+      .writeStream.format("memory").queryName("islands")
+      .outputMode("append").start()
+    evs.grouped(math.max(evs.length / 4, 1)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    input.addData(sentinels.toIndexedSeq); q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("islands").collect()
+      .map(r => (r.getLong(0), r.getLong(4)))
+      .groupBy(_._1)
+      .map { case (u, xs) =>
+        u -> (xs.length.toLong, xs.map(_._2).sum, xs.map(_._2).max) }
+
+    val batch = TemporalOps.intervalCoverage(
+        graft.core.Tables(s, sf()).events, "user_id", "ts", durUs)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("open version emits nothing until a later state closes it") {
     val s = spark
     import s.implicits._
