@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Redaction, TextAnalysis}
-import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank}
+import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank, Winnowing}
 
 /** Corpus-curation operator surface (round 5): near-dup CLUSTERING (the
   * step after pair generation), Gopher-style repetition quality filters,
@@ -515,6 +515,129 @@ object Curation {
       .smallOrdered($"source")
   }
 
+  /** Winnowing fingerprint copy-suspect pairs (Schleimer et al. 2003, the
+    * MOSS primitive): word-3-gram hashes, window-of-8 minima, pairs sharing
+    * >= 3 fingerprints. LOCAL duplication — a single lifted passage of
+    * >= w+n-1 tokens guarantees a shared fingerprint even between globally
+    * dissimilar documents, the case MinHash (q20) is blind to. Fingerprints
+    * shared by > 50 docs are boilerplate and cut before the pair walk (the
+    * oracle replays the cut). See `operators.Winnowing` for the scale
+    * shape: one scan-projection, one (long,long) exchange by fingerprint,
+    * one by pair.
+    */
+  private val q108 = QueryDef.sql(
+    "winnowing fingerprint copy-suspect pairs (>= 3 shared window minima)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |gr AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+      |         i -> array_to_string(t[i:i+2], ' ')) AS gs FROM tok),
+      |hs AS (SELECT doc_id, list_transform(gs, g ->
+      |         cast(list_sum(list_transform(range(1, 16), j ->
+      |           (strpos('0123456789abcdef', substring(md5(g), j, 1)) - 1)::BIGINT
+      |             << (4 * (15 - j)))) AS BIGINT)) AS hl FROM gr),
+      |fp AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, greatest(len(hl) - 7, 1) + 1),
+      |         j -> list_min(hl[j:j+7])))) AS f FROM hs),
+      |keep AS (SELECT f FROM fp GROUP BY f HAVING count(*) BETWEEN 2 AND 50),
+      |fpk AS (SELECT doc_id, f FROM fp JOIN keep USING (f)),
+      |pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+      |  FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, shared FROM pairs WHERE shared >= 3
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Winnowing.sharedFingerprintPairs(Tables(s, dir).documentsFanned,
+        "doc_id", "text", n = 3, w = 8, minShared = 3L, maxFpFreq = 50L)
+      .smallOrdered($"da", $"db")
+  }
+
+  /** Per-source distinctive token: the token with the highest frequency
+    * lift (in-source rate over corpus rate) — the source-fingerprinting
+    * audit that surfaces what a source over-represents (domain skew,
+    * template residue) before it enters a training mix. Counts aggregate
+    * map-side to a vocab x sources frame; every subsequent step is over
+    * that bounded frame (per-source and per-token totals broadcast back).
+    * The lift DOUBLE is division of exact longs in a fixed association —
+    * (c_st/c_s)/(c_t/n) — so both engines produce the identical bits;
+    * ties (same count profile) break by token.
+    */
+  private val q109 = QueryDef.sql(
+    "per-source distinctive token by frequency lift")(
+    """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents),
+      |sc AS (SELECT source, t, count(*)::BIGINT AS c_st FROM st GROUP BY 1, 2),
+      |stot AS (SELECT source, sum(c_st) AS c_s FROM sc GROUP BY 1),
+      |ct AS (SELECT t, sum(c_st) AS c_t FROM sc GROUP BY 1),
+      |tot AS (SELECT sum(c_t) AS n FROM ct),
+      |lifts AS (SELECT sc.source, sc.t, c_st,
+      |    (c_st::DOUBLE / c_s::DOUBLE) / (c_t::DOUBLE / n::DOUBLE) AS lift
+      |  FROM sc JOIN stot USING (source) JOIN ct USING (t), tot),
+      |rk AS (SELECT *, row_number() OVER (
+      |    PARTITION BY source ORDER BY lift DESC, t) AS r FROM lifts)
+      |SELECT source, t AS top_token, c_st AS cnt, lift
+      |FROM rk WHERE r = 1 ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sc = Tables(s, dir).documentsFanned
+      .select($"source", explode(split($"text", " ")).as("t"))
+      .groupBy($"source", $"t").agg(count(lit(1)).as("c_st"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stot = sc.groupBy($"source").agg(sum($"c_st").as("c_s"))
+    val ct = sc.groupBy($"t").agg(sum($"c_st").as("c_t"))
+    val tot = ct.agg(sum($"c_t").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"source").orderBy($"lift".desc, $"t")
+    sc.join(broadcast(stot), "source").join(broadcast(ct), "t")
+      .crossJoin(broadcast(tot))
+      .withColumn("lift",
+        ($"c_st".cast("double") / $"c_s".cast("double")) /
+          ($"c_t".cast("double") / $"n".cast("double")))
+      .withColumn("r", row_number().over(w))
+      .filter($"r" === 1)
+      .select($"source", $"t".as("top_token"), $"c_st".as("cnt"), $"lift")
+      .smallOrdered($"source")
+  }
+
+  /** Largest-remainder (Hamilton) apportionment of a global sampling budget
+    * across sources, weighted by token count — the exact-integer allocator
+    * behind "sample 997 sequences proportionally to source volume": floor
+    * quotas first, then one extra to the largest fractional remainders
+    * (ties by source) until the budget is spent. The budget is prime so
+    * remainders are exercised at any corpus composition; allocations sum
+    * to the budget EXACTLY, which a naive per-source round() does not.
+    * Per-source token totals reduce map-side; everything after is a
+    * 20-row frame.
+    */
+  private val q110 = QueryDef.sql(
+    "largest-remainder apportionment of a 997-row budget by source tokens")(
+    """WITH c AS (SELECT source, sum(len(string_split(text, ' ')))::BIGINT AS toks
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT sum(toks) AS n FROM c),
+      |base AS (SELECT source, toks, (997 * toks) // n AS fl,
+      |    (997 * toks) % n AS rem FROM c, tot),
+      |ex AS (SELECT 997 - sum(fl) AS extra FROM base),
+      |rk AS (SELECT source, toks, fl,
+      |    row_number() OVER (ORDER BY rem DESC, source) AS r FROM base)
+      |SELECT source, toks,
+      |  (fl + CASE WHEN r <= (SELECT extra FROM ex) THEN 1 ELSE 0 END)::BIGINT
+      |    AS alloc
+      |FROM rk ORDER BY source""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val c = Tables(s, dir).documentsFanned
+      .select($"source", size(split($"text", " ")).cast("long").as("k"))
+      .groupBy($"source").agg(sum($"k").as("toks"))
+    val tot = c.agg(sum($"toks").as("n"))
+    val base = c.crossJoin(broadcast(tot))
+      .select($"source", $"toks",
+        expr("(997 * toks) DIV n").as("fl"),
+        (lit(997L) * $"toks" % $"n").as("rem"))
+    val ex = base.agg((lit(997L) - sum($"fl")).as("extra"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"rem".desc, $"source")
+    base.withColumn("r", row_number().over(w))
+      .crossJoin(broadcast(ex))
+      .select($"source", $"toks",
+        ($"fl" + when($"r" <= $"extra", 1L).otherwise(0L)).as("alloc"))
+      .smallOrdered($"source")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -530,6 +653,9 @@ object Curation {
     "q61_dedup_survivors" -> q61,
     "q62_sketch_topk_exact" -> q62,
     "q104_bpe_merge_candidates" -> q104,
-    "q107_oov_audit" -> q107
+    "q107_oov_audit" -> q107,
+    "q108_winnowing_pairs" -> q108,
+    "q109_distinctive_tokens" -> q109,
+    "q110_budget_apportionment" -> q110
   )
 }

@@ -137,10 +137,45 @@ object Temporal {
       .smallOrdered($"day")
   }
 
+  /** Event-type transition matrix: counts of consecutive (prev -> next)
+    * event-type pairs per user timeline, with the per-prev row total so a
+    * consumer derives transition probabilities as exact fractions
+    * (cnt / row_total) — the first-order Markov model behind funnel
+    * diagnostics and synthetic-sequence generation. One exchange by
+    * user_id for the lag window (the canonical sessionization shape);
+    * the transition frame after it is event-type² rows.
+    */
+  private val q111 = QueryDef.sql(
+    "event-type transition matrix with per-prev row totals")(
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts, event_id) AS prev
+      |  FROM events)
+      |SELECT prev, event_type AS next, count(*)::BIGINT AS cnt,
+      |  sum(count(*)) OVER (PARTITION BY prev)::BIGINT AS row_total
+      |FROM seq WHERE prev IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_type", $"ts", $"event_id")
+      .withColumn("prev", lag($"event_type", 1).over(w))
+      .filter($"prev".isNotNull)
+      .groupBy($"prev", $"event_type")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("row_total", sum($"cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"prev")))
+      .select($"prev", $"event_type".as("next"), $"cnt", $"row_total")
+      .smallOrdered($"prev", $"next")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
     "q97_daily_streaks" -> q97,
-    "q103_sliding_distinct" -> q103
+    "q103_sliding_distinct" -> q103,
+    "q111_event_transitions" -> q111
   )
 }
