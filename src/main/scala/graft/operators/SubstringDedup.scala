@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact repeated-substring detection — the substring-level dedup audit
+  * (the published ExactSubstr formulation: Lee et al., "Deduplicating
+  * Training Data Makes Language Models Better", ACL 2022, uses suffix
+  * arrays; the equivalent fixed-minimum-length form used here is the
+  * windowed-hash MapReduce shape): a token span is REPEATED iff some
+  * length-`minLen` window inside it occurs at least twice anywhere in the
+  * corpus, and maximal repeated spans are the merge of overlapping
+  * repeated windows. Downstream curation either drops the spans or drops
+  * documents whose covered fraction is too high (templated/boilerplate
+  * docs); the audit here reports the spans.
+  *
+  * Scale shape: one corpus scan explodes (hash, doc, pos) rows — 8+8+4
+  * bytes per token position, never text; repeated hashes come from one
+  * count aggregate (map-side combined) joined back on the hash; span
+  * assembly is one exchange by document. All three shuffles carry
+  * fixed-width rows, and the window-hash join is the exact published
+  * dedup-at-scale topology. minLen windows overlap, so a shared passage
+  * of length S >= minLen yields S - minLen + 1 hits that merge into one
+  * span — coverage is exact, not approximate.
+  *
+  * Window hashes use [[Dedup.tokenHash60]] (md5-derived) for engine
+  * portability; see the hash-cost note at [[Winnowing]].
+  */
+object SubstringDedup {
+
+  /** Maximal repeated token spans per document: (id, start, end) in
+    * 1-based token positions, end = start of the LAST repeated window in
+    * the span (the span covers tokens [start, end + minLen - 1]).
+    * Documents shorter than `minLen` tokens cannot contain a window and
+    * are absent.
+    */
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10): DataFrame = {
+    val ws = split(col(textCol), " ")
+    // per-position window hashes; sequence() descends when stop < start,
+    // so short docs get an explicit empty position list
+    val positions = when(size(ws) >= minLen,
+      sequence(lit(1), size(ws) - lit(minLen - 1)))
+      .otherwise(array().cast("array<int>"))
+    val grams = docs
+      .select(col(idCol).as("id"), ws.as("__t"), explode(positions).as("i"))
+      .select(col("id"), col("i"),
+        Dedup.tokenHash60(concat_ws(" ", slice(col("__t"), col("i"), lit(minLen))))
+          .as("h"))
+    // corpus-repeated window hashes (count >= 2 across ALL positions,
+    // including repeats within one document)
+    val rep = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("h"))
+    val pos = grams.join(rep, "h").select(col("id"), col("i"))
+    // gaps-and-islands: positions whose windows overlap or touch
+    // (i' - i <= minLen) merge into one span
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))
+    pos
+      .withColumn("__prev", lag(col("i"), 1).over(byDoc))
+      .withColumn("__new",
+        when(col("__prev").isNull || col("i") - col("__prev") > minLen, 1L)
+          .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(
+        byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("id"), col("__isl"))
+      .agg(min(col("i")).as("start"), max(col("i")).as("end"))
+      .select(col("id"), col("start"), col("end"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.core.Tables
 import graft.functions.{Redaction, TextAnalysis}
-import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank, Winnowing}
+import graft.operators.{Bm25, ConnectedComponents, Dedup, ParallelRank, SubstringDedup, Winnowing}
 
 /** Corpus-curation operator surface (round 5): near-dup CLUSTERING (the
   * step after pair generation), Gopher-style repetition quality filters,
@@ -638,6 +638,48 @@ object Curation {
       .smallOrdered($"source")
   }
 
+  /** Exact repeated-substring audit (the substring-level dedup of Lee et
+    * al. 2022, fixed-minimum-length windowed-hash form — see
+    * `operators.SubstringDedup`): per document, the maximal token spans
+    * whose every length-10 window occurs >= 2 times corpus-wide, reported
+    * as span count and exact covered-token total. This is the
+    * passage-level complement of q18 (whole-doc) and q108 (sampled
+    * fingerprints): coverage here is EXACT, so the "what fraction of my
+    * corpus is duplicated text" number is an auditable quantity, not an
+    * estimate.
+    */
+  private val q112 = QueryDef.sql(
+    "exact repeated-substring spans (L=10 windows, corpus-wide)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |gr AS (SELECT doc_id, i,
+      |    cast(list_sum(list_transform(range(1, 16), j ->
+      |      (strpos('0123456789abcdef',
+      |         substring(md5(array_to_string(t[i:i+9], ' ')), j, 1)) - 1)::BIGINT
+      |        << (4 * (15 - j)))) AS BIGINT) AS h
+      |  FROM tok, LATERAL unnest(range(1, greatest(len(t) - 9, 0) + 1)) AS u(i)),
+      |rep AS (SELECT h FROM gr GROUP BY h HAVING count(*) >= 2),
+      |pos AS (SELECT doc_id, i FROM gr JOIN rep USING (h)),
+      |isl AS (SELECT doc_id, i,
+      |    sum(CASE WHEN prev IS NULL OR i - prev > 10 THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING)
+      |      AS island
+      |  FROM (SELECT doc_id, i, lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+      |          AS prev FROM pos)),
+      |sp AS (SELECT doc_id, island, min(i) AS s, max(i) AS e
+      |       FROM isl GROUP BY 1, 2)
+      |SELECT doc_id, count(*)::BIGINT AS spans,
+      |  sum(e - s + 10)::BIGINT AS covered_tokens
+      |FROM sp GROUP BY 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    SubstringDedup.repeatedSpans(Tables(s, dir).documentsFanned,
+        "doc_id", "text", minLen = 10)
+      .select($"id".as("doc_id"), $"start", $"end")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("spans"),
+        sum($"end" - $"start" + lit(10L)).as("covered_tokens"))
+      .smallOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -656,6 +698,7 @@ object Curation {
     "q107_oov_audit" -> q107,
     "q108_winnowing_pairs" -> q108,
     "q109_distinctive_tokens" -> q109,
-    "q110_budget_apportionment" -> q110
+    "q110_budget_apportionment" -> q110,
+    "q112_repeated_substrings" -> q112
   )
 }

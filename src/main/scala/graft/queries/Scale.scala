@@ -352,6 +352,61 @@ object Scale {
       .smallOrdered($"revenue".desc, $"nation")
   }
 
+  /** Pairwise label-centroid geometry in EXACT integer arithmetic: per
+    * label, the per-dimension sum of 1e4-scaled embedding values (longs);
+    * per label pair, the dot product and squared norms of those sum
+    * vectors. Cosine is scale-invariant, so cos(sum_a, sum_b) IS the
+    * centroid cosine — the consumer divides dot/sqrt(na2*nb2) when it
+    * wants the float; the GATE certifies the sufficient statistics
+    * bit-exactly (integer folds are order-independent, so this is
+    * partitioning-proof in a way no float summation can be). The
+    * embedding-space class-separation audit behind "did my clusters
+    * collapse after a data refresh".
+    *
+    * Overflow budget at scale 1e4, |x| <= 1, dim 64: per-dim sums carry
+    * ~1e4 x rows-per-label; the dot stays inside a long up to ~1e8 rows
+    * per label (documented headroom ~100x the sf1 corpus; a larger
+    * deployment drops the scale a digit per 100x rows).
+    */
+  private val q113 = QueryDef.sql(
+    "pairwise label-centroid cosine sufficient statistics (exact longs)")(
+    """WITH q AS (SELECT label,
+      |    list_transform(embedding, x ->
+      |      CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |s AS (SELECT label, i, sum(qv[i])::BIGINT AS sd
+      |  FROM q, LATERAL unnest(range(1, len(qv) + 1)) AS r(i)
+      |  GROUP BY 1, 2),
+      |v AS (SELECT label, list(sd ORDER BY i) AS sv FROM s GROUP BY 1)
+      |SELECT a.label AS la, b.label AS lb,
+      |  (SELECT sum(a.sv[k] * b.sv[k])
+      |     FROM unnest(range(1, len(a.sv) + 1)) AS u(k))::BIGINT AS dot,
+      |  (SELECT sum(a.sv[k] * a.sv[k])
+      |     FROM unnest(range(1, len(a.sv) + 1)) AS u(k))::BIGINT AS na2,
+      |  (SELECT sum(b.sv[k] * b.sv[k])
+      |     FROM unnest(range(1, len(b.sv) + 1)) AS u(k))::BIGINT AS nb2
+      |FROM v a JOIN v b ON a.label < b.label
+      |ORDER BY la, lb""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val sums = Tables(s, dir).embeddings
+      .select($"label", posexplode(expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))"))
+        .as(Seq("pos", "q")))
+      .groupBy($"label", $"pos").agg(sum($"q").as("sd"))
+      .groupBy($"label")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, sd))), p -> p.sd)")
+        .as("sv"))
+    val a = sums.select($"label".as("la"), $"sv".as("__sa"))
+    val b = sums.select($"label".as("lb"), $"sv".as("__sb"))
+    a.join(b, $"la" < $"lb")
+      .select($"la", $"lb",
+        expr("aggregate(zip_with(__sa, __sb, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("dot"),
+        expr("aggregate(__sa, 0L, (acc, v) -> acc + v * v)").as("na2"),
+        expr("aggregate(__sb, 0L, (acc, v) -> acc + v * v)").as("nb2"))
+      .smallOrdered($"la", $"lb")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q65_bloom_semi_join" -> q65,
     "q66_merge_upsert" -> q66,
@@ -362,6 +417,7 @@ object Scale {
     "q71_grouping_sets" -> q71,
     "q72_distinct_certified" -> q72,
     "q73_label_centroids" -> q73,
-    "q105_local_supplier_revenue" -> q105
+    "q105_local_supplier_revenue" -> q105,
+    "q113_centroid_geometry" -> q113
   )
 }

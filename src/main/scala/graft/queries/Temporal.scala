@@ -171,11 +171,65 @@ object Temporal {
       .smallOrdered($"prev", $"next")
   }
 
+  /** Last-touch attribution: each purchase credits the user's most recent
+    * PRECEDING non-purchase event within a 3-day lookback; purchases with
+    * no qualifying touch credit "direct". One lag-style window per user —
+    * the two IGNORE-NULLS last_value columns are CASE'd on the same
+    * predicate, so they always come from the same touch row. Exact
+    * integer-microsecond lookback math; output is event-type-bounded.
+    */
+  private val q114 = QueryDef.sql(
+    "last-touch attribution with 3-day lookback (direct fallback)")(
+    """WITH seq AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN epoch_us(ts) END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_ts
+      |  FROM events)
+      |SELECT CASE WHEN touch_ts IS NOT NULL
+      |         AND ts_us - touch_ts <= 259200000000 THEN touch_type
+      |       ELSE 'direct' END AS touch,
+      |  count(*)::BIGINT AS purchases,
+      |  count(DISTINCT user_id)::BIGINT AS users
+      |FROM seq WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val ev = Tables(s, dir).events
+      .select($"user_id", $"event_type", $"event_id",
+        Tables.epochUs($"ts").as("ts_us"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    ev
+      .withColumn("touch_type",
+        last(when($"event_type" =!= "purchase", $"event_type"), true).over(w))
+      .withColumn("touch_ts",
+        last(when($"event_type" =!= "purchase", $"ts_us"), true).over(w))
+      .filter($"event_type" === "purchase")
+      .select(
+        when($"touch_ts".isNotNull &&
+          $"ts_us" - $"touch_ts" <= 259200000000L, $"touch_type")
+          .otherwise("direct").as("touch"),
+        $"user_id")
+      .groupBy($"touch")
+      .agg(count(lit(1)).as("purchases"),
+        countDistinct($"user_id").as("users"))
+      .smallOrdered($"touch")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
     "q97_daily_streaks" -> q97,
     "q103_sliding_distinct" -> q103,
-    "q111_event_transitions" -> q111
+    "q111_event_transitions" -> q111,
+    "q114_last_touch_attribution" -> q114
   )
 }

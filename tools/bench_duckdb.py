@@ -40,6 +40,10 @@ for name, sql in sorted(oracle.items()):
             runs.append(-1.0)
     runs.sort()
     results[name] = runs[len(runs) // 2]
+    # per-query progress (mirrors graft.Bench's BENCH DONE stderr lines) so
+    # a stalled or pathologically-slow oracle is attributable in real time
+    print(f"DUCKDB DONE {name} median={results[name]:.2f} "
+          f"reps={[round(r, 2) for r in runs]}", file=sys.stderr, flush=True)
 
 ok = {k: v for k, v in results.items() if v >= 0}
 out = {
