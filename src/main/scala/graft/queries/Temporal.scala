@@ -224,12 +224,102 @@ object Temporal {
       .smallOrdered($"touch")
   }
 
+  /** Market-basket co-occurrence supports: baskets are (user, day), items
+    * are the distinct event types in the basket, output is every item
+    * PAIR's support plus the basket universe — the counting core of
+    * association-rule mining (confidence/lift are exact ratios of these
+    * integers). Pair generation is an in-row nested transform over each
+    * basket's sorted item set (bounded by the event-type alphabet, so the
+    * quadratic step is capped per basket by construction); one exchange
+    * builds baskets, one counts pairs.
+    */
+  private val q115 = QueryDef.sql(
+    "item-pair co-occurrence supports over (user, day) baskets")(
+    """WITH b AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day, event_type
+      |           FROM events),
+      |nb AS (SELECT count(DISTINCT (user_id, day)) AS baskets FROM b),
+      |p AS (SELECT a.user_id, a.day, a.event_type AS ia, c.event_type AS ib
+      |      FROM b a JOIN b c ON a.user_id = c.user_id AND a.day = c.day
+      |       AND a.event_type < c.event_type)
+      |SELECT ia, ib, count(*)::BIGINT AS support,
+      |  (SELECT baskets FROM nb) AS baskets
+      |FROM p GROUP BY 1, 2 ORDER BY support DESC, ia, ib""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val items = Tables(s, dir).events
+      .select($"user_id", to_date($"ts").as("day"), $"event_type").distinct()
+      .groupBy($"user_id", $"day")
+      .agg(sort_array(collect_set($"event_type")).as("its"))
+    val nb = items.agg(count(lit(1)).as("baskets"))
+    items
+      .select(explode(expr(
+        """flatten(transform(its, (x, i) ->
+          |  transform(slice(its, i + 2, size(its)), y ->
+          |    struct(x AS ia, y AS ib))))""".stripMargin)).as("p"))
+      .select($"p.ia".as("ia"), $"p.ib".as("ib"))
+      .groupBy($"ia", $"ib").agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nb))
+      .smallOrdered($"support".desc, $"ia", $"ib")
+  }
+
+  /** Sessionized path mining: the top-10 event-type TRIGRAMS inside
+    * 6-hour-gap sessions — the "what do users actually do in a sitting"
+    * sequence report. Session ids come from the standard gap-flag cumsum;
+    * the trigram columns are lags over the SAME per-user window guarded by
+    * lag(sess) equality (session ids are monotone per user, so one
+    * exchange serves sessionization AND the path lags — no second
+    * partition-by-(user, session) exchange, which the SQL formulation
+    * would pay).
+    */
+  private val q116 = QueryDef.sql(
+    "top session path trigrams (6h-gap sessions)")(
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id
+      |           FROM events),
+      |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+      |          OR ts_us - prev > 21600000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |              ROWS UNBOUNDED PRECEDING) AS sess
+      |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+      |              ORDER BY ts_us, event_id) AS prev FROM e)),
+      |t AS (SELECT user_id, sess, event_type,
+      |        lag(event_type, 2) OVER w AS a, lag(event_type, 1) OVER w AS b
+      |      FROM s WINDOW w AS (PARTITION BY user_id, sess
+      |                          ORDER BY ts_us, event_id))
+      |SELECT a, b, event_type AS c, count(*)::BIGINT AS cnt
+      |FROM t WHERE a IS NOT NULL
+      |GROUP BY 1, 2, 3 ORDER BY cnt DESC, a, b, c LIMIT 10""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val wU = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+    Tables(s, dir).events
+      .select($"user_id", $"event_type", $"event_id",
+        Tables.epochUs($"ts").as("ts_us"))
+      .withColumn("prev", lag($"ts_us", 1).over(wU))
+      .withColumn("sess", sum(
+        when($"prev".isNull || $"ts_us" - $"prev" > 21600000000L, 1L)
+          .otherwise(0L))
+        .over(wU.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .withColumn("a",
+        when(lag($"sess", 2).over(wU) === $"sess",
+          lag($"event_type", 2).over(wU)))
+      .withColumn("b", lag($"event_type", 1).over(wU))
+      .filter($"a".isNotNull)
+      .select($"a", $"b", $"event_type".as("c"))
+      .groupBy($"a", $"b", $"c")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy($"cnt".desc, $"a", $"b", $"c").limit(10)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
     "q97_daily_streaks" -> q97,
     "q103_sliding_distinct" -> q103,
     "q111_event_transitions" -> q111,
-    "q114_last_touch_attribution" -> q114
+    "q114_last_touch_attribution" -> q114,
+    "q115_itemset_support" -> q115,
+    "q116_session_paths" -> q116
   )
 }

@@ -46,10 +46,15 @@ for name, sql in sorted(oracle.items()):
           f"reps={[round(r, 2) for r in runs]}", file=sys.stderr, flush=True)
 
 ok = {k: v for k, v in results.items() if v >= 0}
+# process CPU alongside wall (same adjudicability contract as graft.Bench:
+# a loaded box inflates wall but not the process' own CPU, so wall >> the
+# work's cpu/ncpus share flags environmental noise, not a regression)
+cpu = os.times()
 out = {
     "metric": "duckdb_total", "value": sum(ok.values()), "unit": "sec",
     "queries": results, "nqueries": len(results), "reps": reps,
     "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
+    "cpu_total": cpu.user + cpu.system,
     "load_avg": os.getloadavg()[0], "ncpus": os.cpu_count(), "sf": sfdir,
 }
 print(json.dumps(out))
