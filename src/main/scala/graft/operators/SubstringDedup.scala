@@ -35,22 +35,31 @@ object SubstringDedup {
     * Documents shorter than `minLen` tokens cannot contain a window and
     * are absent.
     */
-  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+  /** (id, i, h): the length-`minLen` window hash at every 1-based token
+    * position of every document. Hashing happens INSIDE the document row
+    * (one array of longs per doc), then only (id, pos, hash) explodes:
+    * exploding positions first and slicing per row would duplicate the
+    * full token array into every position row — measured 94 s vs ~4 s for
+    * the same 6M windows on the pressure corpus. sequence() descends when
+    * stop < start, so short docs get an explicit empty hash list. Shared
+    * by the batch span assembly below and the streaming match index
+    * (`streaming.SubstrStreams`).
+    */
+  def windowHashes(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 10): DataFrame = {
     val ws = split(col(textCol), " ")
-    // hash every window INSIDE the document row (one array of longs per
-    // doc), then explode only (id, pos, hash): exploding positions first
-    // and slicing per row would duplicate the full token array into every
-    // position row — measured 94 s vs ~4 s for the same 6M windows on the
-    // pressure corpus. sequence() descends when stop < start, so short
-    // docs get an explicit empty hash list.
     val hashes = when(size(ws) >= minLen,
       transform(sequence(lit(1), size(ws) - lit(minLen - 1)),
         i => Dedup.tokenHash60(concat_ws(" ", slice(ws, i, lit(minLen))))))
       .otherwise(array().cast("array<bigint>"))
-    val grams = docs
+    docs
       .select(col(idCol).as("id"), posexplode(hashes).as(Seq("__p", "h")))
       .select(col("id"), (col("__p") + 1).as("i"), col("h"))
+  }
+
+  def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 10): DataFrame = {
+    val grams = windowHashes(docs, idCol, textCol, minLen)
     // corpus-repeated window hashes (count >= 2 across ALL positions,
     // including repeats within one document)
     val rep = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))

@@ -680,6 +680,80 @@ object Curation {
       .smallOrdered($"doc_id")
   }
 
+  /** Hybrid retrieval via reciprocal-rank fusion (Cormack et al. 2009,
+    * k=60): the BM25 keyword top-100 (q46 scoring) fused with the
+    * embedding-cosine top-100 (q22 scoring, ranked on the float32-cast
+    * similarity both engines agree on bit-exactly) — RRF(d) = Σ 1/(60+r)
+    * over the lists containing d. Rank-space fusion needs no score
+    * calibration between lexical and vector scores, which is why it is
+    * the default hybrid in production retrieval stacks. Both rank lists
+    * are bounded (top-100), so fusion is driver-scale work after two
+    * independent retrievals; each 1/(60+r) term is one exact-integer
+    * division and the two-term sum is fixed-order — hash-stable.
+    */
+  private val q118 = QueryDef.sql(
+    "hybrid retrieval: reciprocal-rank fusion of BM25 and cosine top-100")(
+    """WITH f AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf0,
+      |    len(list_filter(string_split(text, ' '), x -> x = 'vector')) AS tf1
+      |  FROM documents),
+      |st AS (SELECT count(*) AS n, sum(dl)::BIGINT AS sumdl,
+      |    count(*) FILTER (WHERE tf0 > 0) AS df0,
+      |    count(*) FILTER (WHERE tf1 > 0) AS df1
+      |  FROM f),
+      |sc AS (SELECT doc_id,
+      |    (n - df0 + 0.5::DOUBLE) / (df0 + 0.5::DOUBLE)
+      |      * (tf0 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |      (tf0 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |        + 0.75::DOUBLE * (dl::DOUBLE / (sumdl::DOUBLE / n))))
+      |  + (n - df1 + 0.5::DOUBLE) / (df1 + 0.5::DOUBLE)
+      |      * (tf1 * (1.2::DOUBLE + 1.0::DOUBLE)) /
+      |      (tf1 + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE
+      |        + 0.75::DOUBLE * (dl::DOUBLE / (sumdl::DOUBLE / n))))
+      |    AS score
+      |  FROM f, st),
+      |bm AS (SELECT doc_id AS id,
+      |    row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+      |  FROM sc ORDER BY score DESC, doc_id LIMIT 100),
+      |cs AS (SELECT vec_id AS id,
+      |    row_number() OVER (ORDER BY sim DESC, vec_id) AS rb
+      |  FROM (SELECT vec_id, cast(list_cosine_similarity(
+      |      list_transform(embedding, x -> x::DOUBLE),
+      |      (SELECT list_transform(embedding, x -> x::DOUBLE)
+      |       FROM embeddings WHERE vec_id = 0)) AS REAL) AS sim
+      |    FROM embeddings)
+      |  ORDER BY sim DESC, vec_id LIMIT 100),
+      |u AS (SELECT coalesce(bm.id, cs.id) AS id,
+      |    coalesce(1.0::DOUBLE / (60 + ra), 0.0::DOUBLE)
+      |      + coalesce(1.0::DOUBLE / (60 + rb), 0.0::DOUBLE) AS rrf
+      |  FROM bm FULL JOIN cs ON bm.id = cs.id)
+      |SELECT id, rrf FROM u ORDER BY rrf DESC, id LIMIT 10""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    import graft.functions.VectorFunctions
+    val wBm = org.apache.spark.sql.expressions.Window
+      .orderBy($"score".desc, $"doc_id")
+    val bm = Bm25.topK(Tables(s, dir).documents, "doc_id", "text",
+        Bm25Terms, k = 100)
+      .withColumn("ra", row_number().over(wBm))
+      .select($"doc_id".as("id"), $"ra")
+    val emb = Tables(s, dir).embeddingsFanned
+    val query = emb.filter($"vec_id" === 0).select($"embedding".as("q"))
+    val wCs = org.apache.spark.sql.expressions.Window
+      .orderBy($"sim".desc, $"id")
+    val cs = emb.crossJoin(broadcast(query))
+      .select($"vec_id".as("id"),
+        VectorFunctions.cosineSim($"embedding", $"q").cast("float").as("sim"))
+      .orderBy($"sim".desc, $"id").limit(100)
+      .withColumn("rb", row_number().over(wCs))
+      .select($"id", $"rb")
+    bm.join(cs, Seq("id"), "full_outer")
+      .select($"id",
+        (coalesce(lit(1.0) / (lit(60) + $"ra"), lit(0.0))
+          + coalesce(lit(1.0) / (lit(60) + $"rb"), lit(0.0))).as("rrf"))
+      .orderBy($"rrf".desc, $"id").limit(10)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q44_neardup_clusters" -> q44,
     "q45_repetition_filters" -> q45,
@@ -699,6 +773,7 @@ object Curation {
     "q108_winnowing_pairs" -> q108,
     "q109_distinctive_tokens" -> q109,
     "q110_budget_apportionment" -> q110,
-    "q112_repeated_substrings" -> q112
+    "q112_repeated_substrings" -> q112,
+    "q118_hybrid_rrf" -> q118
   )
 }

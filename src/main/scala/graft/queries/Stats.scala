@@ -184,11 +184,65 @@ object Stats {
       .smallOrdered($"slot", $"source")
   }
 
+  /** Pairwise sufficient statistics (the covariance/correlation core) over
+    * the lineitem numerics in EXACT scaled-long arithmetic: per column
+    * pair, (n, Σx, Σy, Σxy, Σx², Σy²) — everything Pearson correlation,
+    * covariance, and OLS need, as integers a consumer combines on the
+    * driver. The Spark plan computes ALL fifteen moments in ONE scan and
+    * one map-side-combined reduce, then reshapes the single row into the
+    * pair frame (the SQL formulation pays one scan per pair — the one-pass
+    * form is the point of the operator at 100 TB). Scales chosen so every
+    * squared sum stays inside a long at ~1e8 rows (price in whole dollars,
+    * quantity/discount in hundredths).
+    */
+  private val q117 = QueryDef.sql(
+    "pairwise sufficient statistics in one pass (covariance core)")(
+    """WITH m AS (SELECT
+      |    CAST(floor(l_quantity * 100) AS BIGINT) AS q,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+      |    CAST(floor(l_discount * 100) AS BIGINT) AS d
+      |  FROM lineitem)
+      |SELECT * FROM (
+      |  SELECT 'q_p' AS pair, count(*)::BIGINT AS n, sum(q)::BIGINT AS sx,
+      |    sum(p)::BIGINT AS sy, sum(q * p)::BIGINT AS sxy,
+      |    sum(q * q)::BIGINT AS sxx, sum(p * p)::BIGINT AS syy FROM m
+      |  UNION ALL
+      |  SELECT 'q_d', count(*)::BIGINT, sum(q)::BIGINT, sum(d)::BIGINT,
+      |    sum(q * d)::BIGINT, sum(q * q)::BIGINT, sum(d * d)::BIGINT FROM m
+      |  UNION ALL
+      |  SELECT 'p_d', count(*)::BIGINT, sum(p)::BIGINT, sum(d)::BIGINT,
+      |    sum(p * d)::BIGINT, sum(p * p)::BIGINT, sum(d * d)::BIGINT FROM m)
+      |ORDER BY pair""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val m = Tables(s, dir).lineitem.select(
+      floor($"l_quantity" * 100).cast("long").as("q"),
+      floor($"l_extendedprice").cast("long").as("p"),
+      floor($"l_discount" * 100).cast("long").as("d"))
+    m.agg(count(lit(1)).as("n"),
+        sum($"q").as("sq"), sum($"p").as("sp"), sum($"d").as("sd"),
+        sum($"q" * $"p").as("sqp"), sum($"q" * $"d").as("sqd"),
+        sum($"p" * $"d").as("spd"),
+        sum($"q" * $"q").as("sqq"), sum($"p" * $"p").as("spp"),
+        sum($"d" * $"d").as("sdd"))
+      .select(explode(array(
+        struct(lit("q_p").as("pair"), $"n", $"sq".as("sx"), $"sp".as("sy"),
+          $"sqp".as("sxy"), $"sqq".as("sxx"), $"spp".as("syy")),
+        struct(lit("q_d").as("pair"), $"n", $"sq".as("sx"), $"sd".as("sy"),
+          $"sqd".as("sxy"), $"sqq".as("sxx"), $"sdd".as("syy")),
+        struct(lit("p_d").as("pair"), $"n", $"sp".as("sx"), $"sd".as("sy"),
+          $"spd".as("sxy"), $"spp".as("sxx"), $"sdd".as("syy")))).as("r"))
+      .select($"r.pair".as("pair"), $"r.n".as("n"), $"r.sx".as("sx"),
+        $"r.sy".as("sy"), $"r.sxy".as("sxy"), $"r.sxx".as("sxx"),
+        $"r.syy".as("syy"))
+      .smallOrdered($"pair")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q98_cube_revenue" -> q98,
     "q99_group_ols" -> q99,
     "q100_event_mode" -> q100,
     "q101_gini_index" -> q101,
-    "q102_curriculum_interleave" -> q102
+    "q102_curriculum_interleave" -> q102,
+    "q117_sufficient_stats" -> q117
   )
 }
