@@ -54,13 +54,17 @@ object PressureSubstr {
           regexp_replace($"text", lit(" "), concat(lit(" r"), $"rep", lit(" "))),
           when(pmod($"rep", lit(3)) === 0, lit(" " + passage)).otherwise(lit("")))
           .as("text"))
+      // repartition BEFORE persisting: the base documents scan is one
+      // parquet split, and a single-partition cache makes every consumer
+      // stage start from a one-task read
+      .repartition(64)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = timed("amplify")(amplified.count())
     println(s"PRESSURE docs: $nDocs")
 
     val spans = timed("spans")(
       graft.operators.SubstringDedup
-        .repeatedSpans(amplified.repartition(64), "doc_id", "text", MinLen)
+        .repeatedSpans(amplified, "doc_id", "text", MinLen)
         .collect()
         .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))))
     println(s"PRESSURE spans: ${spans.length}")
