@@ -29,6 +29,60 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
+  /** Incremental cross-run passage matching against a persistent
+    * window-hash index — the batch counterpart of
+    * `streaming.SubstrStreams` (same first-sighting contract) for the
+    * periodic-compaction pipeline `Dedup.incrementalExact` anchors: each
+    * run's windows probe the store (one row per distinct hash: its first
+    * sighting), matches stream out as (id, i, first_id, first_i), and the
+    * batch's genuinely-new hashes append to the store with their in-batch
+    * (id, i)-minimal sighting. Within-batch repeats match the in-batch
+    * first sighting, exactly like the streaming operator's micro-batch
+    * rule. The store snapshot is pinned by file list (same re-execution
+    * guard as `Dedup.incrementalExact`); shuffles carry (long, long, int)
+    * rows only.
+    */
+  def incrementalMatches(batch: DataFrame, idCol: String, textCol: String,
+      indexStorePath: String, minLen: Int = 10): DataFrame = {
+    val spark = batch.sparkSession
+    val grams = windowHashes(batch, idCol, textCol, minLen)
+    val p = new org.apache.hadoop.fs.Path(indexStorePath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val snapshot =
+      if (fs.exists(p))
+        fs.listStatus(p).toSeq.map(_.getPath.toString)
+          .filter(_.endsWith(".parquet"))
+      else Seq.empty
+    val seen: DataFrame =
+      if (snapshot.nonEmpty)
+        spark.read.parquet(snapshot: _*)
+          .select(col("h"), col("id").as("first_id"), col("i").as("first_i"))
+      else grams.select(col("h"), col("id").as("first_id"),
+        col("i").as("first_i")).limit(0)
+    // in-batch first sighting per hash: (id, i)-minimal, as one struct-min
+    // aggregate; the batch's own repeats match it
+    val batchFirst = grams
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("i"))).as("__f"))
+      .select(col("h"), col("__f.id").as("bf_id"), col("__f.i").as("bf_i"))
+    val withRefs = grams
+      .join(batchFirst, "h")
+      .join(seen, Seq("h"), "left")
+    val matches = withRefs
+      .select(col("id"), col("i"),
+        coalesce(col("first_id"), col("bf_id")).as("first_id"),
+        coalesce(col("first_i"), col("bf_i")).as("first_i"))
+      .filter(!(col("id") === col("first_id") && col("i") === col("first_i")))
+    // append only hashes the store has never seen, with their in-batch
+    // first sighting — the store stays one row per distinct hash
+    val additions = withRefs
+      .filter(col("first_id").isNull)
+      .select(col("h"), col("bf_id").as("id"), col("bf_i").as("i"))
+      .distinct()
+    additions.write.mode("append").parquet(indexStorePath)
+    matches
+  }
+
   /** Maximal repeated token spans per document: (id, start, end) in
     * 1-based token positions, end = start of the LAST repeated window in
     * the span (the span covers tokens [start, end + minLen - 1]).
