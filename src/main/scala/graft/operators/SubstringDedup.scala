@@ -65,9 +65,14 @@ object SubstringDedup {
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("i"))).as("__f"))
       .select(col("h"), col("__f.id").as("bf_id"), col("__f.i").as("bf_i"))
+    // persist the probe frame: the eager store append below materializes
+    // it once, and the returned lazy `matches` plan reads the cache
+    // instead of re-running the window-hash explode and both joins (the
+    // operator's dominant cost) a second time
     val withRefs = grams
       .join(batchFirst, "h")
       .join(seen, Seq("h"), "left")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val matches = withRefs
       .select(col("id"), col("i"),
         coalesce(col("first_id"), col("bf_id")).as("first_id"),

@@ -554,8 +554,10 @@ object Curation {
     * lift (in-source rate over corpus rate) — the source-fingerprinting
     * audit that surfaces what a source over-represents (domain skew,
     * template residue) before it enters a training mix. Counts aggregate
-    * map-side to a vocab x sources frame; every subsequent step is over
-    * that bounded frame (per-source and per-token totals broadcast back).
+    * map-side to a vocab x sources frame; per-source totals broadcast
+    * back (source-count-bounded), per-token totals rejoin by the
+    * planner's choice (vocabulary-sized — auto-broadcast when small,
+    * shuffle join when a real corpus' vocabulary isn't).
     * The lift DOUBLE is division of exact longs in a fixed association —
     * (c_st/c_s)/(c_t/n) — so both engines produce the identical bits;
     * ties (same count profile) break by token.
@@ -584,7 +586,9 @@ object Curation {
     val tot = ct.agg(sum($"c_t").as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"source").orderBy($"lift".desc, $"t")
-    sc.join(broadcast(stot), "source").join(broadcast(ct), "t")
+    // stot/tot are source-count-bounded (broadcast); ct is VOCABULARY-sized
+    // and grows with the corpus — leave its join strategy to the planner
+    sc.join(broadcast(stot), "source").join(ct, "t")
       .crossJoin(broadcast(tot))
       .withColumn("lift",
         ($"c_st".cast("double") / $"c_s".cast("double")) /

@@ -26,6 +26,31 @@ import org.apache.spark.storage.StorageLevel
 object PressureSubstr {
   private val MinLen = 10
 
+  private[tools] val Passage = (1 to 30).map(i => s"planted$i").mkString(" ")
+
+  /** The shared amplified corpus (12 salted replicas per doc, passage
+    * planted in every third, 64-way repartitioned) — used by both this
+    * pressure test and `ProfileSubstr`, so the profile explains the exact
+    * run the pressure artifact records.
+    */
+  private[tools] def amplify(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    docs
+      .withColumn("rep", explode(sequence(lit(0), lit(11))))
+      .select(
+        (col("doc_id") * 16 + col("rep")).as("doc_id"),
+        concat(
+          regexp_replace(col("text"), lit(" "),
+            concat(lit(" r"), col("rep"), lit(" "))),
+          when(pmod(col("rep"), lit(3)) === 0, lit(" " + Passage))
+            .otherwise(lit(""))).as("text"))
+      // repartition BEFORE the caller persists: the base documents scan is
+      // one parquet split, and a single-partition cache makes every
+      // consumer stage start from a one-task read
+      .repartition(64)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.core.GraftSession.local(cores = 32, appName = "pressure-substr")
@@ -39,25 +64,14 @@ object PressureSubstr {
       r
     }
 
-    val passage = (1 to 30).map(i => s"planted$i").mkString(" ")
+    val passage = Passage
     val docs = graft.core.Tables(spark, sfDir).documents
     // 12 replicas per doc; salt token "rK" interleaved after every base
     // token makes replica token streams pairwise-distinct ACROSS replica
     // indices (any 10-token window contains salts), so cross-replica
     // repetition comes only from (a) the planted passage and (b) genuine
     // base-corpus collisions — both of which ground truth must also find.
-    val amplified = docs
-      .withColumn("rep", explode(sequence(lit(0), lit(11))))
-      .select(
-        ($"doc_id" * 16 + $"rep").as("doc_id"),
-        concat(
-          regexp_replace($"text", lit(" "), concat(lit(" r"), $"rep", lit(" "))),
-          when(pmod($"rep", lit(3)) === 0, lit(" " + passage)).otherwise(lit("")))
-          .as("text"))
-      // repartition BEFORE persisting: the base documents scan is one
-      // parquet split, and a single-partition cache makes every consumer
-      // stage start from a one-task read
-      .repartition(64)
+    val amplified = amplify(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nDocs = timed("amplify")(amplified.count())
     println(s"PRESSURE docs: $nDocs")

@@ -21,28 +21,14 @@ object ProfileSubstr {
     }
     val minLen = 10
     val docs = graft.core.Tables(spark, sfDir).documents
-    val amplified = docs
-      .withColumn("rep", explode(sequence(lit(0), lit(11))))
-      .select(($"doc_id" * 16 + $"rep").as("doc_id"),
-        concat(regexp_replace($"text", lit(" "), concat(lit(" r"), $"rep", lit(" "))),
-          when(pmod($"rep", lit(3)) === 0,
-            lit(" " + (1 to 30).map(i => s"planted$i").mkString(" ")))
-            .otherwise(lit(""))).as("text"))
-      .repartition(64)
+    // the same amplified corpus the pressure test drives (shared helper —
+    // the profile must explain THAT run, not a diverged cousin)
+    val amplified = PressureSubstr.amplify(docs)
       .persist(StorageLevel.MEMORY_AND_DISK)
     timed("amplify")(amplified.count())
 
-    val ws = split(col("text"), " ")
-    val hashes = when(size(ws) >= minLen,
-      transform(sequence(lit(1), size(ws) - lit(minLen - 1)),
-        i => graft.operators.Dedup.tokenHash60(
-          concat_ws(" ", slice(ws, i, lit(minLen))))))
-      .otherwise(array().cast("array<bigint>"))
-    // variant A: tokens materialized through an exploded-string pre-pass so
-    // the lambda slices a COLUMN, not a recomputed split
-    val grams = amplified
-      .select(col("doc_id").as("id"), posexplode(hashes).as(Seq("__p", "h")))
-      .select(col("id"), (col("__p") + 1).as("i"), col("h"))
+    val grams = graft.operators.SubstringDedup
+      .windowHashes(amplified, "doc_id", "text", minLen)
     timed("grams count")(println("  n=" + grams.count()))
     val g2 = grams.persist(StorageLevel.MEMORY_AND_DISK)
     timed("grams persist")(g2.count())
