@@ -329,4 +329,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.toLowerCase.contains("subqueryexec"), "subquery not decorrelated")
     assert(p.contains("LeftSemi"), "EXISTS not planned as a semi join")
   }
+
+  test("q112: repeated-substring exchanges carry (id, pos, hash) — the " +
+    "text column never shuffles") {
+    val p = plan("q112_repeated_substrings")
+    assert(p.contains("hashpartitioning(h"), "no exchange keyed on the hash")
+    assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
+    assert(p.contains("partial_count") || p.contains("partial"),
+      "repeated-hash aggregate not map-side combined")
+  }
+
+  test("q108: winnowing pair generation shuffles fingerprints, not text") {
+    val p = plan("q108_winnowing_pairs")
+    assert(p.contains("hashpartitioning(f"), "no exchange keyed on fingerprint")
+    assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
+  }
+
+  test("q117: all fifteen moments come from ONE lineitem scan and one " +
+    "map-side-combined aggregate") {
+    val p = plan("q117_sufficient_stats")
+    // count details-section headers ("(n) Scan parquet"), not the tree
+    // rendering — formatted explain prints every node twice
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans lineitem scans (want 1 — the SQL " +
+      "formulation pays one per pair)")
+    assert(p.contains("partial_sum"), "moments not map-side combined")
+  }
+
+  test("q116: session trigrams ride ONE per-user window exchange — no " +
+    "second partition-by-session shuffle") {
+    val p = plan("q116_session_paths")
+    assert(p.contains("hashpartitioning(user_id"), "no per-user exchange")
+    assert(!"hashpartitioning\\([^)]*sess".r.findFirstIn(p).isDefined,
+      "second exchange keyed on the session id")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 not fused")
+  }
+
+  test("q113: the label-pair join broadcasts the bounded centroid frame") {
+    val p = plan("q113_centroid_geometry")
+    assert(!p.contains("CartesianProduct"), "cartesian product planned")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "label pair join not broadcast")
+  }
 }
