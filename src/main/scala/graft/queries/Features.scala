@@ -1,0 +1,183 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ParallelRank
+
+/** ML feature-engineering + dataset-audit surface (round 10): the
+  * operators a training pipeline runs between raw curation and model
+  * fitting — leakage-free categorical target encoding, exact
+  * equal-frequency binning, and the train/validation contamination audit
+  * that catches exact-duplicate leakage across a split.
+  *
+  * Exactness notes: every aggregate is integer (prices as per-row exact
+  * cents longs, folds/splits from the 52-bit md5 hash contract the
+  * sampling family already uses — reference `curation` notebooks derive
+  * the same style of deterministic splits). Results are bit-identical
+  * under any partitioning and engine.
+  */
+object Features {
+
+  /** The engine-portable 52-bit content hash (13 leading md5 hex digits):
+    * Spark side of the same expression the DuckDB oracles spell as
+    * `CAST('0x' || substr(md5(x), 1, 13) AS BIGINT)`.
+    */
+  private def hash52(c: org.apache.spark.sql.Column) =
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 13), 16, 10)
+      .cast("long")
+
+  /** Out-of-fold target encoding of order priority against order value:
+    * the leakage-free categorical encoder (each fold's encoding averages
+    * only the OTHER folds' labels). Folds are deterministic via the md5
+    * contract; the encoding ships as an exact (oof_sum_cents, oof_cnt)
+    * pair per (category, fold) — the consumer divides.
+    *
+    * Scale shape: ONE full-data shuffle (the (category, fold) hash
+    * aggregate, map-side combined); the per-category totals derive from
+    * those ~|C|·K partials and join back broadcast. The base table is
+    * never scanned twice.
+    */
+  private val q119 = QueryDef.sql(
+    "out-of-fold target encoding: priority x fold exact OOF sums")(
+    """WITH f AS (
+      |  SELECT o_orderpriority AS priority,
+      |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 13)
+      |         AS BIGINT) % 5 AS fold,
+      |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |  FROM orders),
+      |pf AS (
+      |  SELECT priority, fold, count(*) AS n_fold,
+      |         sum(cents)::BIGINT AS sum_fold_cents
+      |  FROM f GROUP BY 1, 2),
+      |tot AS (
+      |  SELECT priority, sum(n_fold)::BIGINT AS n_tot,
+      |         sum(sum_fold_cents)::BIGINT AS sum_tot
+      |  FROM pf GROUP BY 1)
+      |SELECT p.priority, p.fold, p.n_fold, p.sum_fold_cents,
+      |       t.sum_tot - p.sum_fold_cents AS oof_sum_cents,
+      |       t.n_tot - p.n_fold AS oof_cnt
+      |FROM pf p JOIN tot t USING (priority)
+      |ORDER BY priority, fold""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val pf = Tables(s, dir).orders
+      .select($"o_orderpriority".as("priority"),
+        pmod(hash52($"o_orderkey"), lit(5L)).as("fold"),
+        round($"o_totalprice" * 100).cast("long").as("cents"))
+      .groupBy($"priority", $"fold")
+      .agg(count(lit(1)).as("n_fold"), sum($"cents").as("sum_fold_cents"))
+    val tot = pf.groupBy($"priority")
+      .agg(sum($"n_fold").as("n_tot"), sum($"sum_fold_cents").as("sum_tot"))
+    pf.join(broadcast(tot), Seq("priority"))
+      .select($"priority", $"fold", $"n_fold", $"sum_fold_cents",
+        ($"sum_tot" - $"sum_fold_cents").as("oof_sum_cents"),
+        ($"n_tot" - $"n_fold").as("oof_cnt"))
+      .smallOrdered($"priority", $"fold")
+  }
+
+  /** Exact equal-frequency (decile) binning of customer balances with a
+    * per-bin profile — the feature-discretization step, and the bin-edge
+    * producer for monotone WOE-style encoders. Bins replicate SQL
+    * NTILE(10) semantics exactly: the first n mod 10 bins take one extra
+    * row, assigned from the strict (cents, custkey) total order.
+    *
+    * Scale shape: ranks come from ParallelRank's range exchange (no
+    * single sort task); the bin arithmetic is per-row integer math on the
+    * rank; the profile is one bounded hash aggregate. Key packing guards:
+    * |cents| < 2^24 and custkey < 2^20 keep the composite sort key inside
+    * a long with headroom (violations raise, not corrupt).
+    */
+  private val q120 = QueryDef.sql(
+    "exact equal-frequency deciles of customer balance + per-bin profile")(
+    """WITH c AS (
+      |  SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS cents, c_custkey
+      |  FROM customer),
+      |b AS (SELECT cents,
+      |        ntile(10) OVER (ORDER BY cents, c_custkey) AS bin FROM c)
+      |SELECT CAST(bin AS BIGINT) AS bin, count(*) AS cnt,
+      |       min(cents) AS min_cents, max(cents) AS max_cents,
+      |       sum(cents)::BIGINT AS sum_cents
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val k = 10L
+    val keyed = Tables(s, dir).customer
+      .select(round($"c_acctbal" * 100).cast("long").as("cents"), $"c_custkey")
+      .withColumn("sk",
+        when($"cents" >= (1L << 24) || $"cents" <= -(1L << 24) ||
+            $"c_custkey" >= (1L << 20) || $"c_custkey" < 0L,
+          raise_error(concat(lit("decile key out of packing range: "),
+            $"cents", lit("/"), $"c_custkey")))
+          .otherwise(shiftleft($"cents" + (1L << 24), 20) + $"c_custkey"))
+    ParallelRank.rowNumber(keyed, Seq.empty, "sk", rankCol = "rn",
+        totalCol = Some("n"), smallGroupsHint = true)
+      // NTILE: big = n div k, rem = n mod k; the first rem bins hold
+      // big+1 rows each, the rest big rows — all exact long division
+      .withColumn("big", expr("n div 10"))
+      .withColumn("rem", $"n" % k)
+      .withColumn("bin",
+        when($"rn" <= ($"big" + 1L) * $"rem",
+          expr("(rn - 1) div (big + 1)") + 1L)
+          .otherwise($"rem" + expr("(rn - 1 - rem * (big + 1)) div big") + 1L))
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("cnt"), min($"cents").as("min_cents"),
+        max($"cents").as("max_cents"), sum($"cents").as("sum_cents"))
+      .smallOrdered($"bin")
+  }
+
+  /** 0.8 × 2^52, truncated once in Scala and inlined into both engines'
+    * expressions (see q124 scaladoc).
+    */
+  private val TrainCut52: Long = (BigDecimal(1L << 52) * 0.8).toLong
+
+  /** Train/validation leakage audit: deterministic 80/20 split by the md5
+    * hash contract, then every leading-passage fingerprint (first 8
+    * tokens — the opening-passage granularity; the corpus has no
+    * full-text exact dups, near-dups share openings) that appears on BOTH
+    * sides of the split — the contamination check a training pipeline
+    * runs before every fit (a val doc opening identically to a train doc
+    * inflates eval metrics).
+    *
+    * Scale shape: one hash aggregate keyed by the 32-hex fingerprint; the
+    * shuffle rows carry (fp, two flags, two ids) — text never leaves its
+    * scan. The split threshold is inlined as an integer literal in BOTH
+    * engines (Scala toLong truncates where DuckDB CAST rounds — a
+    * float-derived cut would silently disagree by one).
+    */
+  private val q124 = QueryDef.sql(
+    "split-leakage audit: passage fingerprints straddling the 80/20 split")(
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+       |    CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)
+       |              AS BIGINT) < ${TrainCut52} THEN 1 ELSE 0 END AS is_train
+       |  FROM documents),
+       |g AS (
+       |  SELECT fp, sum(is_train)::BIGINT AS train_cnt,
+       |    (count(*) - sum(is_train))::BIGINT AS val_cnt,
+       |    min(CASE WHEN is_train = 1 THEN doc_id END) AS min_train_doc,
+       |    min(CASE WHEN is_train = 0 THEN doc_id END) AS min_val_doc
+       |  FROM d GROUP BY fp)
+       |SELECT fp, train_cnt, val_cnt, min_train_doc, min_val_doc
+       |FROM g WHERE train_cnt > 0 AND val_cnt > 0
+       |ORDER BY fp""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val isTrain = hash52($"doc_id") < TrainCut52
+    Tables(s, dir).documents
+      .select(md5(concat_ws(" ", slice(split($"text", " "), 1, 8))
+          .cast("binary")).as("fp"),
+        when(isTrain, 1L).otherwise(0L).as("t"), $"doc_id")
+      .groupBy($"fp")
+      .agg(sum($"t").as("train_cnt"),
+        (count(lit(1)) - sum($"t")).as("val_cnt"),
+        min(when($"t" === 1L, $"doc_id")).as("min_train_doc"),
+        min(when($"t" === 0L, $"doc_id")).as("min_val_doc"))
+      .filter($"train_cnt" > 0L && $"val_cnt" > 0L)
+      .smallOrdered($"fp")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q119_oof_target_encoding" -> q119,
+    "q120_decile_binning" -> q120,
+    "q124_split_leakage" -> q124
+  )
+}
