@@ -206,4 +206,49 @@ object GraphOps extends Logging {
     ed.unpersist(); uni.unpersist()
     rank
   }
+
+  /** Per-node triangle participation counts over an undirected simple
+    * graph given as distinct (src < dst) edge rows — the degree-ordered
+    * compact-forward scheme (public formulation: Latapy 2008 "Main-memory
+    * triangle computations"; Suri & Vassilvitskii 2011 for the MapReduce
+    * shape): orient every edge from its (degree, id)-smaller endpoint to
+    * the larger, generate wedges only among each node's oriented
+    * out-neighbours, and close wedges against the oriented edge set.
+    *
+    * Why orientation matters at scale: wedge generation is the quadratic
+    * step, and naive id-orientation puts a hub's whole neighbourhood on
+    * one side — a degree-d node yields d²/2 wedges. Degree-orientation
+    * caps every out-degree at O(√m) on ANY graph, so the wedge count is
+    * bounded by m^{3/2} with no skew blow-up around hubs. Every exchange
+    * carries long tuples; the raw adjacency is never collected.
+    *
+    * Not iterative — the three-join declarative plan IS the distributed
+    * algorithm, so there is no driver/distributed dispatch to pick.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // (deg, id) lexicographic orientation, the total order carried as a
+    // struct so wedge comparison reuses it verbatim
+    val keyed = e
+      .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
+    val fwd = struct(col("ds"), col("src")) < struct(col("dd"), col("dst"))
+    val oriented = keyed.select(
+        when(fwd, col("src")).otherwise(col("dst")).as("u"),
+        when(fwd, col("dst")).otherwise(col("src")).as("v"),
+        when(fwd, col("dd")).otherwise(col("ds")).as("degv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("a").join(oriented.as("b"),
+        col("a.u") === col("b.u") &&
+          struct(col("a.degv"), col("a.v")) < struct(col("b.degv"), col("b.v")))
+      .select(col("a.u").as("u"), col("a.v").as("v"), col("b.v").as("w"))
+    val tri = wedges.join(oriented.select(col("u").as("v"), col("v").as("w")),
+      Seq("v", "w"))
+    tri.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+  }
 }

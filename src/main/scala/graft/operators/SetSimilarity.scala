@@ -87,4 +87,56 @@ object SetSimilarity {
       .select(col("id"), col("s"))
     Dedup.pairsWithinGroups(prefix, Seq("s")).distinct()
   }
+
+  /** Directed containment pairs: (da, db) where at least tauNum/tauDen of
+    * document da's distinct word-`n`-gram shingles also occur in db — the
+    * subset-duplicate detector (a short doc pasted inside a longer one has
+    * low Jaccard but containment ≈ 1, so the symmetric joins miss it).
+    * Output (da, db, inter, na, nb), da ≠ db, exact integer threshold.
+    *
+    * Prefix filter, asymmetric form (Chaudhuri et al. 2006 SSJoin): only
+    * the PROBE side prunes to its (n − ⌈τ·n⌉ + 1) rarest shingles — if
+    * none of those hit B, fewer than τ·n of A's shingles can (zero false
+    * negatives); the indexed side must stay full, because containment
+    * puts no floor on where in B the overlap falls. The size filter
+    * nb ≥ τ·na prunes candidates before the exact verify (|A∩B| ≤ nb).
+    * Exchanges carry (id, hash64) postings — shingle strings never leave
+    * their scan; the hash64-collision caveat of `prefixJaccardPairs`
+    * applies identically (spurious candidate only, verification is over
+    * the string sets).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int, tauNum: Int, tauDen: Int): DataFrame = {
+    require(tauNum > 0 && tauNum <= tauDen, s"bad threshold $tauNum/$tauDen")
+    val sets = df.select(col(idCol).as("id"),
+        TextAnalysis.wordShingles(col(textCol), n).as("shs"))
+      .withColumn("n", size(col("shs")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = sets
+      .select(col("id"), col("n"), explode(col("shs")).as("__s"))
+      .select(col("id"), col("n"), xxhash64(col("__s")).as("s"))
+    val freq = postings.groupBy("s").agg(count(lit(1)).as("df"))
+    val prefLen = col("n") -
+      ((lit(tauNum) * col("n") + lit(tauDen) - 1) / lit(tauDen)).cast("int") + lit(1)
+    val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
+    val prefix = postings.join(freq, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= prefLen)
+      .select(col("id").as("da"), col("n").cast("long").as("na"), col("s"))
+    val full = postings.select(col("id").as("db"),
+      col("n").cast("long").as("nb"), col("s"))
+    val cand = prefix.join(full, "s")
+      .filter(col("da") =!= col("db") &&
+        lit(tauDen.toLong) * col("nb") >= lit(tauNum.toLong) * col("na"))
+      .select("da", "db").distinct()
+    cand
+      .join(sets.select(col("id").as("da"), col("shs").as("__sa"),
+        col("n").cast("long").as("na")), "da")
+      .join(sets.select(col("id").as("db"), col("shs").as("__sb"),
+        col("n").cast("long").as("nb")), "db")
+      .withColumn("inter",
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long"))
+      .filter(lit(tauDen.toLong) * col("inter") >= lit(tauNum.toLong) * col("na"))
+      .select(col("da"), col("db"), col("inter"), col("na"), col("nb"))
+  }
 }

@@ -175,9 +175,185 @@ object Features {
       .smallOrdered($"fp")
   }
 
+  /** Hashed-feature linear quality scorer (the fastText-style shape: hash
+    * tokens into B buckets, sum per-bucket weights, threshold) with a
+    * deterministic integer weight table derived from the bucket id — the
+    * classifier-based quality filter's serving path, gated end-to-end.
+    *
+    * Scale shape: the per-document score is ONE higher-order `aggregate`
+    * over the token array — no explode, no per-token rows, no per-doc
+    * shuffle; the only exchange carries (source, partial aggregates).
+    * A learned weight table swaps in as a broadcast map-literal without
+    * changing the plan shape.
+    */
+  private val q123 = QueryDef.sql(
+    "hashed-feature linear scorer: per-source keep rate + score mass")(
+    """WITH tok AS (
+      |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source,
+      |    (CAST('0x' || substr(md5(t), 1, 13) AS BIGINT) % 1024) % 7 - 3 AS wt
+      |  FROM tok),
+      |d AS (
+      |  SELECT doc_id, source, sum(wt)::BIGINT AS score
+      |  FROM w GROUP BY 1, 2)
+      |SELECT source, count(*) AS docs,
+      |  sum(CASE WHEN score >= 0 THEN 1 ELSE 0 END)::BIGINT AS kept,
+      |  sum(score)::BIGINT AS sum_score
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).documentsFanned
+      .select($"source",
+        expr("""aggregate(
+            transform(split(text, ' '),
+              t -> cast(conv(substring(md5(t), 1, 13), 16, 10) as bigint)
+                     % 1024 % 7 - 3),
+            0L, (acc, x) -> acc + x)""").as("score"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("docs"),
+        sum(when($"score" >= 0L, 1L).otherwise(0L)).as("kept"),
+        sum($"score").as("sum_score"))
+      .smallOrdered($"source")
+  }
+
+  /** Bigram-frequency surprisal: each document scored by the mean corpus
+    * document-frequency of its distinct bigrams — the count-based LM
+    * surrogate for "how unusual is this text" (low mean df = rare
+    * constructions; the quality-filter signal a real n-gram LM refines).
+    * Emits the 20 most unusual docs with exact (sum_df, n_bigrams) pairs;
+    * the ordering divides two exact longs, which is bit-identical IEEE
+    * division in both engines.
+    *
+    * Scale shape: the bigram frame flows through a (bigram)-keyed hash
+    * aggregate and joins back on the SAME key (the aggregate's exchange
+    * partitioning is reused on the probe side — no extra corpus shuffle),
+    * then collapses per doc. The df table is never broadcast: vocabulary
+    * is unbounded at corpus scale.
+    */
+  private val q125 = QueryDef.sql(
+    "bigram surprisal: 20 most unusual docs by mean bigram document-frequency")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t), 1))) AS i
+      |        FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] AS s FROM idx),
+      |df AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      |d AS (SELECT sh.doc_id, count(*) AS n_bigrams, sum(df.df)::BIGINT AS sum_df
+      |      FROM sh JOIN df USING (s) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, sum_df FROM d
+      |ORDER BY CAST(sum_df AS DOUBLE) / n_bigrams, doc_id
+      |LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val bg = Tables(s, dir).documentsFanned
+      .select($"doc_id",
+        explode(graft.functions.TextAnalysis.wordShingles($"text", 2)).as("s"))
+    val dfreq = bg.groupBy($"s").agg(count(lit(1)).as("df"))
+    bg.join(dfreq, Seq("s"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum($"df").as("sum_df"))
+      .orderBy(($"sum_df".cast("double") / $"n_bigrams").asc, $"doc_id")
+      .limit(20)
+      .smallOrdered(($"sum_df".cast("double") / $"n_bigrams").asc, $"doc_id")
+  }
+
+  /** Per-node triangle participation over the urgent-order co-purchase
+    * part graph (the same graph q93 ranks): how embedded each part is in
+    * locally dense co-purchase neighbourhoods — the clustering signal
+    * component labeling (q44) can't see (components say "connected",
+    * triangles say "tightly knit"). Degree-ordered compact-forward scheme;
+    * see `GraphOps.triangleCounts` for why orientation bounds the wedge
+    * blow-up at scale. The oracle replays the identical orientation with
+    * SQL row-value comparisons.
+    */
+  private val q121 = QueryDef.sql(
+    "degree-ordered triangle counts over the co-purchase part graph")(
+    """WITH urg AS MATERIALIZED (
+      |  SELECT l.l_orderkey, l.l_partkey FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_orderpriority = '1-URGENT'),
+      |e AS MATERIALIZED (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM urg a JOIN urg b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS MATERIALIZED (
+      |  SELECT node, count(*) AS deg FROM (
+      |    SELECT src AS node FROM e UNION ALL SELECT dst FROM e)
+      |  GROUP BY 1),
+      |o AS MATERIALIZED (
+      |  SELECT
+      |    CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst)
+      |         THEN e.src ELSE e.dst END AS u,
+      |    CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst)
+      |         THEN e.dst ELSE e.src END AS v,
+      |    CASE WHEN (ds.deg, e.src) < (dd.deg, e.dst)
+      |         THEN dd.deg ELSE ds.deg END AS degv
+      |  FROM e JOIN deg ds ON ds.node = e.src
+      |         JOIN deg dd ON dd.node = e.dst),
+      |wdg AS (
+      |  SELECT a.u, a.v, b.v AS w FROM o a JOIN o b
+      |  ON a.u = b.u AND (a.degv, a.v) < (b.degv, b.v)),
+      |tri AS (
+      |  SELECT wdg.u, wdg.v, wdg.w FROM wdg
+      |  JOIN o ON o.u = wdg.v AND o.v = wdg.w),
+      |nodes AS (
+      |  SELECT u AS node FROM tri UNION ALL SELECT v FROM tri
+      |  UNION ALL SELECT w FROM tri)
+      |SELECT node AS part_id, count(*) AS tri_cnt
+      |FROM nodes GROUP BY 1
+      |ORDER BY tri_cnt DESC, part_id LIMIT 20""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val urg = t.lineitem
+      .join(t.orders.filter($"o_orderpriority" === "1-URGENT")
+        .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
+      .select($"l_orderkey", $"l_partkey")
+    val edges = urg.as("a").join(urg.as("b"),
+        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
+      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
+      .distinct()
+    graft.operators.GraphOps.triangleCounts(edges)
+      .select($"node".as("part_id"), $"tri_cnt")
+      .orderBy($"tri_cnt".desc, $"part_id").limit(20)
+      .smallOrdered($"tri_cnt".desc, $"part_id")
+  }
+
+  /** Directed shingle-containment pairs at τ = 0.8: documents ≥80% of
+    * whose 3-gram shingles occur in another document — the subset-dup
+    * detector that catches a short doc pasted into a longer one (Jaccard
+    * dilutes with the container's size and misses exactly these). See
+    * `SetSimilarity.containmentPairs` for the asymmetric prefix filter.
+    */
+  private val q122 = QueryDef.sql(
+    "containment pairs: docs >=80% shingle-contained in another doc")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
+      |        FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |       FROM idx),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT da, db, inter, na.n AS na, nb.n AS nb
+      |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
+      |           JOIN sizes nb ON pairs.db = nb.doc_id
+      |WHERE 10*inter >= 8*na.n
+      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.SetSimilarity.containmentPairs(
+        Tables(s, dir).documentsFanned, "doc_id", "text", n = 3,
+        tauNum = 8, tauDen = 10)
+      .smallOrdered($"da", $"db")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q119_oof_target_encoding" -> q119,
     "q120_decile_binning" -> q120,
-    "q124_split_leakage" -> q124
+    "q121_triangle_counts" -> q121,
+    "q122_containment_pairs" -> q122,
+    "q123_hashed_linear_score" -> q123,
+    "q124_split_leakage" -> q124,
+    "q125_bigram_surprisal" -> q125
   )
 }

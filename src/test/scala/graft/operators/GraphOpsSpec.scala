@@ -82,4 +82,45 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(driver == dist && driver.keySet == Set(1L, 2L))
   }
+
+  private def triMap(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.triangleCounts(df(edges, "src", "dst"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+
+  test("triangleCounts: K4 — four triangles, every node in three") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val r = triMap(k4)
+    assert(r == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("triangleCounts: triangle-free graphs yield no rows") {
+    assert(triMap(Seq((1L, 2L), (2L, 3L), (3L, 4L))).isEmpty) // path
+    assert(triMap((1L to 6L).map(i => (0L, i))).isEmpty)      // star
+  }
+
+  test("triangleCounts: wheel graph — hub in all five, rim nodes in two") {
+    val star = (1L to 5L).map(i => (0L, i))
+    val rim = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))
+    val r = triMap(star ++ rim)
+    assert(r(0L) == 5L && (1L to 5L).forall(r(_) == 2L))
+  }
+
+  test("triangleCounts: random graph matches brute-force enumeration") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .distinct
+    val eset = es.toSet
+    val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      k <- (j + 1) until nodes.size
+      (a, b, c) = (nodes(i), nodes(j), nodes(k))
+      if eset((a, b)) && eset((b, c)) && eset((a, c))
+    } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
+    assert(triMap(es) == brute.toMap)
+    assert(brute.nonEmpty, "random graph should contain triangles")
+  }
 }

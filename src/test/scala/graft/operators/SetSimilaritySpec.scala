@@ -50,4 +50,38 @@ class SetSimilaritySpec extends SparkSpec {
     val at07 = SetSimilarity.prefixJaccardPairs(df, "id", "text", 1, 7, 10)
     assert(at07.count() == 0)
   }
+
+  test("containmentPairs: a pasted doc is caught where jaccard misses it") {
+    val s = spark
+    import s.implicits._
+    // doc 1 (8 tokens) pasted verbatim inside doc 2 (40 tokens):
+    // containment(1→2) = 1.0, but J = 6/37 ≈ 0.16 (3-gram shingles)
+    val small = (1 to 8).map(i => s"w$i").mkString(" ")
+    val big = ((1 to 8).map(i => s"w$i") ++ (1 to 32).map(i => s"f$i")).mkString(" ")
+    val other = (1 to 20).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, small), (2L, big), (3L, other)).toDF("id", "text")
+    val got = SetSimilarity.containmentPairs(df, "id", "text", 3, 8, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 6L))) // 6 shingles of doc 1, all in doc 2
+    val jac = SetSimilarity.prefixJaccardPairs(df, "id", "text", 3, 8, 10)
+    assert(jac.count() == 0, "jaccard at the same threshold must miss the paste")
+  }
+
+  test("containmentPairs: prefix-filtered result equals the brute-force set") {
+    // ground truth from the unthresholded full-index pair join: every
+    // co-shingle pair, thresholded per direction
+    val all = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val brute = (all.collect { case (da, db, i, na, nb) if 10 * i >= 8 * na =>
+        (da, db, i, na, nb) } ++
+      all.collect { case (da, db, i, na, nb) if 10 * i >= 8 * nb =>
+        (db, da, i, nb, na) }).toSet
+    val got = SetSimilarity.containmentPairs(docs, "doc_id", "text",
+        n = 3, tauNum = 8, tauDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == brute)
+    assert(got.nonEmpty, "sf0.001 corpus should contain containment pairs")
+  }
 }
