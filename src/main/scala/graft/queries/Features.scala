@@ -60,12 +60,16 @@ object Features {
       |FROM pf p JOIN tot t USING (priority)
       |ORDER BY priority, fold""".stripMargin) { (s, dir) =>
     import s.implicits._
+    // persisted: pf feeds BOTH the output and the per-category totals —
+    // unpinned, Spark would recompute the branch and scan orders twice.
+    // The frame is bounded at |categories| × folds rows.
     val pf = Tables(s, dir).orders
       .select($"o_orderpriority".as("priority"),
         pmod(hash52($"o_orderkey"), lit(5L)).as("fold"),
         round($"o_totalprice" * 100).cast("long").as("cents"))
       .groupBy($"priority", $"fold")
       .agg(count(lit(1)).as("n_fold"), sum($"cents").as("sum_fold_cents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = pf.groupBy($"priority")
       .agg(sum($"n_fold").as("n_tot"), sum($"sum_fold_cents").as("sum_tot"))
     pf.join(broadcast(tot), Seq("priority"))

@@ -371,4 +371,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "label pair join not broadcast")
   }
+
+  test("q119: one fact pass — totals derive from the (category, fold) " +
+    "partials, never a second orders scan") {
+    val p = plan("q119_oof_target_encoding")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans orders scans (want 1)")
+    assert(p.contains("partial_sum"), "fold aggregate not map-side combined")
+    assert(p.contains("BroadcastHashJoin"), "per-category totals not broadcast")
+  }
+
+  test("q121: triangle joins are all equi-joins — no cartesian, no " +
+    "broadcast nested loop") {
+    val p = plan("q121_triangle_counts")
+    assert(!p.contains("CartesianProduct"), "cartesian product planned")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nested-loop join planned")
+  }
+
+  test("q122: containment pair generation shuffles hashed postings — " +
+    "shingle strings and text never key an exchange") {
+    val p = plan("q122_containment_pairs")
+    assert(p.contains("hashpartitioning(s#") || p.contains("hashpartitioning(s,"),
+      "no exchange keyed on the posting hash")
+    assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
+    assert(!"hashpartitioning\\(__s".r.findFirstIn(p).isDefined,
+      "raw shingle strings key an exchange")
+  }
+
+  test("q123: the hashed linear score is one scan-side aggregate — no " +
+    "explode, no per-token rows, no per-doc exchange") {
+    val p = plan("q123_hashed_linear_score")
+    assert(!p.contains("Generate"), "explode planned — per-token rows exist")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans documents scans (want 1)")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "per-source aggregate not map-side combined")
+    assert(!p.contains("hashpartitioning(doc_id"), "per-doc exchange planned")
+  }
+
+  test("q125: the df join keys on the bigram — the probe side reuses the " +
+    "aggregate's partitioning, no third corpus exchange") {
+    val p = plan("q125_bigram_surprisal")
+    assert(p.contains("hashpartitioning(s#"), "no exchange keyed on the bigram")
+    assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
+    // exchanges keyed on s: the aggregate's and the probe's — the join
+    // itself must not add a third
+    val sKeyed = "hashpartitioning\\(s#".r.findAllIn(p).length
+    assert(sKeyed <= 2, s"$sKeyed exchanges keyed on the bigram (want <= 2)")
+  }
 }
