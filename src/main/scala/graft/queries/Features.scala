@@ -307,15 +307,15 @@ object Features {
       |ORDER BY tri_cnt DESC, part_id LIMIT 20""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)
+    // no broadcast hint on the urgent-key side: it is fact-derived (not a
+    // bounded dimension), so the right strategy is AQE's size-based call
     val urg = t.lineitem
       .join(t.orders.filter($"o_orderpriority" === "1-URGENT")
         .select($"o_orderkey"), $"l_orderkey" === $"o_orderkey")
       .select($"l_orderkey", $"l_partkey")
-    val edges = urg.as("a").join(urg.as("b"),
-        $"a.l_orderkey" === $"b.l_orderkey" && $"a.l_partkey" < $"b.l_partkey")
-      .select($"a.l_partkey".as("src"), $"b.l_partkey".as("dst"))
-      .distinct()
-    graft.operators.GraphOps.triangleCounts(edges)
+    val edges = graft.operators.GraphOps.coOccurrenceEdges(
+      urg, "l_orderkey", "l_partkey", distinctPairs = false)
+    graft.operators.GraphOps.triangleCounts(edges, edgesDistinct = false)
       .select($"node".as("part_id"), $"tri_cnt")
       .orderBy($"tri_cnt".desc, $"part_id").limit(20)
       .smallOrdered($"tri_cnt".desc, $"part_id")

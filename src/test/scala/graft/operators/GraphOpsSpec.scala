@@ -122,5 +122,9 @@ class GraphOpsSpec extends SparkSpec {
     } { brute(a) += 1; brute(b) += 1; brute(c) += 1 }
     assert(triMap(es) == brute.toMap)
     assert(brute.nonEmpty, "random graph should contain triangles")
+    // distributed path (budget 0) agrees with the driver path exactly
+    val dist = GraphOps.triangleCounts(df(es, "src", "dst"), driverEdgeBudget = 0L)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(dist == brute.toMap)
   }
 }
