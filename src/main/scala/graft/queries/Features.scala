@@ -351,6 +351,127 @@ object Features {
       .smallOrdered($"da", $"db")
   }
 
+  /** Customer survival life-table (Kaplan-Meier input): per 30-day
+    * lifetime interval, how many customers are still at risk, how many
+    * churn there (90 days of inactivity at corpus end), how many leave
+    * the table censored — the churn platform's population-level view, as
+    * exact integers (the KM product itself is a driver-side fold over
+    * these rows). One shuffle builds per-customer spans; the life table
+    * derives from the bounded bucket frame (≤ ~85 rows), where the
+    * cumulative at-risk window is free.
+    */
+  private val q126 = QueryDef.sql(
+    "survival life-table: 30-day intervals with at-risk/event/censored counts")(
+    """WITH span AS (
+      |  SELECT o_custkey AS c, epoch_us(min(o_orderdate)) AS f,
+      |         epoch_us(max(o_orderdate)) AS l
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(l) AS m FROM span),
+      |per AS (
+      |  SELECT c, (l - f) // 86400000000 // 30 AS bucket,
+      |    CASE WHEN (SELECT m FROM mx) - l > 90 * 86400000000 THEN 1 ELSE 0
+      |    END AS churned
+      |  FROM span),
+      |b AS (SELECT bucket, count(*) AS ending,
+      |             sum(churned)::BIGINT AS events
+      |      FROM per GROUP BY 1)
+      |SELECT CAST(bucket * 30 AS BIGINT) AS interval_start_day,
+      |  sum(ending) OVER (ORDER BY bucket DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS at_risk,
+      |  events, (ending - events)::BIGINT AS censored
+      |FROM b ORDER BY interval_start_day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val spark = s
+    import graft.core.Tables.{epochUs => eus}
+    val dayUs = 86400000000L
+    val span = Tables(s, dir).orders
+      .groupBy($"o_custkey")
+      .agg(eus(min($"o_orderdate")).as("f"), eus(max($"o_orderdate")).as("l"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mx = span.agg(max($"l").as("m"))
+    val b = span.crossJoin(broadcast(mx))
+      .select(expr(s"(l - f) div $dayUs div 30").as("bucket"),
+        when($"m" - $"l" > 90L * dayUs, 1L).otherwise(0L).as("churned"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("ending"), sum($"churned").as("events"))
+    // single-partition window: the bucket frame is bounded (~lifetime/30
+    // rows), so the unpartitioned cumulative sum is a non-issue
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"bucket".desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    b.select(($"bucket" * 30L).as("interval_start_day"),
+        sum($"ending").over(w).as("at_risk"), $"events",
+        ($"ending" - $"events").as("censored"))
+      .smallOrdered($"interval_start_day")
+  }
+
+  /** Join cardinality from key histograms — the 100 TB planning operator:
+    * |events ⋈ orders| per key bucket computed WITHOUT executing the
+    * fact-fact join, as Σ over shared keys of count_events(k) ×
+    * count_orders(k), from two small aggregate frames. The oracle runs
+    * the REAL join and groups its output — cross-engine equality is the
+    * proof that the histogram estimate is exact, and the plan audit
+    * proves no fact-fact join exists in the Spark plan.
+    */
+  private val q127 = QueryDef.sql(
+    "join cardinality from key-count histograms, never executing the join")(
+    """SELECT user_id % 10 AS bucket, count(*) AS pairs,
+      |  count(DISTINCT user_id) AS keys
+      |FROM events e JOIN orders o ON e.user_id = o.o_custkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val t = Tables(s, dir)
+    val ec = t.events.groupBy($"user_id".as("k")).agg(count(lit(1)).as("ec"))
+    val oc = t.orders.groupBy($"o_custkey".as("k")).agg(count(lit(1)).as("oc"))
+    ec.join(oc, "k")
+      .groupBy(($"k" % 10L).as("bucket"))
+      .agg(sum($"ec" * $"oc").as("pairs"), count(lit(1)).as("keys"))
+      .smallOrdered($"bucket")
+  }
+
+  /** Per-label embedding dispersion by the one-pass moment identity:
+    * Σᵢⱼ‖xᵢ−xⱼ‖² = 2·(n·Σ‖x‖² − ‖Σx‖²) — the pairwise-distance statistic
+    * with NO pairwise join, in exact scaled-long arithmetic (components
+    * quantized to thousandths; every sum fits a long to ~1e9 rows/label
+    * at unit-norm scale, past which the sums widen to decimals). Emits
+    * the exact (dispersion_num, dispersion_den) rational per label — the
+    * cluster-compactness audit for embedding spaces at corpus scale.
+    */
+  private val q128 = QueryDef.sql(
+    "embedding dispersion per label: exact one-pass moment identity")(
+    """WITH idx AS (
+      |  SELECT label, vec_id, embedding AS e,
+      |         unnest(range(1, len(embedding) + 1)) AS d
+      |  FROM embeddings),
+      |m AS (SELECT label, d,
+      |        CAST(floor(CAST(e[d] AS DOUBLE) * 1000) AS BIGINT) AS q
+      |      FROM idx),
+      |a AS (SELECT label, d, sum(q)::BIGINT AS sd, sum(q*q)::BIGINT AS s2d
+      |      FROM m GROUP BY 1, 2),
+      |c AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)
+      |SELECT a.label, c.n, sum(a.s2d)::BIGINT AS s2,
+      |  sum(a.sd * a.sd)::BIGINT AS ss,
+      |  (c.n * sum(a.s2d) - sum(a.sd * a.sd))::BIGINT AS dispersion_num,
+      |  (c.n * c.n)::BIGINT AS dispersion_den
+      |FROM a JOIN c ON a.label = c.label
+      |GROUP BY a.label, c.n ORDER BY a.label""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddingsFanned
+    val melted = emb.select($"label", posexplode(
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))"))
+      .as(Seq("d", "q")))
+    val a = melted.groupBy($"label", $"d")
+      .agg(sum($"q").as("sd"), sum($"q" * $"q").as("s2d"))
+    val c = emb.groupBy($"label").agg(count(lit(1)).as("n"))
+    a.groupBy($"label")
+      .agg(sum($"s2d").as("s2"), sum($"sd" * $"sd").as("ss"))
+      .join(broadcast(c), "label")
+      .select($"label", $"n", $"s2", $"ss",
+        ($"n" * $"s2" - $"ss").as("dispersion_num"),
+        ($"n" * $"n").as("dispersion_den"))
+      .smallOrdered($"label")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q119_oof_target_encoding" -> q119,
     "q120_decile_binning" -> q120,
@@ -358,6 +479,9 @@ object Features {
     "q122_containment_pairs" -> q122,
     "q123_hashed_linear_score" -> q123,
     "q124_split_leakage" -> q124,
-    "q125_bigram_surprisal" -> q125
+    "q125_bigram_surprisal" -> q125,
+    "q126_survival_lifetable" -> q126,
+    "q127_join_cardinality" -> q127,
+    "q128_embedding_dispersion" -> q128
   )
 }

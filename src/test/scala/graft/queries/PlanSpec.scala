@@ -409,6 +409,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("hashpartitioning(doc_id"), "per-doc exchange planned")
   }
 
+  test("q126: per-customer spans come from ONE orders scan; the max-date " +
+    "row broadcasts") {
+    val p = plan("q126_survival_lifetable")
+    val scans = "\\(\\d+\\) Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"$scans orders scans (want 1 — spans persisted)")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "corpus-end scalar not broadcast")
+  }
+
+  test("q127: join cardinality never executes the fact-fact join — both " +
+    "join inputs are aggregates") {
+    val p = plan("q127_join_cardinality")
+    // the join keys on k, which only exists post-aggregate; a fact-fact
+    // join would key on user_id/o_custkey directly
+    assert("keys \\[1\\]: \\[k#".r.findAllIn(p).size == 2,
+      "join does not key on the post-aggregate column")
+    assert(!"keys \\[1\\]: \\[user_id#".r.findFirstIn(p).isDefined,
+      "fact-fact join planned on raw keys")
+    assert(p.contains("partial_count"), "key histograms not map-side combined")
+  }
+
+  test("q128: dispersion is one melt with map-side partials — no pairwise " +
+    "join anywhere") {
+    val p = plan("q128_embedding_dispersion")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "pairwise join planned — the moment identity should avoid it")
+    assert(p.contains("partial_sum"), "melt aggregate not map-side combined")
+  }
+
   test("q125: the df join keys on the bigram — the probe side reuses the " +
     "aggregate's partitioning, no third corpus exchange") {
     val p = plan("q125_bigram_surprisal")
