@@ -263,7 +263,10 @@ object GraphOps extends Logging {
       out
     } else {
       logInfo(s"GraphOps.triangleCounts: $nEdges edges > budget, distributed path")
-      distributedTriangles(if (edgesDistinct) e else e.distinct())
+      // distributedTriangles checkpoints its result eagerly, so e is free here
+      val out = distributedTriangles(if (edgesDistinct) e else e.distinct())
+      e.unpersist()
+      out
     }
   }
 
@@ -302,7 +305,9 @@ object GraphOps extends Logging {
     // orient by packed (deg, id) key and sort pairs: adjacency = runs
     def key(n: Long): Long = {
       val d = deg.get(n)
-      require(n < (1L << 42) && d < (1L << 21),
+      // n >= 0 matches distributedTriangles' pack() contract: both dispatch
+      // paths fail loudly on negative ids instead of silently disagreeing
+      require(n >= 0 && n < (1L << 42) && d < (1L << 21),
         s"driverTriangles: id/degree out of packing range: $n/$d")
       (d << 42) | n
     }
@@ -392,8 +397,14 @@ object GraphOps extends Logging {
         col("p.db").as("wk"))
     val tri = wedges.join(
       oriented.select(col("u").as("v"), col("vk").as("wk")), Seq("v", "wk"))
-    tri.select(explode(array(col("u"), col("v"),
+    // eager localCheckpoint materializes the (small) per-node counts so the
+    // >2M-edge oriented frame can be unpinned immediately instead of
+    // staying in MEMORY_AND_DISK for the session lifetime
+    val out = tri.select(explode(array(col("u"), col("v"),
         pmod(col("wk"), lit(1L << 42)))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("tri_cnt"))
+      .localCheckpoint()
+    oriented.unpersist()
+    out
   }
 }

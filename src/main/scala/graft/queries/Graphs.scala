@@ -168,9 +168,11 @@ private object PageRankOracle {
          |  LEFT JOIN outdeg ON outdeg.src = edges.src
          |  GROUP BY n.node)""".stripMargin
     }.mkString
+    // DuckDB promotes sum() over BIGINT to HUGEINT; the gate hashes the typed
+    // encoding, so the final column must be cast back to BIGINT to match Spark.
     base + steps +
       s"""
-         |SELECT node AS part_id, rank FROM r$iters
+         |SELECT node AS part_id, CAST(rank AS BIGINT) AS rank FROM r$iters
          |ORDER BY rank DESC, part_id LIMIT 20""".stripMargin
   }
 }

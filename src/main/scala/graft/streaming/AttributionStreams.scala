@@ -20,8 +20,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract; the batch operator is the reconciliation path).
   *
   * In production the state store is bounded in USERS via
-  * `GroupStateTimeout.ProcessingTimeTimeout` (a touch older than the
-  * lookback can never be credited, so expiring it is lossless); tests
+  * `GroupStateTimeout.ProcessingTimeTimeout`. The timeout runs on
+  * processing time while crediting uses event time, so losslessness holds
+  * only when processing time tracks event time with bounded lag — set the
+  * timeout to lookbackMs PLUS the allowed-lateness margin, or a purchase
+  * still inside the event-time lookback arriving after the wall-clock
+  * timeout would find its touch expired and be mis-credited as "direct".
+  * Tests
   * drive NoTimeout because ProcessingTimeTimeout schedules continuous
   * empty micro-batches and never quiesces under `processAllAvailable`
   * (same note as FunnelStreams).

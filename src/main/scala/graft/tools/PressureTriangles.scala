@@ -33,7 +33,7 @@ object PressureTriangles {
     // clique edges: for clique k, vertices k·c + {0..c-1}, all pairs
     val cliq = spark.range(K.toLong * c * c)
       .select(($"id" / (c * c)).cast("long").as("k"),
-        (($"id" / c) % c).as("i"), ($"id" % c).as("j"))
+        (($"id" / c).cast("long") % c).as("i"), ($"id" % c).as("j"))
       .filter($"i" < $"j")
       .select(($"k" * c + $"i").as("src"), ($"k" * c + $"j").as("dst"))
     // identity matching between clique k and k + K/2
