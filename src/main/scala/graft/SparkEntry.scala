@@ -16,7 +16,8 @@ object SparkEntry {
   private val all: Seq[(String, QueryDef)] =
     Relational.defs ++ TextVector.defs ++ MlDrift.defs ++ Analytics.defs ++
       Curation.defs ++ Scale.defs ++ Pipeline.defs ++ Graphs.defs ++
-      Temporal.defs ++ Stats.defs ++ Features.defs
+      Temporal.defs ++ Stats.defs ++ Features.defs ++ Media.defs ++
+      StreamGate.defs ++ AnnAudit.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

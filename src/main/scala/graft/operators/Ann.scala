@@ -165,29 +165,53 @@ object Ann {
     * `dot * -2 + |c|^2`) is exactly what a SQL engine computes over the
     * same numbers, so cell assignment is engine-portable.
     */
-  def ivfProbe(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
-      k: Int, nProbe: Int, centroids: Seq[Array[Double]]): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.length,
-      s"nProbe $nProbe not in [1, ${centroids.length}]")
-    // squared distance to centroid c: |v|^2 - 2 v.c + |c|^2; |v|^2 is
-    // constant per row, so argmin needs only -2 v.c + |c|^2
-    def dist2(emb: Column, c: Array[Double]): Column = {
+  /** (dist, idx) structs per centroid: array_min/array_sort order by dist
+    * with idx tiebreak — argmin and top-nProbe both stay inside codegen.
+    * Squared distance to centroid c is |v|^2 - 2 v.c + |c|^2; |v|^2 is
+    * constant per row, so the ranking needs only -2 v.c + |c|^2.
+    */
+  private def centroidCells(emb: Column, centroids: Seq[Array[Double]]): Column = {
+    def dist2(c: Array[Double]): Column = {
       import org.apache.spark.sql.graft.{Bridge, DotProductFD}
       val dot = Bridge.column(DotProductFD(
         Bridge.expression(emb), Bridge.expression(typedLit(c))))
       dot * -2.0 + lit(c.map(x => x * x).sum)
     }
-    // (dist, idx) structs: array_min/array_sort order by dist with idx
-    // tiebreak — argmin and top-nProbe both stay inside codegen
-    def cells(emb: Column): Column = array(centroids.zipWithIndex.map {
-      case (c, i) => struct(dist2(emb, c).as("d"), lit(i).as("cell"))
+    array(centroids.zipWithIndex.map {
+      case (c, i) => struct(dist2(c).as("d"), lit(i).as("cell"))
     }: _*)
+  }
 
-    val listed = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
-      .withColumn("cell", array_min(cells(col("emb"))).getField("cell"))
-    val probed = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
-      .withColumn("cell", explode(
-        slice(array_sort(cells(col("qemb"))), 1, nProbe).getField("cell")))
+  /** IVF cell assignment: each vector's nearest centroid as (vec_id, emb,
+    * cell). Shared by `ivfProbe` and the recall-audit operator (q131) so
+    * the assignment arithmetic exists in exactly one place.
+    */
+  def ivfAssign(data: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Array[Double]]): DataFrame =
+    data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .withColumn("cell",
+        array_min(centroidCells(col("emb"), centroids)).getField("cell"))
+
+  /** Every query's centroids ranked by distance: (qid, qemb, cell,
+    * probe_rank) for probe_rank 1..maxProbe — the per-config probe
+    * expansion is a filter on probe_rank.
+    */
+  def ivfProbeRanks(queries: DataFrame, idCol: String, embCol: String,
+      centroids: Seq[Array[Double]], maxProbe: Int): DataFrame =
+    queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+      .select(col("qid"), col("qemb"), posexplode(
+          slice(array_sort(centroidCells(col("qemb"), centroids)), 1, maxProbe)
+            .getField("cell")).as(Seq("__p", "cell")))
+      .select(col("qid"), col("qemb"), col("cell"),
+        (col("__p") + 1).as("probe_rank"))
+
+  def ivfProbe(data: DataFrame, queries: DataFrame, idCol: String, embCol: String,
+      k: Int, nProbe: Int, centroids: Seq[Array[Double]]): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.length,
+      s"nProbe $nProbe not in [1, ${centroids.length}]")
+    val listed = ivfAssign(data, idCol, embCol, centroids)
+    val probed = ivfProbeRanks(queries, idCol, embCol, centroids, nProbe)
+      .select(col("qid"), col("qemb"), col("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vec_id"))
     listed.join(broadcast(probed), "cell")
       .filter(col("vec_id") =!= col("qid"))

@@ -1,0 +1,338 @@
+package graft.operators
+
+import java.util.zip.{Adler32, CRC32, Inflater}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Real image codec for the multimodal column family — replaces the
+  * synthetic-header stub that `Multimodal` documents (reference surface:
+  * opaque media blobs with typed metadata, builder brief). Everything here
+  * is pure byte-level parsing/encoding of the PUBLIC container formats
+  * (PNG: RFC 2083 / ISO 15948; zlib/deflate: RFC 1950/1951; JPEG/JFIF:
+  * ITU-T T.81) with zero dependencies beyond `java.util.zip`'s CRC32 /
+  * Adler32 / Inflater.
+  *
+  * Encoder notes:
+  *  - `encodePng` emits a fully valid 8-bit RGB PNG: signature, IHDR with
+  *    correct CRC32, one IDAT whose zlib stream is hand-rolled STORED
+  *    deflate blocks (level-0; byte-for-byte deterministic regardless of
+  *    zlib implementation: 2-byte header, 5-byte block header per <=65535
+  *    chunk, Adler32 trailer), IEND. `javax.imageio` round-trips it
+  *    (ImageCodecSpec) — pixel-exact.
+  *  - `encodeJpegShell` emits a structurally valid JFIF header stream
+  *    (SOI, APP0, COM, SOF0, EOI) with NO entropy-coded scan: building
+  *    real DCT/Huffman data is out of scope, but every field a metadata
+  *    extractor reads (marker walk, segment lengths, SOF dimensions) is
+  *    real and ImageIO's header reader agrees on the dimensions.
+  *
+  * Decoder notes: `decodeMeta` sniffs the container by magic bytes and
+  * walks the real structure — PNG verifies the signature, the IHDR CRC and
+  * (when IDAT is present) INFLATES the pixel stream and checks it against
+  * the expected `height * (1 + width * bytesPerPixel)` filtered-scanline
+  * length; JPEG walks the marker chain skipping variable-length segments
+  * until a frame header (SOF0..15 minus DHT/JPG/DAC). A truncated or
+  * corrupted payload decodes to `ok = false`, never to a throw — at corpus
+  * scale a poison blob must not kill the stage.
+  *
+  * Scale shape: the codec runs inside `mapPartitions` (the mapInPandas
+  * batch shape, same as `Multimodal.decodePartitionwise`) so per-partition
+  * state — the reusable CRC32/Inflater instances here, a native codec
+  * handle in a real deployment — is allocated once per partition, not per
+  * row. Only fixed-width metadata rows leave the operator; pixel bytes
+  * never shuffle.
+  */
+object ImageCodec {
+
+  /** Decoded container metadata; `ok` = the payload checks out end-to-end
+    * (PNG: signature + IHDR CRC + inflated scanline length; JPEG: complete
+    * marker walk reaching SOF with sane dimensions).
+    */
+  final case class ImageMeta(format: String, width: Int, height: Int,
+      channels: Int, ok: Boolean)
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  // ---------------------------------------------------------------- encode
+
+  /** Fully valid 8-bit/channel RGB PNG. `pixels` is the raw scanline data,
+    * row-major RGB, length == width * height * 3; each scanline gets filter
+    * type 0 (None) prepended per the PNG spec.
+    */
+  def encodePng(width: Int, height: Int, pixels: Array[Byte]): Array[Byte] = {
+    require(width > 0 && height > 0, s"bad dims ${width}x$height")
+    require(pixels.length == width * height * 3,
+      s"pixels ${pixels.length} != ${width * height * 3}")
+    val raw = new Array[Byte](height * (1 + width * 3))
+    var y = 0
+    while (y < height) {
+      // raw(y * rowLen) = 0: filter None
+      System.arraycopy(pixels, y * width * 3, raw, y * (1 + width * 3) + 1,
+        width * 3)
+      y += 1
+    }
+    val ihdr = new Array[Byte](13)
+    writeIntBE(ihdr, 0, width)
+    writeIntBE(ihdr, 4, height)
+    ihdr(8) = 8   // bit depth
+    ihdr(9) = 2   // color type: truecolor RGB
+    // compression 0, filter 0, interlace 0 already zero
+    val out = new java.io.ByteArrayOutputStream(64 + raw.length)
+    out.write(PngSignature, 0, PngSignature.length)
+    writeChunk(out, "IHDR", ihdr)
+    writeChunk(out, "IDAT", zlibStored(raw))
+    writeChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic zlib stream: STORED (uncompressed) deflate blocks.
+    * Layout: 0x78 0x01 header, then per <=65535-byte chunk a 5-byte block
+    * header (BFINAL|BTYPE=00, LEN, NLEN little-endian), then the bytes,
+    * then the big-endian Adler32 of the raw data. Total length is the
+    * closed form `2 + n + 5 * ceil(n / 65535) + 4` — the oracle replays it
+    * arithmetically (q129).
+    */
+  def zlibStored(data: Array[Byte]): Array[Byte] = {
+    val blocks = math.max(1, (data.length + 65534) / 65535)
+    val out = new Array[Byte](2 + data.length + 5 * blocks + 4)
+    out(0) = 0x78; out(1) = 0x01 // CMF: deflate/32K window; FLG: no dict
+    var src = 0; var dst = 2
+    var b = 0
+    while (b < blocks) {
+      val len = math.min(65535, data.length - src)
+      out(dst) = if (b == blocks - 1) 1 else 0 // BFINAL, BTYPE=00 (stored)
+      out(dst + 1) = (len & 0xff).toByte
+      out(dst + 2) = ((len >> 8) & 0xff).toByte
+      out(dst + 3) = (~len & 0xff).toByte
+      out(dst + 4) = ((~len >> 8) & 0xff).toByte
+      System.arraycopy(data, src, out, dst + 5, len)
+      src += len; dst += 5 + len
+      b += 1
+    }
+    val adler = new Adler32()
+    adler.update(data, 0, data.length)
+    writeIntBE(out, dst, adler.getValue.toInt)
+    out
+  }
+
+  private def writeChunk(out: java.io.ByteArrayOutputStream, chunkType: String,
+      data: Array[Byte]): Unit = {
+    val len = new Array[Byte](4)
+    writeIntBE(len, 0, data.length)
+    out.write(len, 0, 4)
+    val ty = chunkType.getBytes("US-ASCII")
+    out.write(ty, 0, 4)
+    out.write(data, 0, data.length)
+    val crc = new CRC32()
+    crc.update(ty, 0, 4)
+    crc.update(data, 0, data.length)
+    val crcB = new Array[Byte](4)
+    writeIntBE(crcB, 0, crc.getValue.toInt)
+    out.write(crcB, 0, 4)
+  }
+
+  private def writeIntBE(a: Array[Byte], off: Int, v: Int): Unit = {
+    a(off) = ((v >>> 24) & 0xff).toByte
+    a(off + 1) = ((v >>> 16) & 0xff).toByte
+    a(off + 2) = ((v >>> 8) & 0xff).toByte
+    a(off + 3) = (v & 0xff).toByte
+  }
+
+  /** Structurally valid JFIF header stream — SOI, APP0 (JFIF 1.1), COM
+    * carrying `comment`, SOF0 baseline frame header with the dimensions,
+    * SOS scan header, EOI; no entropy-coded data after SOS (ImageIO's
+    * header reader requires the SOS to report dimensions, and dimension
+    * extraction never touches entropy data). Total length is the closed
+    * form `59 + comment_utf8_bytes` for 3 channels (the oracle's
+    * arithmetic): 2 (SOI) + 18 (APP0) + 4 + c (COM) +
+    * 2 + 8 + 3*channels (SOF0) + 2 + 6 + 2*channels (SOS) + 2 (EOI).
+    */
+  def encodeJpegShell(width: Int, height: Int, channels: Int,
+      comment: String): Array[Byte] = {
+    require(width > 0 && width < 65536 && height > 0 && height < 65536,
+      s"bad dims ${width}x$height")
+    val c = comment.getBytes("UTF-8")
+    require(c.length <= 65533, "comment too long for one COM segment")
+    val out = new java.io.ByteArrayOutputStream(48 + c.length)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0
+    u16(16)
+    out.write("JFIF".getBytes("US-ASCII"), 0, 4); out.write(0)
+    out.write(1); out.write(1) // version 1.1
+    out.write(0)               // density units: none
+    u16(1); u16(1)             // aspect ratio 1:1
+    out.write(0); out.write(0) // no thumbnail
+    marker(0xfe) // COM
+    u16(2 + c.length)
+    out.write(c, 0, c.length)
+    marker(0xc0) // SOF0: baseline DCT
+    u16(8 + 3 * channels)
+    out.write(8) // precision
+    u16(height); u16(width)
+    out.write(channels)
+    var i = 0
+    while (i < channels) {
+      out.write(i + 1)  // component id
+      out.write(0x11)   // 1x1 sampling
+      out.write(0)      // quant table 0
+      i += 1
+    }
+    marker(0xda) // SOS
+    u16(6 + 2 * channels)
+    out.write(channels)
+    i = 0
+    while (i < channels) {
+      out.write(i + 1) // component id
+      out.write(0)     // DC/AC table selectors
+      i += 1
+    }
+    out.write(0); out.write(63); out.write(0) // spectral selection, approx
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  /** Container sniff + full structural decode; never throws on bad input. */
+  def decodeMeta(bytes: Array[Byte]): ImageMeta = decodeMeta(bytes,
+    new CRC32(), new Inflater())
+
+  /** Variant taking reusable CRC/Inflater instances — the per-partition
+    * codec state `decodeImages` allocates once per partition.
+    */
+  def decodeMeta(bytes: Array[Byte], crc: CRC32, inf: Inflater): ImageMeta = {
+    if (bytes == null || bytes.length < 4)
+      ImageMeta("unknown", 0, 0, 0, ok = false)
+    else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes, crc, inf)
+    else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
+      decodeJpeg(bytes)
+    else ImageMeta("unknown", 0, 0, 0, ok = false)
+  }
+
+  private def u32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  private def decodePng(b: Array[Byte], crc: CRC32, inf: Inflater): ImageMeta = {
+    val bad = ImageMeta("png", 0, 0, 0, ok = false)
+    if (b.length < 33) return bad
+    var i = 0
+    while (i < 8) { if (b(i) != PngSignature(i)) return bad; i += 1 }
+    if (u32(b, 8) != 13 || !chunkTypeIs(b, 12, "IHDR")) return bad
+    val width = u32(b, 16).toInt
+    val height = u32(b, 20).toInt
+    val bitDepth = b(24) & 0xff
+    val colorType = b(25) & 0xff
+    val channels = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case 3 => 1 // palette index
+      case 4 => 2 // gray + alpha
+      case 6 => 4 // truecolor + alpha
+      case _ => 0
+    }
+    if (width <= 0 || height <= 0 || channels == 0) return bad
+    // IHDR CRC covers type + data (not the length word)
+    crc.reset()
+    crc.update(b, 12, 4 + 13)
+    if (crc.getValue != u32(b, 29))
+      return ImageMeta("png", width, height, channels, ok = false)
+    // walk chunks, concatenating IDAT payloads
+    val idat = new java.io.ByteArrayOutputStream()
+    var off = 33
+    var sawEnd = false
+    while (!sawEnd && off + 12 <= b.length) {
+      val len = u32(b, off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > b.length) return bad
+      if (chunkTypeIs(b, off + 4, "IDAT"))
+        idat.write(b, off + 8, len.toInt)
+      else if (chunkTypeIs(b, off + 4, "IEND")) sawEnd = true
+      off += 12 + len.toInt
+    }
+    if (!sawEnd) return ImageMeta("png", width, height, channels, ok = false)
+    // real decompression: the filtered pixel stream must inflate to exactly
+    // height * (1 + width * bpp) bytes (bitDepth 8; sub-byte depths round up)
+    val bpp = math.max(1, channels * bitDepth / 8)
+    val expect = height.toLong * (1L + width.toLong * bpp)
+    val data = idat.toByteArray
+    inf.reset()
+    inf.setInput(data)
+    val buf = new Array[Byte](8192)
+    var total = 0L
+    try {
+      while (!inf.finished() && total <= expect) {
+        val n = inf.inflate(buf)
+        // n == 0 without finishing: truncated stream or preset-dictionary
+        // demand — either way not a payload this encoder family produced
+        if (n == 0 && !inf.finished())
+          return ImageMeta("png", width, height, channels, ok = false)
+        total += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException =>
+        return ImageMeta("png", width, height, channels, ok = false)
+    }
+    ImageMeta("png", width, height, channels, ok = total == expect)
+  }
+
+  private def chunkTypeIs(b: Array[Byte], off: Int, t: String): Boolean =
+    b(off) == t.charAt(0).toByte && b(off + 1) == t.charAt(1).toByte &&
+      b(off + 2) == t.charAt(2).toByte && b(off + 3) == t.charAt(3).toByte
+
+  private def decodeJpeg(b: Array[Byte]): ImageMeta = {
+    val bad = ImageMeta("jpeg", 0, 0, 0, ok = false)
+    var off = 2 // past SOI
+    while (off + 4 <= b.length) {
+      if ((b(off) & 0xff) != 0xff) return bad
+      val marker = b(off + 1) & 0xff
+      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers with no length
+      } else if (marker == 0xd9) {
+        return bad // EOI before any SOF
+      } else {
+        val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+        if (len < 2 || off + 2 + len > b.length) return bad
+        val isSof = marker >= 0xc0 && marker <= 0xcf &&
+          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+        if (isSof) {
+          if (len < 8) return bad
+          val height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+          val width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+          val channels = b(off + 9) & 0xff
+          val ok = width > 0 && height > 0 && channels > 0 &&
+            len == 8 + 3 * channels
+          return ImageMeta("jpeg", width, height, channels, ok)
+        }
+        off += 2 + len
+      }
+    }
+    bad
+  }
+
+  // ------------------------------------------------------------- operators
+
+  /** Partition-wise batch decode over a binary column — the real-codec
+    * replacement for `Multimodal.decodePartitionwise`: one CRC32 + one
+    * Inflater per PARTITION (the per-partition init a native codec needs),
+    * fixed-width metadata rows out, bytes never leave the scan side.
+    */
+  def decodeImages(df: DataFrame, idCol: String, contentCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(contentCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val crc = new CRC32()
+        val inf = new Inflater()
+        rows.map { case (id, bytes) =>
+          val m = decodeMeta(bytes, crc, inf)
+          (id, m.format, m.width, m.height, m.channels,
+            if (bytes == null) 0L else bytes.length.toLong, m.ok)
+        }
+      }
+      .toDF("id", "format", "width", "height", "channels", "byte_len", "ok")
+  }
+}

@@ -1,0 +1,202 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.functions.VectorFunctions
+import graft.operators.Ann
+
+/** ANN quality audit (round 8): exact recall@k of the approximate index
+  * families against the brute-force ground truth, per configuration — the
+  * operator a 100 TB user runs to TUNE numPlanes/nProbe on measured recall
+  * before committing to an index layout. The existing ANN gates (q31/q43)
+  * prove the approximate paths are deterministic; this one measures how
+  * GOOD they are, with integer outputs (intersection and candidate counts)
+  * so the gate is a hash compare, not a tolerance.
+  *
+  * One corpus scan per index family: the sign-LSH configs share ONE fused
+  * 8-plane projection (config p's bucket is the low p bits of the packed
+  * sign word — per-plane independence makes the mask exact, the same
+  * property the banded near-dup generator exploits); the IVF configs share
+  * ONE centroid-ranking pass (config nProbe is a filter on probe_rank).
+  * Candidates then carry only (method, param, qid, vec_id) — embeddings
+  * re-attach by key for the exact re-score, queries broadcast.
+  */
+object AnnAudit {
+
+  private val q131 = QueryDef.sql(
+    "ANN recall@k audit: LSH plane counts and IVF probe widths vs brute force")(
+    """WITH pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |b AS (SELECT e.vec_id,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << pl.p ELSE 0 END) AS BIGINT) AS bits
+      |  FROM embeddings e CROSS JOIN planes pl
+      |  GROUP BY e.vec_id),
+      |lcfg AS (SELECT unnest([4, 6, 8]) AS param),
+      |bc AS (SELECT lcfg.param, b.vec_id,
+      |    b.bits & ((1::BIGINT << lcfg.param) - 1) AS bucket
+      |  FROM b CROSS JOIN lcfg),
+      |cand_lsh AS (SELECT 'lsh' AS method, q.param, q.vec_id AS qid, c.vec_id
+      |  FROM bc q JOIN bc c ON q.param = c.param AND q.bucket = c.bucket
+      |    AND c.vec_id <> q.vec_id
+      |  WHERE q.vec_id < 10),
+      |cj AS (SELECT c.c AS c, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS c) c
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w2 AS (SELECT c, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('centroid_' || c || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM cj),
+      |cents AS (SELECT c, list(wv ORDER BY j) AS cl FROM w2 GROUP BY c),
+      |cents2 AS (SELECT c, cl,
+      |    list_sum(list_transform(cl, x -> x * x)) AS c2 FROM cents),
+      |d AS (SELECT e.vec_id, ct.c,
+      |    list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * ct.cl[j])) * -2.0 + ct.c2 AS d
+      |  FROM embeddings e CROSS JOIN cents2 ct),
+      |assign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d) WHERE rn = 1),
+      |qrank AS (SELECT vec_id AS qid, c AS cell, rn FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM d WHERE vec_id < 10) WHERE rn <= 4),
+      |icfg AS (SELECT unnest([1, 2, 4]) AS param),
+      |cand_ivf AS (SELECT 'ivf' AS method, icfg.param, qr.qid, a.vec_id
+      |  FROM qrank qr JOIN icfg ON qr.rn <= icfg.param
+      |  JOIN assign a ON a.cell = qr.cell AND a.vec_id <> qr.qid),
+      |allcand AS (SELECT * FROM cand_lsh UNION ALL SELECT * FROM cand_ivf),
+      |scored AS (SELECT a.method, a.param, a.qid, a.vec_id,
+      |    cast(list_cosine_similarity(
+      |      list_transform(e2.embedding, x -> x::DOUBLE),
+      |      list_transform(q2.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |  FROM allcand a
+      |  JOIN embeddings e2 ON e2.vec_id = a.vec_id
+      |  JOIN embeddings q2 ON q2.vec_id = a.qid),
+      |topk AS (SELECT method, param, qid, vec_id FROM (
+      |    SELECT method, param, qid, vec_id,
+      |      row_number() OVER (PARTITION BY method, param, qid
+      |                         ORDER BY sim DESC, vec_id) AS rn
+      |    FROM scored) WHERE rn <= 5),
+      |bscored AS (SELECT q.vec_id AS qid, e.vec_id AS vec_id,
+      |    cast(list_cosine_similarity(
+      |      list_transform(e.embedding, x -> x::DOUBLE),
+      |      list_transform(q.embedding, x -> x::DOUBLE)) AS REAL) AS sim
+      |  FROM embeddings e, (SELECT * FROM embeddings WHERE vec_id < 10) q
+      |  WHERE e.vec_id <> q.vec_id),
+      |brute AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+      |    FROM bscored) WHERE rn <= 5),
+      |hits AS (SELECT t.method, t.param, count(*) AS hits
+      |  FROM topk t JOIN brute b ON t.qid = b.qid AND t.vec_id = b.vec_id
+      |  GROUP BY 1, 2),
+      |cc AS (SELECT method, param, count(*) AS candidates
+      |  FROM allcand GROUP BY 1, 2),
+      |spine AS (SELECT 'lsh' AS method, unnest([4, 6, 8]) AS param
+      |  UNION ALL SELECT 'ivf', unnest([1, 2, 4]))
+      |SELECT s.method, CAST(s.param AS INT) AS param, CAST(5 AS INT) AS k,
+      |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+      |  CAST(coalesce(cc.candidates, 0) AS BIGINT) AS candidates
+      |FROM spine s
+      |LEFT JOIN hits h ON h.method = s.method AND h.param = s.param
+      |LEFT JOIN cc ON cc.method = s.method AND cc.param = s.param
+      |ORDER BY s.method, s.param""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val k = 5
+    val emb = Tables(s, dir).embeddingsFanned
+    val base = emb.select($"vec_id", $"embedding")
+    val queries = base.filter($"vec_id" < 10)
+      .select($"vec_id".as("qid"), $"embedding".as("qe"))
+
+    // brute-force ground truth: top-k over the full corpus per query
+    val wq = Window.partitionBy($"qid").orderBy($"sim".desc, $"vec_id")
+    val brute = base.crossJoin(broadcast(queries))
+      .filter($"vec_id" =!= $"qid")
+      .select($"qid", $"vec_id",
+        VectorFunctions.cosineSim($"embedding", $"qe").cast("float").as("sim"))
+      .withColumn("rn", row_number().over(wq)).filter($"rn" <= k)
+      .select($"qid", $"vec_id")
+
+    // sign-LSH: one fused 8-plane projection; config p = low p bits
+    val planes = Ann.portableHyperplanes(dim = 64, numPlanes = 8)
+    val lshConfigs = Seq(4, 6, 8)
+    def lshBuckets(df: org.apache.spark.sql.DataFrame, idAs: String) = {
+      val slices = lshConfigs.map(p => struct(lit(p).as("param"),
+        $"__bits".bitwiseAND(lit((1L << p) - 1)).as("bucket")))
+      df.select(col("vec_id").as(idAs),
+          Ann.bucketIdPortable($"embedding", planes).as("__bits"))
+        .select(col(idAs), explode(array(slices: _*)).as("bk"))
+        .select(col(idAs), $"bk.param".as("param"), $"bk.bucket".as("bucket"))
+    }
+    val candLsh = lshBuckets(base, "vec_id")
+      .join(broadcast(lshBuckets(base.filter($"vec_id" < 10), "qid")),
+        Seq("param", "bucket"))
+      .filter($"vec_id" =!= $"qid")
+      .select(lit("lsh").as("method"), $"param", $"qid", $"vec_id")
+
+    // IVF: one centroid-ranking pass; config nProbe = probe_rank filter
+    val centroids = Ann.portableCentroids(dim = 64, nLists = 8)
+    val ivfConfigs = Seq(1, 2, 4)
+    val assign = Ann.ivfAssign(base, "vec_id", "embedding", centroids)
+      .select($"vec_id", $"cell")
+    val probeRanks = Ann.ivfProbeRanks(base.filter($"vec_id" < 10),
+        "vec_id", "embedding", centroids, maxProbe = 4)
+      .select($"qid", $"cell", $"probe_rank")
+    val probeCfg = probeRanks
+      .crossJoin(broadcast(ivfConfigs.toDF("param")))
+      .filter($"probe_rank" <= $"param")
+      .select($"param", $"qid", $"cell")
+    val candIvf = assign.join(broadcast(probeCfg), Seq("cell"))
+      .filter($"vec_id" =!= $"qid")
+      .select(lit("ivf").as("method"), $"param", $"qid", $"vec_id")
+
+    // exact re-score of every candidate, top-k per (config, query)
+    val allCand = candLsh.unionAll(candIvf)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wc = Window.partitionBy($"method", $"param", $"qid")
+      .orderBy($"sim".desc, $"vec_id")
+    val topk = allCand
+      .join(base.select($"vec_id", $"embedding".as("emb")), Seq("vec_id"))
+      .join(broadcast(queries), Seq("qid"))
+      .select($"method", $"param", $"qid", $"vec_id",
+        VectorFunctions.cosineSim($"emb", $"qe").cast("float").as("sim"))
+      .withColumn("rn", row_number().over(wc)).filter($"rn" <= k)
+      .select($"method", $"param", $"qid", $"vec_id")
+
+    val hits = topk.join(brute, Seq("qid", "vec_id"))
+      .groupBy($"method", $"param").agg(count(lit(1)).as("hits"))
+    val candCounts = allCand.groupBy($"method", $"param")
+      .agg(count(lit(1)).as("candidates"))
+
+    // config spine keeps zero-recall configs in the result
+    val spine = (lshConfigs.map(("lsh", _)) ++ ivfConfigs.map(("ivf", _)))
+      .toDF("method", "param")
+    spine
+      .join(hits, Seq("method", "param"), "left")
+      .join(candCounts, Seq("method", "param"), "left")
+      .select($"method", $"param".cast("int").as("param"),
+        lit(k).cast("int").as("k"),
+        coalesce($"hits", lit(0L)).as("hits"),
+        coalesce($"candidates", lit(0L)).as("candidates"))
+      .smallOrdered($"method", $"param")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q131_ann_recall" -> q131
+  )
+}

@@ -381,7 +381,16 @@ object Features {
       |  events, (ending - events)::BIGINT AS censored
       |FROM b ORDER BY interval_start_day""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val spark = s
+    lifeTable(s, dir).smallOrdered($"interval_start_day")
+  }
+
+  /** The unordered life-table frame (interval_start_day, at_risk, events,
+    * censored) — shared by q126 (the table itself) and q132 (the
+    * Kaplan-Meier product over it).
+    */
+  private def lifeTable(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
     import graft.core.Tables.{epochUs => eus}
     val dayUs = 86400000000L
     val span = Tables(s, dir).orders
@@ -402,6 +411,66 @@ object Features {
     b.select(($"bucket" * 30L).as("interval_start_day"),
         sum($"ending").over(w).as("at_risk"), $"events",
         ($"ending" - $"events").as("censored"))
+  }
+
+  /** Kaplan-Meier survival curve over the q126 life table, EXACT: the
+    * product Π (1 − dᵢ/nᵢ) as a scaled-integer recurrence
+    * sᵢ = ⌊sᵢ₋₁ · (nᵢ − dᵢ) / nᵢ⌋ from s₀ = 10¹², computed in arbitrary
+    * precision (BigInt / HUGEINT) so the floored BIGINT output is
+    * bit-identical across engines at ANY population size — the same
+    * fixed-point regime as PageRank (q93). The recurrence is inherently
+    * sequential over the ~lifetime/30 interval rows, so after the
+    * distributed life-table aggregation the fold runs on the driver over
+    * a frame bounded by construction (the same bounded-collect class as
+    * the 2×2 confusion matrix); the oracle replays it with a recursive
+    * CTE.
+    */
+  private val q132 = QueryDef.sql(
+    "Kaplan-Meier survival product over the life table, exact fixed-point")(
+    """WITH RECURSIVE span AS (
+      |  SELECT o_custkey AS c, epoch_us(min(o_orderdate)) AS f,
+      |         epoch_us(max(o_orderdate)) AS l
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT max(l) AS m FROM span),
+      |per AS (
+      |  SELECT c, (l - f) // 86400000000 // 30 AS bucket,
+      |    CASE WHEN (SELECT m FROM mx) - l > 90 * 86400000000 THEN 1 ELSE 0
+      |    END AS churned
+      |  FROM span),
+      |b AS (SELECT bucket, count(*) AS ending,
+      |             sum(churned)::BIGINT AS events
+      |      FROM per GROUP BY 1),
+      |lt AS (
+      |  SELECT CAST(bucket * 30 AS BIGINT) AS interval_start_day,
+      |    sum(ending) OVER (ORDER BY bucket DESC
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS at_risk,
+      |    events,
+      |    row_number() OVER (ORDER BY bucket) AS rn
+      |  FROM b),
+      |km AS (
+      |  SELECT rn, interval_start_day, at_risk, events,
+      |    (1000000000000::HUGEINT * (at_risk - events)::HUGEINT)
+      |      // at_risk::HUGEINT AS s
+      |  FROM lt WHERE rn = 1
+      |  UNION ALL
+      |  SELECT lt.rn, lt.interval_start_day, lt.at_risk, lt.events,
+      |    (km.s * (lt.at_risk - lt.events)::HUGEINT) // lt.at_risk::HUGEINT
+      |  FROM km JOIN lt ON lt.rn = km.rn + 1)
+      |SELECT interval_start_day, at_risk, events,
+      |  CAST(s AS BIGINT) AS survival_fp
+      |FROM km ORDER BY interval_start_day""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    // bounded by construction: one row per 30-day lifetime interval
+    val rows = lifeTable(s, dir)
+      .select($"interval_start_day", $"at_risk", $"events")
+      .orderBy($"interval_start_day").collect()
+    var surv = BigInt(1000000000000L)
+    val folded = rows.map { r =>
+      val (isd, n, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      surv = surv * BigInt(n - d) / BigInt(n)
+      (isd, n, d, surv.toLong)
+    }.toSeq
+    folded.toDF("interval_start_day", "at_risk", "events", "survival_fp")
       .smallOrdered($"interval_start_day")
   }
 
@@ -482,6 +551,7 @@ object Features {
     "q125_bigram_surprisal" -> q125,
     "q126_survival_lifetable" -> q126,
     "q127_join_cardinality" -> q127,
-    "q128_embedding_dispersion" -> q128
+    "q128_embedding_dispersion" -> q128,
+    "q132_kaplan_meier" -> q132
   )
 }

@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.ImageCodec
+
+/** Multimodal queries over REAL container formats (round 8): the synthetic-
+  * header stub pipeline (q30) now has a real-codec sibling — every byte the
+  * operator reads or writes is genuine PNG (RFC 2083 + RFC 1950/1951 zlib)
+  * or JFIF/JPEG (ITU-T T.81) structure, parsed by `operators.ImageCodec`
+  * with nothing beyond `java.util.zip`.
+  *
+  * Gate design: the encoder derives each fixture's dimensions and payload
+  * deterministically from the document row, so the DuckDB oracle replays
+  * the DECODED output arithmetically (dims from the source columns, byte
+  * sizes from the containers' closed-form layout: stored-block zlib length
+  * `raw + 11` for one block, JFIF shell length `59 + comment bytes`). A
+  * decoder that mis-parses any header field, skips a marker wrong, fails
+  * the IHDR CRC, or inflates to the wrong scanline length diverges from
+  * the oracle — the round-trip through real bytes IS the test.
+  *
+  * Scale shape: encode and decode both run partition-wise (`mapPartitions`
+  * — the mapInPandas batch shape) with per-partition codec state; only
+  * fixed-width metadata rows leave the scan side, pixel bytes never
+  * shuffle. At 100 TB the same plan reads blobs from a binary column and
+  * emits ~40-byte rows.
+  */
+object Media {
+
+  /** Real-codec roundtrip: per document build a genuine PNG (even doc_id;
+    * RGB pixels cycled from the utf-8 text bytes) or a JFIF header stream
+    * (odd doc_id; COM segment carrying the source string), then decode
+    * with the full structural parser — signature, IHDR CRC, zlib inflate
+    * + scanline-length check on the PNG side; the marker walk to SOF0 on
+    * the JPEG side.
+    */
+  private val q129 = QueryDef.sql(
+    "real PNG/JPEG codec roundtrip: encode from row data, structurally decode")(
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+      |  CAST(n_chars % 32 + 1 AS INT) AS width,
+      |  CAST(doc_id % 32 + 1 AS INT) AS height,
+      |  CAST(3 AS INT) AS channels,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN 68 + (doc_id % 32 + 1) * (1 + 3 * (n_chars % 32 + 1))
+      |    ELSE 59 + octet_length(encode(source)) END AS BIGINT) AS byte_len,
+      |  CAST(1 AS INT) AS ok
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+      .select($"doc_id", $"n_chars", $"text", $"source")
+      .as[(Long, Long, String, String)]
+    // partition-wise ENCODE: real containers from deterministic row data
+    val packed = docs.mapPartitions { rows =>
+      rows.map { case (id, nChars, text, source) =>
+        val w = (nChars % 32 + 1).toInt
+        val h = (id % 32 + 1).toInt
+        val bytes =
+          if (id % 2 == 0) {
+            val tb0 = text.getBytes("UTF-8")
+            val tb = if (tb0.isEmpty) Array[Byte](0) else tb0
+            val px = new Array[Byte](w * h * 3)
+            var i = 0
+            while (i < px.length) { px(i) = tb(i % tb.length); i += 1 }
+            ImageCodec.encodePng(w, h, px)
+          } else ImageCodec.encodeJpegShell(w, h, 3, source)
+        (id, bytes)
+      }
+    }.toDF("doc_id", "content")
+    // partition-wise DECODE through the real structural parser
+    ImageCodec.decodeImages(packed, "doc_id", "content")
+      .select($"id".as("doc_id"), $"format", $"width", $"height", $"channels",
+        $"byte_len", when($"ok", 1).otherwise(0).cast("int").as("ok"))
+      .cachedOrdered($"doc_id")
+  }
+
+  val defs: Seq[(String, QueryDef)] = Seq(
+    "q129_image_codec" -> q129
+  )
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import javax.imageio.ImageIO
+
+import graft.SparkSpec
+
+class ImageCodecSpec extends SparkSpec {
+
+  private def testPixels(w: Int, h: Int): Array[Byte] =
+    Array.tabulate(w * h * 3)(i => ((i * 31 + 7) & 0xff).toByte)
+
+  test("encodePng emits a PNG that javax.imageio decodes pixel-exactly") {
+    val (w, h) = (13, 7)
+    val px = testPixels(w, h)
+    val bytes = ImageCodec.encodePng(w, h, px)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse the encoded PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rgb = img.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((rgb >> 16) & 0xff) == (px(base) & 0xff), s"R at ($x,$y)")
+      assert(((rgb >> 8) & 0xff) == (px(base + 1) & 0xff), s"G at ($x,$y)")
+      assert((rgb & 0xff) == (px(base + 2) & 0xff), s"B at ($x,$y)")
+    }
+  }
+
+  test("decodeMeta parses own PNG, verifies CRC and inflated payload length") {
+    val bytes = ImageCodec.encodePng(32, 17, testPixels(32, 17))
+    val m = ImageCodec.decodeMeta(bytes)
+    assert(m == ImageCodec.ImageMeta("png", 32, 17, 3, ok = true))
+    // closed-form container size: 68 + height * (1 + 3 * width) at one block
+    assert(bytes.length == 68 + 17 * (1 + 3 * 32))
+  }
+
+  test("decodeMeta parses a foreign PNG (ImageIO-encoded, real deflate)") {
+    // round the other way: a PNG produced by the JDK's own encoder (dynamic
+    // deflate, different chunking) must decode identically — the parser
+    // handles PNGs it didn't produce
+    val img = new java.awt.image.BufferedImage(21, 9,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 9; x <- 0 until 21) img.setRGB(x, y, (x * 13 + y) << 8)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val m = ImageCodec.decodeMeta(out.toByteArray)
+    assert(m.format == "png" && m.width == 21 && m.height == 9 && m.ok)
+  }
+
+  test("corrupted PNG fails closed, not with a throw") {
+    val bytes = ImageCodec.encodePng(8, 8, testPixels(8, 8))
+    val flippedCrc = bytes.clone(); flippedCrc(30) = (flippedCrc(30) ^ 0x01).toByte
+    assert(!ImageCodec.decodeMeta(flippedCrc).ok, "IHDR CRC flip must fail")
+    val truncated = bytes.take(bytes.length - 30)
+    assert(!ImageCodec.decodeMeta(truncated).ok, "truncated IDAT must fail")
+    val garbage = Array.fill[Byte](64)(0x42)
+    assert(ImageCodec.decodeMeta(garbage).format == "unknown")
+    assert(!ImageCodec.decodeMeta(Array.emptyByteArray).ok)
+  }
+
+  test("encodeJpegShell emits a marker stream the walker and ImageIO agree on") {
+    val bytes = ImageCodec.encodeJpegShell(640, 480, 3, "hello jpeg")
+    val m = ImageCodec.decodeMeta(bytes)
+    assert(m == ImageCodec.ImageMeta("jpeg", 640, 480, 3, ok = true))
+    assert(bytes.length == 59 + "hello jpeg".getBytes("UTF-8").length)
+    // ImageIO's JPEG reader parses dimensions from the header without a scan
+    val iis = ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val readers = ImageIO.getImageReaders(iis)
+    assert(readers.hasNext, "no ImageIO JPEG reader recognized the stream")
+    val r = readers.next()
+    r.setInput(iis)
+    assert(r.getWidth(0) == 640 && r.getHeight(0) == 480)
+    r.dispose()
+  }
+
+  test("jpeg walker skips padded/multi-segment streams and rejects scanless EOI") {
+    // insert an extra COM before SOF: the walk must skip it by length
+    val base = ImageCodec.encodeJpegShell(100, 50, 1, "abc")
+    assert(ImageCodec.decodeMeta(base).channels == 1)
+    // EOI with no SOF at all
+    val noSof = Array(0xff, 0xd8, 0xff, 0xd9).map(_.toByte)
+    assert(!ImageCodec.decodeMeta(noSof).ok)
+  }
+
+  test("zlibStored spans multiple blocks past 65535 bytes and still inflates") {
+    val data = Array.tabulate(150000)(i => (i % 251).toByte)
+    val z = ImageCodec.zlibStored(data)
+    assert(z.length == 2 + data.length + 5 * 3 + 4) // ceil(150000/65535) = 3
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(z)
+    val out = new Array[Byte](data.length + 1)
+    val n = inf.inflate(out)
+    assert(inf.finished() && n == data.length)
+    assert(out.take(n).sameElements(data))
+  }
+
+  test("decodeImages runs the codec partition-wise over a binary column") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L until 40L).map { id =>
+      val w = (id % 5 + 2).toInt; val h = (id % 3 + 2).toInt
+      val bytes =
+        if (id % 2 == 0) ImageCodec.encodePng(w, h, testPixels(w, h))
+        else ImageCodec.encodeJpegShell(w, h, 3, s"doc $id")
+      (id, bytes)
+    }
+    val df = rows.toDF("id", "content").repartition(4)
+    val got = ImageCodec.decodeImages(df, "id", "content")
+      .orderBy("id").collect()
+    assert(got.length == 40)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(r.getInt(2) == (id % 5 + 2).toInt)
+      assert(r.getInt(3) == (id % 3 + 2).toInt)
+      assert(r.getInt(4) == 3)
+      assert(r.getBoolean(6))
+    }
+  }
+}
