@@ -37,8 +37,20 @@ object Compaction {
     spark.read.parquet(dir).repartition(nOut)
       .write.mode("overwrite").parquet(tmp.toString)
 
-    // atomic swap: old dir out, new dir in; the .old dir is removed last so
-    // a crash mid-swap leaves a recoverable copy
+    atomicReplace(fs, path, tmp)
+
+    val after = fs.listStatus(path).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    CompactionResult(filesBefore, after, totalBytes)
+  }
+
+  /** Swap `tmp` in as `path` atomically-from-a-reader's-view: old dir out,
+    * new dir in; the .old dir is removed last so a crash mid-swap leaves a
+    * recoverable copy. Shared by dataset compaction (above) and the
+    * substring-index store compaction (`SubstringDedup.compactStore`).
+    */
+  def atomicReplace(fs: org.apache.hadoop.fs.FileSystem, path: Path,
+      tmp: Path): Unit = {
     val old = new Path(path.getParent, s".${path.getName}.old")
     if (fs.exists(old)) fs.delete(old, true)
     if (!fs.rename(path, old))
@@ -48,9 +60,5 @@ object Compaction {
       throw new java.io.IOException(s"compaction swap-in to $path failed")
     }
     fs.delete(old, true)
-
-    val after = fs.listStatus(path).toSeq
-      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-    CompactionResult(filesBefore, after, totalBytes)
   }
 }

@@ -88,6 +88,51 @@ object SubstringDedup {
     matches
   }
 
+  /** Compaction + optional age-out for the incremental window-hash store.
+    * `incrementalMatches` appends one parquet directory-full of small
+    * files per run; at daily-ingest scale the store becomes the scan
+    * bottleneck (one task + footer read per file) and, should two runs
+    * ever race the snapshot, can carry duplicate hash rows. Compaction
+    * rewrites the store as ~`targetBytes` files with EXACTLY one row per
+    * hash — the (id, i)-minimal sighting, the same rule
+    * `incrementalMatches` applies in-batch, so racey duplicates converge
+    * to the contract instead of being frozen in. `retain` optionally
+    * age-outs hashes by their first sighting (e.g. `col("id") >= cutoff`
+    * when ingest ids are time-ordered): a dropped hash's next appearance
+    * re-seeds the store as a fresh first sighting. The swap is the same
+    * write-sibling-then-rename dance as dataset compaction — a reader
+    * never observes a partial store.
+    *
+    * Scale shape: one groupBy on the 20-byte (h, id, i) rows — the store
+    * never carries text — then a round-robin repartition to the target
+    * file count. Idempotent: re-compacting a compacted store is a cheap
+    * no-op-shaped pass.
+    */
+  def compactStore(spark: org.apache.spark.sql.SparkSession,
+      indexStorePath: String, targetBytes: Long = 128L * 1024 * 1024,
+      retain: Option[org.apache.spark.sql.Column] = None): Compaction.CompactionResult = {
+    val path = new org.apache.hadoop.fs.Path(indexStorePath)
+    val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(path)) return Compaction.CompactionResult(0, 0, 0L)
+    val dataFiles = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val totalBytes = dataFiles.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val deduped = spark.read.parquet(indexStorePath)
+      .groupBy(col("h"))
+      .agg(min(struct(col("id"), col("i"))).as("__f"))
+      .select(col("h"), col("__f.id").as("id"), col("__f.i").as("i"))
+    val kept = retain.fold(deduped)(deduped.filter)
+    val tmp = new org.apache.hadoop.fs.Path(path.getParent,
+      s".${path.getName}.compacting")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    kept.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    Compaction.atomicReplace(fs, path, tmp)
+    val after = fs.listStatus(path).toSeq
+      .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    Compaction.CompactionResult(dataFiles.size, after, totalBytes)
+  }
+
   /** Maximal repeated token spans per document: (id, start, end) in
     * 1-based token positions, end = start of the LAST repeated window in
     * the span (the span covers tokens [start, end + minLen - 1]).
