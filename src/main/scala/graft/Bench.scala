@@ -243,10 +243,55 @@ object Bench {
     val totalCpu = results.collect { case (_, w, c, _) if w >= 0 => c }.sum
     val rb = rebenched.map { case (k, v) => "\"" + k + "\":" + d2(v) }
       .mkString("{", ",", "}")
+    // Direct-JVM re-run (round-7 verdict ask): the driver invokes this main
+    // through sbt, whose overhead has repeatedly inflated per-query walls
+    // 2-4x vs a bare JVM of the same commit (BENCHCMP.md). Re-exec the
+    // identical suite in a child JVM — same flags (RuntimeMXBean input
+    // args), same classpath, same env — and carry its suite totals as two
+    // extra fields on the contract line, so every round's artifact holds
+    // BOTH the loaded-harness walls and the bare-JVM walls. The child's
+    // own per-query lines go to stderr for adjudication; the guard env var
+    // stops recursion. SPARK_GRAFT_DIRECT=false skips (local A/B loops).
+    val direct: String =
+      if (sys.env.contains("GRAFT_BENCH_CHILD") ||
+          sys.env.get("SPARK_GRAFT_DIRECT").contains("false")) ""
+      else try {
+        import scala.jdk.CollectionConverters._
+        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+          .getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(System.getProperty("java.home") + "/bin/java") ++
+          jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"),
+          "graft.Bench")
+        val pb = new ProcessBuilder(cmd: _*)
+        pb.environment().put("GRAFT_BENCH_CHILD", "1")
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val p = pb.start()
+        val lines = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toVector
+        val rc = if (p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES))
+          p.exitValue()
+        else { p.destroyForcibly(); -1 }
+        val contract = lines.reverse.find(_.startsWith("{\"metric\""))
+        def field(name: String): Option[String] = contract.flatMap { l =>
+          ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(l).map(_.group(1))
+        }
+        (field("value"), field("cpu_total")) match {
+          case (Some(w), Some(c)) if rc == 0 =>
+            s""","djvm_total":$w,"djvm_cpu":$c"""
+          case _ =>
+            System.err.println(s"BENCH directjvm child failed rc=$rc")
+            s""","djvm_total":-1"""
+        }
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(s"BENCH directjvm spawn failed: $e")
+          s""","djvm_total":-1"""
+      }
     println(s"""{"diag":"bench","wall_sec":$fullNames,"cpu_sec":$cpus2,""" +
       s""""load_avg":$loads,"rebenched":$rb}""")
     println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,""" +
-      s""""cpu_total":${d2(totalCpu)},"ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps,"sf":"$sfDir"}""")
+      s""""cpu_total":${d2(totalCpu)},"ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps$direct,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -7,15 +7,16 @@ import graft.core.Tables
 import graft.streaming.TemporalStreams
 
 /** Streaming operators under the BATCH oracle gate (round 8): the same
-  * DuckDB SQL that gates the batch SCD2 operator (q95) gates the
-  * `flatMapGroupsWithState` implementation here — the stream's closed
-  * versions come out of the append-mode sink, the OPEN version per key is
-  * read back from the checkpoint's state store via Spark's state data
-  * source (`spark.read.format("statestore")`), and their union must be
-  * row-identical to the batch window plan. Cross-batch incrementality is
-  * real: the event log is fed through a MemoryStream in multiple
-  * micro-batches, so every version that spans a batch boundary exercises
-  * the state fold, not the in-batch sort.
+  * DuckDB SQL that gates a batch operator gates its
+  * `flatMapGroupsWithState` sibling — closed rows come out of the
+  * append-mode sink, the OPEN state per key is read back from the
+  * checkpoint via Spark's state data source
+  * (`spark.read.format("statestore")`), and their union must be
+  * row-identical to the batch plan. Two gates: SCD2 versions (q130, vs
+  * q95's oracle) and merged interval islands (q133, vs q96's). Cross-batch
+  * incrementality is real: the event log is fed through a MemoryStream in
+  * multiple micro-batches, so every version/island that spans a batch
+  * boundary exercises the state fold, not the in-batch sort.
   *
   * Harness note: the driver's gate calls a (SparkSession, dir) => DataFrame
   * builder, so the event drip is driver-side by necessity (collect +
@@ -27,36 +28,11 @@ import graft.streaming.TemporalStreams
   */
 object StreamGate {
 
-  /** Same oracle text as q95 (Temporal.scala) — the point of the gate: one
-    * SQL, two engines, two execution models (batch window vs incremental
-    * state fold), three-way hash equality.
-    */
-  private val Scd2OracleSql =
-    """WITH o AS (
-      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
-      |    lag(event_type) OVER (PARTITION BY user_id
-      |                          ORDER BY epoch_us(ts), event_id) AS prev
-      |  FROM events),
-      |m AS (
-      |  SELECT user_id, event_type, ts_us,
-      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
-      |             THEN 1 ELSE 0 END)
-      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
-      |  FROM o),
-      |g AS (
-      |  SELECT user_id, version, min(event_type) AS state,
-      |         min(ts_us) AS valid_from
-      |  FROM m GROUP BY 1, 2)
-      |SELECT user_id, state, valid_from,
-      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
-      |    AS valid_to,
-      |  version
-      |FROM g ORDER BY user_id, version""".stripMargin
-
   private val q130 = QueryDef.sql(
     "streaming SCD2 (flatMapGroupsWithState + state-store readback) vs the batch oracle")(
-    Scd2OracleSql) { (s, dir) =>
+    // the EXACT oracle text gating the batch q95: one SQL, two engines,
+    // two execution models (batch window vs incremental state fold)
+    Temporal.Scd2OracleSql) { (s, dir) =>
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     // event drip: global (ts, event_id) order sliced into micro-batches
@@ -101,6 +77,49 @@ object StreamGate {
     out
   }
 
+  private val q133 = QueryDef.sql(
+    "streaming interval islands (state-store open island + closed emits) vs the batch oracle")(
+    // the batch q96's exact oracle: the stream emits CLOSED islands in
+    // append mode, the open island per key comes from the state store, and
+    // per-user aggregates over their union must equal the batch window plan
+    Temporal.IslandsOracleSql) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val durUs = 300000000L
+    val typed = Tables(s, dir).events
+      .select($"user_id", Tables.epochUs($"ts").as("ts_us"))
+      .as[TemporalStreams.IntervalEvent]
+      .collect()
+      .sortBy(_.ts_us)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-isl-gate-")
+    val sink = "isl_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[TemporalStreams.IntervalEvent]
+    val q = TemporalStreams.intervalIslands(input.toDS(), durUs)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
+        input.addData(chunk.toIndexedSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val closed = s.table(sink).select($"user_id", $"len_us")
+    val open = s.read.format("statestore").load(ckpt.toString)
+      .select($"key.value".as("user_id"),
+        ($"value.groupState.end" - $"value.groupState.start").as("len_us"))
+    val out = closed.unionAll(open)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_islands"), sum($"len_us").as("covered_us"),
+        max($"len_us").as("longest_us"))
+      .repartition(1).sortWithinPartitions($"user_id")
+      .localCheckpoint()
+    s.catalog.dropTempView(sink)
+    deleteRecursively(ckpt.toFile)
+    out
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -108,6 +127,7 @@ object StreamGate {
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q130_streaming_scd2" -> q130
+    "q130_streaming_scd2" -> q130,
+    "q133_streaming_islands" -> q133
   )
 }

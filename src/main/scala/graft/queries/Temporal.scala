@@ -19,8 +19,10 @@ object Temporal {
     * a NULL valid_to. The production shape for building type-2 dimensions
     * from CDC/event logs.
     */
-  private val q95 = QueryDef.sql(
-    "SCD2 state history: versioned validity intervals per user")(
+  /** Shared with the streaming gate (StreamGate q130): ONE oracle text
+    * gating both the batch window plan and the incremental state fold.
+    */
+  val Scd2OracleSql: String =
     """WITH o AS (
       |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
       |    lag(event_type) OVER (PARTITION BY user_id
@@ -41,7 +43,11 @@ object Temporal {
       |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
       |    AS valid_to,
       |  version
-      |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      |FROM g ORDER BY user_id, version""".stripMargin
+
+  private val q95 = QueryDef.sql(
+    "SCD2 state history: versioned validity intervals per user")(
+    Scd2OracleSql) { (s, dir) =>
     import s.implicits._
     TemporalOps.scd2History(Tables(s, dir).events,
         keyCol = "user_id", stateCol = "event_type",
@@ -53,8 +59,10 @@ object Temporal {
     * count and longest contiguous stretch — the "active time" metric that
     * naive per-event summation double-counts.
     */
-  private val q96 = QueryDef.sql(
-    "gaps-and-islands: merged 5-minute activity coverage per user")(
+  /** Shared with the streaming gate (StreamGate q133) — same one-oracle,
+    * two-execution-models contract as [[Scd2OracleSql]].
+    */
+  val IslandsOracleSql: String =
     """WITH iv AS (
       |  SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + 300000000 AS e
       |  FROM events),
@@ -74,7 +82,11 @@ object Temporal {
       |       max(len) AS longest_us
       |FROM (SELECT user_id, island, max(e) - min(s) AS len
       |      FROM m GROUP BY 1, 2)
-      |GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  private val q96 = QueryDef.sql(
+    "gaps-and-islands: merged 5-minute activity coverage per user")(
+    IslandsOracleSql) { (s, dir) =>
     import s.implicits._
     TemporalOps.intervalCoverage(Tables(s, dir).events,
         keyCol = "user_id", tsCol = "ts", durUs = 300000000L)
