@@ -1,5 +1,7 @@
 package graft.queries
 
+import org.apache.spark.sql.functions._
+
 import graft.core.Tables
 import graft.operators.BpeTrain
 
@@ -27,8 +29,30 @@ object Tokenizer {
       .smallOrdered($"step")
   }
 
+  /** Corpus token histogram under the LEARNED tokenizer: apply the q134
+    * merge table to the word frame and count resulting subword tokens,
+    * corpus-weighted — top 20 with tie-break. The full learn → segment →
+    * count chain under one exact gate: a tokenizer that merely "looks
+    * learned" but segments differently diverges here even if its merge
+    * table matches.
+    */
+  private val q135 = QueryDef.sql(
+    "token histogram under the learned BPE tokenizer: top-20 subword counts")(
+    BpeOracle.segmentationSql(MergeSteps, topN = 20)) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+    val merges = BpeTrain.learnMerges(docs, "text", MergeSteps)
+    BpeTrain.applyMerges(BpeTrain.wordFrequencies(docs, "text"), "w", merges)
+      .select(explode(split(trim($"w"), "  ")).as("token"), $"freq")
+      .groupBy($"token").agg(sum($"freq").as("n_tokens"))
+      .orderBy($"n_tokens".desc, $"token")
+      .limit(20)
+      .smallOrdered($"n_tokens".desc, $"token")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q134_bpe_merges" -> q134
+    "q134_bpe_merges" -> q134,
+    "q135_bpe_token_histogram" -> q135
   )
 }
 
@@ -37,6 +61,27 @@ object Tokenizer {
   */
 private object BpeOracle {
   def sql(k: Int): String = {
+    val union = (1 to k)
+      .map(i => s"SELECT CAST($i AS INT) AS step, l, r, m AS merged, " +
+        s"cnt AS pair_count FROM b$i")
+      .mkString("\n|  UNION ALL ")
+    (chain(k) +
+      s"""
+         |SELECT * FROM (
+         |  $union
+         |) ORDER BY step""").stripMargin
+  }
+
+  /** Token counts after the k merges — the segmentation gate (q135). */
+  def segmentationSql(k: Int, topN: Int): String =
+    (chain(k) +
+      s"""
+         |SELECT token, sum(freq)::BIGINT AS n_tokens FROM (
+         |  SELECT unnest(string_split(trim(w), '  ')) AS token, freq FROM w$k)
+         |GROUP BY token ORDER BY n_tokens DESC, token LIMIT $topN""").stripMargin
+
+  /** The shared WITH chain: wN = words after N merges, bN = step N's argmax. */
+  private def chain(k: Int): String = {
     val base =
       """WITH w0 AS MATERIALIZED (
         |  SELECT ' ' || array_to_string(list_transform(range(1, length(wd) + 1),
@@ -57,14 +102,6 @@ private object BpeOracle {
          |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
          |    ' ' || (SELECT m FROM b$i) || ' ') AS w, freq FROM w${i - 1})""".stripMargin
     }.mkString
-    val union = (1 to k)
-      .map(i => s"SELECT CAST($i AS INT) AS step, l, r, m AS merged, " +
-        s"cnt AS pair_count FROM b$i")
-      .mkString("\n|  UNION ALL ")
-    (base + steps +
-      s"""
-         |SELECT * FROM (
-         |  $union
-         |) ORDER BY step""").stripMargin
+    base + steps
   }
 }
