@@ -107,4 +107,39 @@ class PropertySpec extends AnyFunSuite {
       assert((share > 0.5) == (drifted >= 7))
     }
   }
+
+  test("PNG encode/decode round-trips at arbitrary dims and payloads") {
+    import graft.operators.ImageCodec
+    forAll(Gen.zip(Gen.choose(1, 80), Gen.choose(1, 60), Gen.long), n = 120) {
+      case (w, h, seed) =>
+        val rnd = new scala.util.Random(seed)
+        val px = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+        val bytes = ImageCodec.encodePng(w, h, px)
+        // closed-form container size (single stored block at these dims)
+        assert(bytes.length == 68 + h * (1 + 3 * w))
+        assert(ImageCodec.decodeMeta(bytes) ==
+          ImageCodec.ImageMeta("png", w, h, 3, ok = true))
+        // any single-byte corruption of the IDAT payload area must never
+        // throw — and CRC/length checks keep dims intact
+        val i = 41 + rnd.nextInt(math.max(1, bytes.length - 53))
+        val bad = bytes.clone(); bad(i) = (bad(i) ^ 0x5a).toByte
+        val m = ImageCodec.decodeMeta(bad)
+        assert(m.format == "png" || m.format == "unknown")
+    }
+  }
+
+  test("JPEG shell encode/decode round-trips with any comment") {
+    import graft.operators.ImageCodec
+    val comment = Gen.listOf(Gen.oneOf(Gen.alphaNumChar, Gen.const(' '),
+      Gen.const('é'))).map(_.mkString)
+    forAll(Gen.zip(Gen.choose(1, 4000), Gen.choose(1, 4000),
+        Gen.choose(1, 4), comment), n = 150) {
+      case (w, h, c, s) =>
+        val bytes = ImageCodec.encodeJpegShell(w, h, c, s)
+        // SOI 2 + APP0 18 + COM (4+len) + SOF0 (10+3c) + SOS (8+2c) + EOI 2
+        assert(bytes.length == 44 + 5 * c + s.getBytes("UTF-8").length)
+        assert(ImageCodec.decodeMeta(bytes) ==
+          ImageCodec.ImageMeta("jpeg", w, h, c, ok = true))
+    }
+  }
 }
