@@ -64,6 +64,45 @@ object ConnectedComponents extends Logging {
     out
   }
 
+  /** Incremental clustering: fold a NEW batch of near-dup pairs into an
+    * existing (id, comp) labeling without re-running components over the
+    * full historical edge set — the daily-ingest shape (each day's LSH pass
+    * emits pairs between new docs and between new and old docs; the
+    * historical pair list is long gone).
+    *
+    * Correctness reduction: each prior label (id, comp) is itself an edge
+    * connecting the vertex to its component representative, and a
+    * component's labels form a star that preserves exactly its
+    * connectivity — so components over (label stars ∪ new pairs) equal
+    * components over (all historical pairs ∪ new pairs). Labels stay
+    * STABLE under growth: component ids are min vertex ids, so a component
+    * untouched by new pairs keeps its id and merging components adopt the
+    * min of the merged ids — downstream survivor choices only ever change
+    * where a genuine merge happened.
+    *
+    * Scale shape: the input is one label row per historical vertex plus
+    * the new pairs — O(corpus) rows of two longs, not O(all pairs ever) —
+    * and the star topology makes hash-min converge in ~2 rounds on the
+    * distributed path regardless of how long ingestion has been running.
+    * Singleton components (id == comp, edgeless) pass through unchanged.
+    */
+  def incrementalAssign(prevLabels: DataFrame, newPairs: DataFrame,
+      maxIters: Int = 50, driverEdgeBudget: Long = 2000000L): DataFrame = {
+    val labelEdges = prevLabels
+      .select(col("id").cast("long").as("da"), col("comp").cast("long").as("db"))
+      .filter(col("da") =!= col("db"))
+    val merged = assign(
+      labelEdges.unionAll(newPairs.select(col("da"), col("db"))),
+      maxIters, driverEdgeBudget)
+    // edgeless singletons never appear in the edge list; carry them over
+    val singletons = prevLabels
+      .select(col("id").cast("long").as("id"), col("comp").cast("long").as("comp"))
+      .filter(col("id") === col("comp"))
+      .join(merged.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("comp"))
+    merged.unionAll(singletons)
+  }
+
   /** Driver path: union-find with path compression and union-by-min (the
     * smaller root becomes parent), so find() lands directly on the
     * component's minimum id.

@@ -134,6 +134,27 @@ object PressureTest {
           .withColumnRenamed("id", "doc_id"),
         Seq("doc_id"), "left_anti").count())
     println(s"PRESSURE survivors: $survivors of $nDocs")
+
+    // Incremental fold at the same scale: labels from HALF the pairs,
+    // folded with the other half through incrementalAssign, must equal the
+    // full-graph labels exactly — the daily-ingest reduction (label stars
+    // preserve connectivity) certified on the distributed path where the
+    // gated SFs can't reach it.
+    val h1 = pairs.filter(pmod($"da" + $"db", lit(2)) === 0)
+    val h2 = pairs.filter(pmod($"da" + $"db", lit(2)) =!= 0)
+    val prev = timed("incremental: first half")(
+      graft.operators.ConnectedComponents.assign(h1))
+    val inc = timed("incremental: fold second half")(
+      graft.operators.ConnectedComponents.incrementalAssign(prev, h2))
+    val incMap = inc.as[(Long, Long)].collect().toMap
+    var incDiff = 0
+    engine.foreach { case (id, comp) =>
+      if (incMap.getOrElse(id, -1L) != comp) incDiff += 1
+    }
+    println(s"PRESSURE incremental-vs-full: ${incMap.size} labels, " +
+      s"$incDiff diffs")
+    require(incDiff == 0 && incMap.size == engine.length,
+      s"incremental labels diverge: $incDiff of ${engine.length}")
     spark.stop()
   }
 }
