@@ -39,6 +39,15 @@ object BpeTrain {
   final case class Merge(step: Int, l: String, r: String, merged: String,
       pair_count: Long)
 
+  /** A word column (by name — the expression re-references it inside a
+    * lambda) rendered in the padded double-space symbol form.
+    */
+  def paddedSymbols(wdName: String): org.apache.spark.sql.Column =
+    concat(lit(" "),
+      concat_ws("  ", expr(
+        s"transform(sequence(1, length($wdName)), i -> substring($wdName, i, 1))")),
+      lit(" "))
+
   /** (w, freq): the distinct-word frame in the padded double-space symbol
     * representation, frequencies from one full-corpus scan.
     */
@@ -46,11 +55,22 @@ object BpeTrain {
     docs.select(explode(split(col(textCol), " ")).as("wd"))
       .filter(length(col("wd")) > 0)
       .groupBy(col("wd")).agg(count(lit(1)).as("freq"))
-      .select(concat(lit(" "),
-          concat_ws("  ",
-            expr("transform(sequence(1, length(wd)), i -> substring(wd, i, 1))")),
-          lit(" ")).as("w"),
-        col("freq"))
+      .select(paddedSymbols("wd").as("w"), col("freq"))
+
+  /** (wd, n_tokens): each distinct word's segment count under a learned
+    * merge table — the per-word lookup that prices documents in learned
+    * tokens (packing budgets, cost estimates). Vocabulary-sized; joins
+    * back to the corpus by word.
+    */
+  def wordTokenCounts(docs: DataFrame, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val vocab = docs.select(explode(split(col(textCol), " ")).as("wd"))
+      .filter(length(col("wd")) > 0).distinct()
+      .withColumn("w", paddedSymbols("wd"))
+    applyMerges(vocab, "w", merges)
+      .select(col("wd"),
+        size(split(trim(col("w")), "  ")).cast("long").as("n_tokens"))
+  }
 
   /** Learn `k` merges. Returns the merge table in learned order.
     *

@@ -50,9 +50,31 @@ object Tokenizer {
       .smallOrdered($"n_tokens".desc, $"token")
   }
 
+  /** Per-document cost in LEARNED tokens: the number every packing budget,
+    * sampling quota, and training-cost estimate is denominated in. One
+    * vocabulary-sized lookup (word → learned segment count) joins back to
+    * the corpus word stream — documents are priced without re-segmenting
+    * each occurrence.
+    */
+  private val q137 = QueryDef.sql(
+    "per-document token counts under the learned BPE tokenizer")(
+    BpeOracle.docTokensSql(MergeSteps)) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+    val merges = BpeTrain.learnMerges(docs, "text", MergeSteps)
+    val lut = BpeTrain.wordTokenCounts(docs, "text", merges)
+    docs.select($"doc_id", explode(split($"text", " ")).as("wd"))
+      .filter(length($"wd") > 0)
+      .join(broadcast(lut), Seq("wd"))
+      .groupBy($"doc_id")
+      .agg(sum($"n_tokens").as("learned_tokens"))
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q134_bpe_merges" -> q134,
-    "q135_bpe_token_histogram" -> q135
+    "q135_bpe_token_histogram" -> q135,
+    "q137_bpe_doc_tokens" -> q137
   )
 }
 
@@ -72,6 +94,20 @@ private object BpeOracle {
          |) ORDER BY step""").stripMargin
   }
 
+  /** Per-document token counts after the k merges — the pricing gate
+    * (q137): each document's word stream joins the vocabulary's learned
+    * segment lengths and sums.
+    */
+  def docTokensSql(k: Int): String =
+    (chain(k) +
+      s"""
+         |SELECT d.doc_id, sum(len(string_split(trim(s.w), '  ')))::BIGINT
+         |  AS learned_tokens
+         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS wd
+         |      FROM documents) d
+         |JOIN w$k s ON s.wd = d.wd
+         |GROUP BY 1 ORDER BY 1""").stripMargin
+
   /** Token counts after the k merges — the segmentation gate (q135). */
   def segmentationSql(k: Int, topN: Int): String =
     (chain(k) +
@@ -84,7 +120,8 @@ private object BpeOracle {
   private def chain(k: Int): String = {
     val base =
       """WITH w0 AS MATERIALIZED (
-        |  SELECT ' ' || array_to_string(list_transform(range(1, length(wd) + 1),
+        |  SELECT wd,
+        |    ' ' || array_to_string(list_transform(range(1, length(wd) + 1),
         |      i -> substring(wd, i, 1)), '  ') || ' ' AS w,
         |    count(*)::BIGINT AS freq
         |  FROM (SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
@@ -98,7 +135,7 @@ private object BpeOracle {
          |  GROUP BY 1, 2),
          |b$i AS MATERIALIZED (SELECT l, r, l || r AS m, cnt FROM p$i
          |  ORDER BY cnt DESC, l, r LIMIT 1),
-         |w$i AS MATERIALIZED (SELECT replace(w,
+         |w$i AS MATERIALIZED (SELECT wd, replace(w,
          |    ' ' || (SELECT l FROM b$i) || '  ' || (SELECT r FROM b$i) || ' ',
          |    ' ' || (SELECT m FROM b$i) || ' ') AS w, freq FROM w${i - 1})""".stripMargin
     }.mkString

@@ -48,6 +48,57 @@ class BpeTrainSpec extends SparkSpec {
     assert(m.map(_.merged) == Seq("ab"))
   }
 
+  test("matches an independent in-memory BPE on random corpora") {
+    // independent single-threaded reference: symbol LISTS, explicit greedy
+    // left-to-right merge — no strings, no replace, no Spark
+    def naiveBpe(texts: Seq[String], k: Int): Seq[(String, String, Long)] = {
+      var words: Map[Vector[String], Long] = texts
+        .flatMap(_.split(" ")).filter(_.nonEmpty)
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (w, f) => w.map(_.toString).toVector -> f }
+      val out = Seq.newBuilder[(String, String, Long)]
+      var step = 0
+      var done = false
+      while (step < k && !done) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+        words.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+            case _ => ()
+          }
+        }
+        if (counts.isEmpty) done = true
+        else {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          out += ((l, r, c))
+          words = words.groupBy { case (syms, _) =>
+            val b = Vector.newBuilder[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+                b += (l + r); i += 2
+              } else { b += syms(i); i += 1 }
+            }
+            b.result()
+          }.view.mapValues(_.values.sum).toMap
+          step += 1
+        }
+      }
+      out.result()
+    }
+    val alphabet = "abcde"
+    (0 until 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val texts = Seq.fill(6)(
+        Seq.fill(30)(Seq.fill(1 + rnd.nextInt(5))(
+          alphabet(rnd.nextInt(alphabet.length))).mkString).mkString(" "))
+      val expect = naiveBpe(texts, 5)
+      val got = BpeTrain.learnMerges(docs(texts: _*), "text", 5)
+        .map(m => (m.l, m.r, m.pair_count))
+      assert(got == expect, s"seed=$seed\n got=$got\n exp=$expect")
+    }
+  }
+
   test("applyMerges(learnMerges) segments exactly like the learner") {
     val s = spark
     val corpus = docs("lower lowest newer newest", "low new lower")
