@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Exactly-once parquet delivery for `foreachBatch` — the restart contract
+  * Structured Streaming leaves to the sink: after a failure the engine
+  * REPLAYS the last uncommitted micro-batch with the same `batchId`, so an
+  * append-blind sink double-writes it. This sink makes the (batchId →
+  * output) write idempotent with the classic marker protocol:
+  *
+  *   1. write the batch under `path/batch=<id>/` via a sibling temp dir +
+  *      the same atomic rename-replace used by dataset compaction (readers
+  *      never observe a partial batch directory);
+  *   2. only then create the `_COMMITTED` marker inside it;
+  *   3. a replay finds the marker and skips — a replay of a CRASHED
+  *      attempt (no marker) finds the torn directory, discards it, and
+  *      rewrites.
+  *
+  * Consumers read `committedBatches` (marker-filtered), so a batch is
+  * visible IFF it committed — the read side of exactly-once. The
+  * `batch=<id>` layout doubles as a partition column, so downstream
+  * incremental jobs (e.g. `SubstringDedup.incrementalMatches`,
+  * `ConnectedComponents.incrementalAssign`) can consume exactly the new
+  * batches since their last run.
+  *
+  * Scale notes: one marker probe + one rename per micro-batch of driver
+  * overhead, nothing per row; the batch write itself is a normal parallel
+  * parquet write. Periodic `Compaction.compactParquet` over old batch
+  * directories handles small-file buildup (markers live inside each batch
+  * dir and travel with it).
+  */
+object IdempotentSink {
+
+  private val Marker = "_COMMITTED"
+
+  /** Write one micro-batch exactly once. Returns true if this call
+    * performed the write, false if the batch was already committed (the
+    * replay-after-success case).
+    */
+  def writeOnce(df: DataFrame, batchId: Long, path: String): Boolean = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val dir = new Path(root, s"batch=$batchId")
+    val marker = new Path(dir, Marker)
+    if (fs.exists(marker)) return false
+    // torn previous attempt (dir without marker): discard, rewrite
+    val tmp = new Path(root, s".batch=$batchId.writing")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    fs.mkdirs(root)
+    if (!fs.rename(tmp, dir))
+      throw new java.io.IOException(s"idempotent sink rename to $dir failed")
+    fs.create(marker, true).close()
+    true
+  }
+
+  /** `foreachBatch` adapter: `stream.writeStream.foreachBatch(
+    * IdempotentSink.intoPath(path)).start()`.
+    */
+  def intoPath(path: String): (DataFrame, Long) => Unit =
+    (df, batchId) => { writeOnce(df, batchId, path); () }
+
+  /** All committed batches as one DataFrame (uncommitted/torn directories
+    * are invisible). Returns None when nothing has committed yet.
+    */
+  def committedBatches(spark: org.apache.spark.sql.SparkSession,
+      path: String): Option[DataFrame] = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return None
+    val committed = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+      .filter(s => fs.exists(new Path(s.getPath, Marker)))
+      .map(_.getPath.toString)
+    if (committed.isEmpty) None
+    else Some(spark.read
+      .option("basePath", path)
+      .parquet(committed: _*))
+  }
+}
