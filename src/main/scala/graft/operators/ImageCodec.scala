@@ -209,7 +209,24 @@ object ImageCodec {
     else if ((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P') decodePng(bytes, crc, inf)
     else if ((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8)
       decodeJpeg(bytes)
+    else if (bytes.length >= 13 && bytes(0) == 'G' && bytes(1) == 'I' &&
+        bytes(2) == 'F') decodeGif(bytes)
     else ImageMeta("unknown", 0, 0, 0, ok = false)
+  }
+
+  /** GIF87a/89a: 6-byte signature, then the logical screen descriptor's
+    * little-endian u16 dims. Palette-indexed pixels → 1 channel (the
+    * palette itself is RGB, like PNG color type 3). `ok` requires a known
+    * version and the 0x3B trailer closing the stream.
+    */
+  private def decodeGif(b: Array[Byte]): ImageMeta = {
+    val version = new String(b, 3, 3, "US-ASCII")
+    if (version != "87a" && version != "89a")
+      return ImageMeta("gif", 0, 0, 0, ok = false)
+    val width = (b(6) & 0xff) | ((b(7) & 0xff) << 8)
+    val height = (b(8) & 0xff) | ((b(9) & 0xff) << 8)
+    val ok = width > 0 && height > 0 && (b(b.length - 1) & 0xff) == 0x3b
+    ImageMeta("gif", width, height, 1, ok)
   }
 
   private def u32(b: Array[Byte], off: Int): Long =
@@ -287,9 +304,13 @@ object ImageCodec {
     var off = 2 // past SOI
     while (off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff) return bad
+      // the spec allows any number of 0xFF fill bytes before a marker
+      while (off + 4 <= b.length && (b(off + 1) & 0xff) == 0xff) off += 1
+      if (off + 4 > b.length) return bad
       val marker = b(off + 1) & 0xff
-      if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) {
-        off += 2 // standalone markers with no length
+      if (marker == 0xd8 || marker == 0x01 ||
+          (marker >= 0xd0 && marker <= 0xd7)) {
+        off += 2 // standalone markers with no length segment
       } else if (marker == 0xd9) {
         return bad // EOI before any SOF
       } else {

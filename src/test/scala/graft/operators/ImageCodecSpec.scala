@@ -73,6 +73,29 @@ class ImageCodecSpec extends SparkSpec {
     r.dispose()
   }
 
+  test("decodeMeta parses a foreign GIF (ImageIO-encoded)") {
+    val img = new java.awt.image.BufferedImage(33, 14,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 14; x <- 0 until 33) img.setRGB(x, y, (x * 7 + y) << 16)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "gif", out)
+    val m = ImageCodec.decodeMeta(out.toByteArray)
+    assert(m == ImageCodec.ImageMeta("gif", 33, 14, 1, ok = true))
+    // truncation loses the 0x3B trailer -> fails closed with dims intact
+    val torn = out.toByteArray.dropRight(5)
+    val mt = ImageCodec.decodeMeta(torn)
+    assert(mt.format == "gif" && mt.width == 33 && !mt.ok)
+  }
+
+  test("jpeg walker tolerates 0xFF fill bytes before markers") {
+    val base = ImageCodec.encodeJpegShell(64, 32, 3, "x")
+    // inject three fill bytes before the COM marker (after SOI+APP0 = 20)
+    val padded = (base.take(20) :+ 0xff.toByte :+ 0xff.toByte :+ 0xff.toByte) ++
+      base.drop(20)
+    val m = ImageCodec.decodeMeta(padded.toArray)
+    assert(m == ImageCodec.ImageMeta("jpeg", 64, 32, 3, ok = true))
+  }
+
   test("jpeg walker skips padded/multi-segment streams and rejects scanless EOI") {
     // insert an extra COM before SOF: the walk must skip it by length
     val base = ImageCodec.encodeJpegShell(100, 50, 1, "abc")
