@@ -266,12 +266,17 @@ object Bench {
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("GRAFT_BENCH_CHILD", "1")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        // stdout goes to a file, NOT a pipe read on this thread: a pipe
+        // read blocks until child EOF, which would make the 20-minute
+        // timeout below unreachable if the child ever hangs mid-suite
+        val outFile = java.io.File.createTempFile("graft-bench-child", ".out")
+        pb.redirectOutput(outFile)
         val p = pb.start()
-        val lines = scala.io.Source.fromInputStream(p.getInputStream)
-          .getLines().toVector
         val rc = if (p.waitFor(20, java.util.concurrent.TimeUnit.MINUTES))
           p.exitValue()
         else { p.destroyForcibly(); -1 }
+        val lines = scala.io.Source.fromFile(outFile).getLines().toVector
+        outFile.delete()
         val contract = lines.reverse.find(_.startsWith("{\"metric\""))
         def field(name: String): Option[String] = contract.flatMap { l =>
           ("\"" + name + "\":([0-9.]+)").r.findFirstMatchIn(l).map(_.group(1))

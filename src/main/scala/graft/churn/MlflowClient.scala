@@ -57,6 +57,14 @@ final class MlflowClient(baseUri: String,
   private def enc(s: String) =
     java.net.URLEncoder.encode(s, StandardCharsets.UTF_8)
 
+  /** MLflow error_code from a response body; "" when the body is not JSON
+    * (a proxy/LB error page must surface the HTTP failure, not a
+    * JsonParseException).
+    */
+  private def errorCode(body: String): String =
+    try mapper.readTree(body).path("error_code").asText()
+    catch { case scala.util.control.NonFatal(_) => "" }
+
   /** get_model_version_by_alias: GET registered-models/alias. Raises the
     * reference's operator error when the server reports
     * RESOURCE_DOES_NOT_EXIST.
@@ -66,8 +74,7 @@ final class MlflowClient(baseUri: String,
       get(s"/api/2.0/mlflow/registered-models/alias?name=${enc(name)}&alias=${enc(alias)}")
     if (code == 200)
       mapper.readTree(body).path("model_version").path("version").asText().toInt
-    else if (mapper.readTree(body).path("error_code").asText() ==
-        "RESOURCE_DOES_NOT_EXIST")
+    else if (errorCode(body) == "RESOURCE_DOES_NOT_EXIST")
       throw new RuntimeException(
         s"Failed to fetch model '$name' with alias '$alias' " +
           "- Does it exist in the MLFlow registry?': no such alias")
@@ -90,8 +97,7 @@ final class MlflowClient(baseUri: String,
   def createRegisteredModel(name: String): Unit = {
     val (code, body) = post("/api/2.0/mlflow/registered-models/create",
       mapper.createObjectNode().put("name", name).toString)
-    if (code != 200 && mapper.readTree(body).path("error_code").asText() !=
-        "RESOURCE_ALREADY_EXISTS")
+    if (code != 200 && errorCode(body) != "RESOURCE_ALREADY_EXISTS")
       throw new RuntimeException(
         s"mlflow registered-models/create HTTP $code: $body")
   }

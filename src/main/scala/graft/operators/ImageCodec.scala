@@ -270,10 +270,27 @@ object ImageCodec {
       off += 12 + len.toInt
     }
     if (!sawEnd) return ImageMeta("png", width, height, channels, ok = false)
+    val interlace = b(28) & 0xff
+    if (interlace > 1) return ImageMeta("png", width, height, channels, ok = false)
     // real decompression: the filtered pixel stream must inflate to exactly
-    // height * (1 + width * bpp) bytes (bitDepth 8; sub-byte depths round up)
-    val bpp = math.max(1, channels * bitDepth / 8)
-    val expect = height.toLong * (1L + width.toLong * bpp)
+    // the spec's filtered-scanline total — each scanline is 1 filter byte +
+    // ceil(cols * channels * bitDepth / 8) packed bytes; Adam7 interlacing
+    // sums the same formula over the seven passes' sub-grids (empty passes
+    // contribute nothing)
+    def rowBytes(cols: Long): Long =
+      (cols * channels * bitDepth + 7) / 8
+    val expect: Long =
+      if (interlace == 0) height.toLong * (1L + rowBytes(width.toLong))
+      else {
+        // Adam7 pass grid: (xStart, yStart, xStep, yStep)
+        val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8),
+          (2, 0, 4, 4), (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        passes.map { case (x0, y0, xs, ys) =>
+          val cols = if (width > x0) ((width - x0).toLong + xs - 1) / xs else 0L
+          val rows = if (height > y0) ((height - y0).toLong + ys - 1) / ys else 0L
+          if (cols > 0 && rows > 0) rows * (1L + rowBytes(cols)) else 0L
+        }.sum
+      }
     val data = idat.toByteArray
     inf.reset()
     inf.setInput(data)

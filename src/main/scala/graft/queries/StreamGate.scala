@@ -51,30 +51,34 @@ object StreamGate {
       .writeStream.format("memory").queryName(sink)
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
+    // cleanup runs on BOTH paths — a failed drip must not leak the
+    // checkpoint dir or the memory-sink table across bench reps
     try {
-      typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
-        input.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    val closed = s.table(sink)
-      .select($"user_id", $"state", $"valid_from",
-        $"valid_to".cast("long").as("valid_to"), $"version")
-    // the open version per key, straight from the committed state store
-    val open = s.read.format("statestore").load(ckpt.toString)
-      .select($"key.value".as("user_id"),
-        $"value.groupState.state".as("state"),
-        $"value.groupState.validFrom".as("valid_from"),
-        lit(null).cast("long").as("valid_to"),
-        $"value.groupState.version".as("version"))
-    // eager localCheckpoint pins the (bounded) result so the checkpoint
-    // directory and the memory sink can be torn down before returning
-    val out = closed.unionAll(open)
-      .repartition(1).sortWithinPartitions($"user_id", $"version")
-      .localCheckpoint()
-    s.catalog.dropTempView(sink)
-    deleteRecursively(ckpt.toFile)
-    out
+      try {
+        typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val closed = s.table(sink)
+        .select($"user_id", $"state", $"valid_from",
+          $"valid_to".cast("long").as("valid_to"), $"version")
+      // the open version per key, straight from the committed state store
+      val open = s.read.format("statestore").load(ckpt.toString)
+        .select($"key.value".as("user_id"),
+          $"value.groupState.state".as("state"),
+          $"value.groupState.validFrom".as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          $"value.groupState.version".as("version"))
+      // eager localCheckpoint pins the (bounded) result so the checkpoint
+      // directory and the memory sink can be torn down before returning
+      closed.unionAll(open)
+        .repartition(1).sortWithinPartitions($"user_id", $"version")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
   }
 
   private val q133 = QueryDef.sql(
@@ -100,24 +104,26 @@ object StreamGate {
       .option("checkpointLocation", ckpt.toString)
       .outputMode("append").start()
     try {
-      typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
-        input.addData(chunk.toIndexedSeq)
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    val closed = s.table(sink).select($"user_id", $"len_us")
-    val open = s.read.format("statestore").load(ckpt.toString)
-      .select($"key.value".as("user_id"),
-        ($"value.groupState.end" - $"value.groupState.start").as("len_us"))
-    val out = closed.unionAll(open)
-      .groupBy($"user_id")
-      .agg(count(lit(1)).as("n_islands"), sum($"len_us").as("covered_us"),
-        max($"len_us").as("longest_us"))
-      .repartition(1).sortWithinPartitions($"user_id")
-      .localCheckpoint()
-    s.catalog.dropTempView(sink)
-    deleteRecursively(ckpt.toFile)
-    out
+      try {
+        typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
+          input.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val closed = s.table(sink).select($"user_id", $"len_us")
+      val open = s.read.format("statestore").load(ckpt.toString)
+        .select($"key.value".as("user_id"),
+          ($"value.groupState.end" - $"value.groupState.start").as("len_us"))
+      closed.unionAll(open)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_islands"), sum($"len_us").as("covered_us"),
+          max($"len_us").as("longest_us"))
+        .repartition(1).sortWithinPartitions($"user_id")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {

@@ -76,8 +76,16 @@ object IdempotentSink {
       .filter(s => fs.exists(new Path(s.getPath, Marker)))
       .map(_.getPath.toString)
     if (committed.isEmpty) None
-    else Some(spark.read
-      .option("basePath", path)
-      .parquet(committed: _*))
+    else
+      // a committed EMPTY micro-batch can legitimately contain zero part
+      // files; when every committed batch is empty, schema inference has
+      // nothing to read — that is "no data yet", not an error
+      try Some(spark.read
+        .option("basePath", path)
+        .parquet(committed: _*))
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("infer schema") => None
+      }
   }
 }

@@ -46,6 +46,60 @@ class ImageCodecSpec extends SparkSpec {
     assert(m.format == "png" && m.width == 21 && m.height == 9 && m.ok)
   }
 
+  test("decodeMeta handles sub-byte depth and Adam7-interlaced PNGs") {
+    // 1-bit grayscale from the JDK encoder: scanlines are packed bits
+    val img = new java.awt.image.BufferedImage(100, 10,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 10; x <- 0 until 100)
+      img.setRGB(x, y, if ((x + y) % 2 == 0) 0xffffff else 0)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "png", out)
+    val m = ImageCodec.decodeMeta(out.toByteArray)
+    assert(m.format == "png" && m.width == 100 && m.height == 10 && m.ok,
+      s"1-bit PNG must verify ok, got $m")
+
+    // synthetic Adam7 RGB 8-bit: hand-built chunks with the correct
+    // per-pass filtered stream length (zeros are valid filter-0 rows)
+    def chunk(ty: String, data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Int): Unit =
+        out.write(Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+          ((v >> 8) & 0xff).toByte, (v & 0xff).toByte), 0, 4)
+      be(data.length)
+      val tb = ty.getBytes("US-ASCII")
+      out.write(tb, 0, 4)
+      out.write(data, 0, data.length)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb, 0, 4); crc.update(data, 0, data.length)
+      be(crc.getValue.toInt)
+      out.toByteArray
+    }
+    val (w, h) = (13, 9)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val adam7Len = passes.map { case (x0, y0, xs, ys) =>
+      val cols = if (w > x0) (w - x0 + xs - 1) / xs else 0
+      val rows = if (h > y0) (h - y0 + ys - 1) / ys else 0
+      if (cols > 0 && rows > 0) rows * (1 + cols * 3) else 0
+    }.sum
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = 0; ihdr(1) = 0; ihdr(2) = 0; ihdr(3) = w.toByte
+    ihdr(7) = h.toByte; ihdr(8) = 8; ihdr(9) = 2; ihdr(12) = 1 // interlace
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+    val png = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", ImageCodec.zlibStored(new Array[Byte](adam7Len))) ++
+      chunk("IEND", Array.emptyByteArray)
+    val mi = ImageCodec.decodeMeta(png)
+    assert(mi == ImageCodec.ImageMeta("png", w, h, 3, ok = true),
+      s"Adam7 PNG must verify ok, got $mi")
+    // a one-byte-short Adam7 stream fails the length check
+    val short = sig ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", ImageCodec.zlibStored(new Array[Byte](adam7Len - 1))) ++
+      chunk("IEND", Array.emptyByteArray)
+    assert(!ImageCodec.decodeMeta(short).ok)
+  }
+
   test("corrupted PNG fails closed, not with a throw") {
     val bytes = ImageCodec.encodePng(8, 8, testPixels(8, 8))
     val flippedCrc = bytes.clone(); flippedCrc(30) = (flippedCrc(30) ^ 0x01).toByte

@@ -58,6 +58,21 @@ class IdempotentSinkSpec extends SparkSpec {
       .select("v").collect().map(_.getLong(0)).sorted.toSeq == (1L to 6L))
   }
 
+  test("committed empty micro-batches do not break the read side") {
+    val s = spark
+    import s.implicits._
+    val out = Files.createTempDirectory("graft-idem4").toString + "/sink"
+    // only an empty batch committed: read is None (no data), not a throw
+    assert(IdempotentSink.writeOnce(
+      Seq.empty[Long].toDF("v").repartition(1).filter(lit(false)), 0L, out))
+    val r0 = IdempotentSink.committedBatches(s, out)
+    assert(r0.isEmpty || r0.get.count() == 0)
+    // a later non-empty batch reads fine alongside it
+    assert(IdempotentSink.writeOnce((1L to 3L).toDF("v"), 1L, out))
+    assert(IdempotentSink.committedBatches(s, out).get
+      .select("v").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("empty sink reads as None") {
     assert(IdempotentSink.committedBatches(spark,
       Files.createTempDirectory("graft-idem3").toString + "/never").isEmpty)
