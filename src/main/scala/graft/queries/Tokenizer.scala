@@ -71,10 +71,36 @@ object Tokenizer {
       .cachedOrdered($"doc_id")
   }
 
+  /** Per-source corpus cost under the learned tokenizer: document counts,
+    * raw characters, and learned tokens by source — the curation signal
+    * for which sources are boilerplate-heavy (few learned tokens per
+    * character means the tokenizer's merges eat them) and how a token
+    * budget splits across a source mix. Exact integers only.
+    */
+  private val q138 = QueryDef.sql(
+    "per-source chars vs learned-token cost under the learned BPE tokenizer")(
+    BpeOracle.sourceCostSql(MergeSteps)) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+    val merges = BpeTrain.learnMerges(docs, "text", MergeSteps)
+    val lut = BpeTrain.wordTokenCounts(docs, "text", merges)
+    val perSource = docs
+      .select($"source", explode(split($"text", " ")).as("wd"))
+      .filter(length($"wd") > 0)
+      .join(broadcast(lut), Seq("wd"))
+      .groupBy($"source").agg(sum($"n_tokens").as("learned_tokens"))
+    docs.groupBy($"source")
+      .agg(count(lit(1)).as("docs"), sum($"n_chars").as("chars"))
+      .join(perSource, Seq("source"))
+      .select($"source", $"docs", $"chars", $"learned_tokens")
+      .smallOrdered($"source")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q134_bpe_merges" -> q134,
     "q135_bpe_token_histogram" -> q135,
-    "q137_bpe_doc_tokens" -> q137
+    "q137_bpe_doc_tokens" -> q137,
+    "q138_bpe_source_cost" -> q138
   )
 }
 
@@ -107,6 +133,22 @@ private object BpeOracle {
          |      FROM documents) d
          |JOIN w$k s ON s.wd = d.wd
          |GROUP BY 1 ORDER BY 1""").stripMargin
+
+  /** Per-source chars vs learned-token totals (q138). */
+  def sourceCostSql(k: Int): String =
+    (chain(k) +
+      s"""
+         |, wtok AS (SELECT wd, len(string_split(trim(w), '  ')) AS t FROM w$k),
+         |dt AS (SELECT d.source, sum(wtok.t)::BIGINT AS toks
+         |  FROM (SELECT source, unnest(string_split(text, ' ')) AS wd
+         |        FROM documents) d
+         |  JOIN wtok ON wtok.wd = d.wd
+         |  GROUP BY 1),
+         |sc AS (SELECT source, count(*) AS docs, sum(n_chars)::BIGINT AS chars
+         |  FROM documents GROUP BY 1)
+         |SELECT sc.source, sc.docs, sc.chars, dt.toks AS learned_tokens
+         |FROM sc JOIN dt ON dt.source = sc.source
+         |ORDER BY sc.source""").stripMargin
 
   /** Token counts after the k merges — the segmentation gate (q135). */
   def segmentationSql(k: Int, topN: Int): String =
