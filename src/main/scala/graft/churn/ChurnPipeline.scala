@@ -28,7 +28,7 @@ final case class PipelineResult(
 final class ChurnPipeline(
     spark: SparkSession,
     lifecycle: FileLifecycle,
-    registry: Registry,
+    registry: ModelSource,
     rootDir: String,
     metricStorePath: String,
     reportUrl: String = "http://evidently.local/report",

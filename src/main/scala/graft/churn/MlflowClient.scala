@@ -34,7 +34,7 @@ import org.apache.spark.ml.PipelineModel
   * whether its registry is the native store or a remote MLflow server.
   */
 final class MlflowClient(baseUri: String,
-    http: HttpClient = HttpClient.newHttpClient()) {
+    http: HttpClient = HttpClient.newHttpClient()) extends ModelSource {
 
   private val mapper = new ObjectMapper()
   private def url(path: String) = s"${baseUri.stripSuffix("/")}$path"
@@ -131,6 +131,34 @@ final class MlflowClient(baseUri: String,
   def loadModel(name: String, alias: String): PipelineModel = {
     val version = resolveAlias(name, alias)
     loadModelVersion(name, version)
+  }
+
+  /** ModelSource surface: the churn pipeline runs unmodified against a
+    * remote MLflow server through these (expected columns and reference
+    * data are artifact reads relative to the version's download URI — the
+    * `download_artifacts` shape of the reference pipeline).
+    */
+  def load(name: String, alias: String): PipelineModel = loadModel(name, alias)
+
+  def expectedColumns(name: String, alias: String): Seq[String] = {
+    val root = artifactUri(name, resolveAlias(name, alias))
+    ModelSource.parseExpectedColumns(
+      readArtifact(new org.apache.hadoop.fs.Path(root, "meta.json")))
+  }
+
+  def loadReferenceData(spark: org.apache.spark.sql.SparkSession, name: String,
+      alias: String): org.apache.spark.sql.DataFrame = {
+    val root = artifactUri(name, resolveAlias(name, alias))
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(root, "reference_data.parquet").toString)
+  }
+
+  private def readArtifact(p: org.apache.hadoop.fs.Path): String = {
+    val fs = p.getFileSystem(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+    finally in.close()
   }
 
   def loadModelVersion(name: String, version: Int): PipelineModel = {

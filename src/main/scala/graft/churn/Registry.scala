@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   {name}/v{n}/reference_data.parquet — features + churn + churn_prediction
   *   {name}/aliases/{alias}             — file containing the version number
   */
-final class Registry(root: String, conf: Configuration = new Configuration()) {
+final class Registry(root: String, conf: Configuration = new Configuration())
+    extends ModelSource {
 
   private val rootPath = new Path(root)
   private val fs: FileSystem = rootPath.getFileSystem(conf)
@@ -137,8 +138,7 @@ final class Registry(root: String, conf: Configuration = new Configuration()) {
   def expectedColumns(name: String, alias: String): Seq[String] = {
     val version = resolveAlias(name, alias)
     val json = readString(new Path(modelDir(name, version), "meta.json"))
-    "\"([a-z_0-9]+)\"".r.findAllMatchIn(
-      json.dropWhile(_ != '[')).map(_.group(1)).toSeq
+    ModelSource.parseExpectedColumns(json)
   }
 
   /** download_artifacts reference data (churn_prediction_pipeline.py:281-285). */
