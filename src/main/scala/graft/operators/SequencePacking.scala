@@ -79,4 +79,43 @@ object SequencePacking {
     if (r.isNullAt(1) || r.getLong(1) == 0L) 1.0
     else r.getLong(0).toDouble / (r.getLong(1) * maxTokens)
   }
+
+  /** Deterministic NEXT-FIT packing per group: within each `keyCol` group,
+    * rows in `idCol` order fill a bin until the next row would overflow,
+    * then a fresh bin opens (an item larger than the budget occupies its
+    * own bin). Unlike the partition-local FFD above — which optimizes
+    * bin count but yields partitioning-dependent bin ids — this layout is
+    * a pure function of the data, so it is exactly replayable (q139's
+    * recursive-CTE oracle) and STABLE across runs: re-packing an
+    * unchanged source reproduces identical bins, which is what a
+    * resumable training-data delivery needs.
+    *
+    * Scale shape: one exchange by group key; each group folds inside
+    * `flatMapGroups` with O(1) state (current bin, running total) over
+    * rows Spark sorts per group — per-group memory does not grow with
+    * group size beyond the iterator. A pathologically hot key is split by
+    * range-chunking the id space upstream (same salting discipline as the
+    * skew join).
+    */
+  def packGroupsSequential(df: DataFrame, keyCol: String, idCol: String,
+      weightCol: String, budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(keyCol).cast("string"), col(idCol).cast("long"),
+        col(weightCol).cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val sorted = it.toSeq.sortBy(_._2)
+        var bin = 0L
+        var used = 0L
+        sorted.iterator.map { case (_, id, w) =>
+          if (used + w > budget && used > 0) { bin += 1; used = 0L }
+          used += w
+          (key, id, w, bin)
+        }
+      }
+      .toDF(keyCol, idCol, weightCol, "bin")
+  }
 }

@@ -32,7 +32,44 @@ object Delivery {
       .smallOrdered($"shard")
   }
 
+  /** Deterministic next-fit packing of each source's documents into
+    * 2000-character bins (SequencePacking.packGroupsSequential): the
+    * resumable-delivery layout — bins are a pure function of the data, so
+    * an unchanged source re-packs identically across runs. The oracle
+    * replays the sequential fold with a recursive CTE; the gated output
+    * is per-bin document counts and weight totals.
+    */
+  private val q139 = QueryDef.sql(
+    "per-source next-fit packing into 2000-char bins, deterministic layout")(
+    """WITH RECURSIVE d AS (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_chars, rn,
+      |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.source, d.doc_id, d.n_chars, d.rn,
+      |    CASE WHEN p.used + d.n_chars > 2000 AND p.used > 0
+      |         THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.used + d.n_chars > 2000 AND p.used > 0
+      |         THEN d.n_chars::BIGINT ELSE p.used + d.n_chars END
+      |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
+      |SELECT source, bin, count(*) AS n_docs, sum(n_chars)::BIGINT AS bin_chars
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.SequencePacking
+    SequencePacking.packGroupsSequential(
+        Tables(s, dir).documents.select($"source", $"doc_id", $"n_chars"),
+        "source", "doc_id", "n_chars", budget = 2000L)
+      .groupBy($"source", $"bin")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("bin_chars"))
+      .smallOrdered($"source", $"bin")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q136_shard_manifest" -> q136
+    "q136_shard_manifest" -> q136,
+    "q139_source_packing" -> q139
   )
 }

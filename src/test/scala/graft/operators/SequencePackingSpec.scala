@@ -96,4 +96,24 @@ class SequencePackingSpec extends SparkSpec {
     assert(bins.agg(sum($"n_docs")).first().getLong(0) == n)
     assert(bins.filter($"total_tokens" > 512L && !$"oversize").count() == 0L)
   }
+
+  test("packGroupsSequential: next-fit semantics, oversize, determinism") {
+    val s2 = spark
+    import s2.implicits._
+    // group a: 900+900 fit one bin; 900 opens bin 1; 2500 oversize owns
+    // bin 2; trailing 100 goes to bin 3 (next-fit never looks back)
+    val rows = Seq(
+      ("a", 1L, 900L), ("a", 2L, 900L), ("a", 3L, 900L), ("a", 4L, 2500L),
+      ("a", 5L, 100L), ("b", 1L, 2000L), ("b", 2L, 1L))
+    val df = rows.toDF("src", "id", "w").repartition(4)
+    val got = SequencePacking.packGroupsSequential(df, "src", "id", "w", 2000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(got == Map(("a", 1L) -> 0L, ("a", 2L) -> 0L, ("a", 3L) -> 1L,
+      ("a", 4L) -> 2L, ("a", 5L) -> 3L, ("b", 1L) -> 0L, ("b", 2L) -> 1L))
+    // layout is a pure function of the data: any input partitioning agrees
+    val again = SequencePacking.packGroupsSequential(
+        df.repartition(1).sortWithinPartitions($"w".desc), "src", "id", "w", 2000L)
+      .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
+    assert(again == got)
+  }
 }
