@@ -90,12 +90,14 @@ object SequencePacking {
     * unchanged source reproduces identical bins, which is what a
     * resumable training-data delivery needs.
     *
-    * Scale shape: one exchange by group key; each group folds inside
-    * `flatMapGroups` with O(1) state (current bin, running total) over
-    * rows Spark sorts per group — per-group memory does not grow with
-    * group size beyond the iterator. A pathologically hot key is split by
-    * range-chunking the id space upstream (same salting discipline as the
-    * skew join).
+    * Scale shape: one hash exchange by group key, then a SECONDARY SORT —
+    * `sortWithinPartitions(key, id)` puts every group's rows contiguous and
+    * id-ordered inside its partition (Spark's external sort spills to disk,
+    * so a giant group never has to fit in memory), and a streaming
+    * `mapPartitions` fold emits rows one at a time with O(1) state (current
+    * key, current bin, running total) that resets at group boundaries. No
+    * per-group buffering anywhere: a billion-row source streams through one
+    * task at sort speed instead of materializing in its heap.
     */
   def packGroupsSequential(df: DataFrame, keyCol: String, idCol: String,
       weightCol: String, budget: Long): DataFrame = {
@@ -105,12 +107,19 @@ object SequencePacking {
     df.select(col(keyCol).cast("string"), col(idCol).cast("long"),
         col(weightCol).cast("long"))
       .as[(String, Long, Long)]
-      .groupByKey(_._1)
-      .flatMapGroups { (key, it) =>
-        val sorted = it.toSeq.sortBy(_._2)
+      // all rows of a key into one partition, id-ordered within it: the
+      // fold below never needs to look ahead or buffer
+      .repartition(col(keyCol))
+      .sortWithinPartitions(col(keyCol), col(idCol).cast("long"))
+      .mapPartitions { it =>
+        var curKey: String = null
+        var started = false
         var bin = 0L
         var used = 0L
-        sorted.iterator.map { case (_, id, w) =>
+        it.map { case (key, id, w) =>
+          if (!started || key != curKey) {
+            curKey = key; started = true; bin = 0L; used = 0L
+          }
           if (used + w > budget && used > 0) { bin += 1; used = 0L }
           used += w
           (key, id, w, bin)

@@ -116,4 +116,26 @@ class SequencePackingSpec extends SparkSpec {
       .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(3))).toMap
     assert(again == got)
   }
+
+  test("packGroupsSequential: one giant group streams, matches driver fold") {
+    val s2 = spark
+    import s2.implicits._
+    // a single hot key holding every row — the skewed-source case the
+    // streaming fold exists for; weights vary so bins close irregularly
+    val n = 200000
+    val df = (0 until n).map(i => ("hot", i.toLong, (i * 131 % 977 + 1).toLong))
+      .toDF("src", "id", "w").repartition(16)
+    val got = SequencePacking.packGroupsSequential(df, "src", "id", "w", 5000L)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toMap
+    // driver reimplementation of the next-fit fold in id order
+    var bin = 0L; var used = 0L
+    val want = (0 until n).map { i =>
+      val w = (i * 131 % 977 + 1).toLong
+      if (used + w > 5000L && used > 0) { bin += 1; used = 0L }
+      used += w
+      i.toLong -> bin
+    }.toMap
+    assert(got.size == n)
+    assert(got == want)
+  }
 }
