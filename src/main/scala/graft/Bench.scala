@@ -232,9 +232,16 @@ object Bench {
     // fixed for 63 queries and query growth re-broke). qNN is unique by
     // construction; the full-name wall-time map stays on the diagnostics
     // line below, which nothing needs to fit in the window.
+    // Values are CENTISECOND INTEGERS (self-described by the "qunit" field
+    // next to the map): at 139 queries the %.2f-seconds map measured 1,730 B
+    // of the ~2 KB window — overflow would land around q155, i.e. this
+    // round. "0.14"→"14" buys ~2 B/query (~165-query headroom); full-
+    // precision seconds remain in the diagnostics line's wall_sec map and
+    // on the stderr BENCH DONE lines. value/cpu_total stay in seconds.
     def shortKey(k: String): String = k.takeWhile(_ != '_')
     val qs = results
-      .map(r => "\"" + shortKey(r._1) + "\":" + d2(r._2))
+      .map(r => "\"" + shortKey(r._1) + "\":" +
+        (if (r._2 < 0) "-1" else math.round(r._2 * 100).toString))
       .mkString("{", ",", "}")
     val fullNames = jmap(r => (r._1, r._2))
     val cpus2 = jmap(r => (r._1, r._3))
@@ -255,7 +262,20 @@ object Bench {
     val direct: String =
       if (sys.env.contains("GRAFT_BENCH_CHILD") ||
           sys.env.get("SPARK_GRAFT_DIRECT").contains("false")) ""
-      else try {
+      else if (!System.getProperty("java.class.path").split(
+          java.io.File.pathSeparatorChar).exists(p =>
+          new java.io.File(p, "graft/Bench.class").isFile ||
+            (p.endsWith(".jar") && p.contains("graft")))) {
+        // unforked `sbt run` hands the child only the sbt launcher jar: the
+        // spawn would burn the full 20-minute wait on a ClassNotFoundException
+        // loop and silently record djvm_total:-1. Fail fast with an
+        // attributable note instead — the bench must run forked (the
+        // build.sbt default) or via a bare java -cp invocation.
+        System.err.println("BENCH directjvm skipped: java.class.path does " +
+          "not contain the build's class output (unforked sbt run?); run " +
+          "the bench forked for djvm fields")
+        s""","djvm_total":-1"""
+      } else try {
         import scala.jdk.CollectionConverters._
         val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
@@ -296,7 +316,7 @@ object Bench {
     println(s"""{"diag":"bench","wall_sec":$fullNames,"cpu_sec":$cpus2,""" +
       s""""load_avg":$loads,"rebenched":$rb}""")
     println(s"""{"metric":"total","value":${d2(total)},"unit":"sec","queries":$qs,""" +
-      s""""cpu_total":${d2(totalCpu)},"ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps$direct,"sf":"$sfDir"}""")
+      s""""qunit":"centisec","cpu_total":${d2(totalCpu)},"ncpus":${Runtime.getRuntime.availableProcessors},"reps":$reps$direct,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

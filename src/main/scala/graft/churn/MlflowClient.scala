@@ -34,21 +34,29 @@ import org.apache.spark.ml.PipelineModel
   * whether its registry is the native store or a remote MLflow server.
   */
 final class MlflowClient(baseUri: String,
-    http: HttpClient = HttpClient.newHttpClient()) extends ModelSource {
+    http: HttpClient = MlflowClient.defaultHttp) extends ModelSource {
 
   private val mapper = new ObjectMapper()
   private def url(path: String) = s"${baseUri.stripSuffix("/")}$path"
 
+  // Per-request deadline: without it a hung server blocks the churn
+  // pipeline's resolveAlias/artifactUri call forever (the default client
+  // has NO timeout); with it the pipeline fails loudly inside a bounded
+  // window and the file-lifecycle error path takes over.
+  private def withDeadline(b: HttpRequest.Builder): HttpRequest.Builder =
+    b.timeout(MlflowClient.requestTimeout)
+
   private def get(path: String): (Int, String) = {
-    val req = HttpRequest.newBuilder(URI.create(url(path))).GET().build()
+    val req = withDeadline(HttpRequest.newBuilder(URI.create(url(path))).GET())
+      .build()
     val r = http.send(req, HttpResponse.BodyHandlers.ofString())
     (r.statusCode(), r.body())
   }
 
   private def post(path: String, body: String): (Int, String) = {
-    val req = HttpRequest.newBuilder(URI.create(url(path)))
+    val req = withDeadline(HttpRequest.newBuilder(URI.create(url(path)))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
+      .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8)))
       .build()
     val r = http.send(req, HttpResponse.BodyHandlers.ofString())
     (r.statusCode(), r.body())
@@ -178,4 +186,19 @@ final class MlflowClient(baseUri: String,
         s"MLmodel at $root has no flavors.spark.model_data"))
     PipelineModel.load(new org.apache.hadoop.fs.Path(rootPath, modelData).toString)
   }
+}
+
+object MlflowClient {
+  /** Connect/request deadlines for the default client: a hung or
+    * unreachable MLflow server must fail the pipeline inside a bounded
+    * window, never block it indefinitely. Overridable per-JVM for slow
+    * links; tests inject their own HttpClient and are unaffected.
+    */
+  val connectTimeout: java.time.Duration = java.time.Duration.ofSeconds(
+    sys.props.getOrElse("graft.mlflow.connectTimeoutSec", "10").toLong)
+  val requestTimeout: java.time.Duration = java.time.Duration.ofSeconds(
+    sys.props.getOrElse("graft.mlflow.requestTimeoutSec", "60").toLong)
+
+  def defaultHttp: HttpClient =
+    HttpClient.newBuilder().connectTimeout(connectTimeout).build()
 }

@@ -251,7 +251,18 @@ object ImageCodec {
       case 6 => 4 // truecolor + alpha
       case _ => 0
     }
-    if (width <= 0 || height <= 0 || channels == 0) return bad
+    // Legal bit depths per color type (PNG spec §11.2.2, RFC 2083 table):
+    // grayscale allows 1/2/4/8/16, palette 1/2/4/8, the sample-per-channel
+    // types only 8/16. An out-of-spec depth (e.g. 0) would collapse the
+    // expected inflated length below — a malformed container must never
+    // report ok=true.
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(bitDepth)
+      case 3 => Set(1, 2, 4, 8)(bitDepth)
+      case 2 | 4 | 6 => bitDepth == 8 || bitDepth == 16
+      case _ => false
+    }
+    if (width <= 0 || height <= 0 || channels == 0 || !depthOk) return bad
     // IHDR CRC covers type + data (not the length word)
     crc.reset()
     crc.update(b, 12, 4 + 13)

@@ -103,6 +103,19 @@ object SubstringDedup {
     * write-sibling-then-rename dance as dataset compaction — a reader
     * never observes a partial store.
     *
+    * CONCURRENCY CONTRACT: compaction requires WRITER exclusion — no
+    * `incrementalMatches` may be appending while it runs. An append that
+    * lands after the read snapshot would be renamed away with the old
+    * store and its first-sighting hashes silently lost (not merely
+    * duplicated). Readers stay safe throughout; writers must be fenced by
+    * the caller's scheduler. As a best-effort guard the swap re-lists the
+    * store immediately before replacing it and ABORTS (tmp deleted, store
+    * untouched, `ConcurrentModificationException`) if any data file
+    * appeared since the snapshot — that detects a racing append that
+    * lands before the final listing, but a write landing inside the
+    * rename window itself is fundamentally undetectable without a lock,
+    * hence the exclusion requirement above.
+    *
     * Scale shape: one groupBy on the 20-byte (h, id, i) rows — the store
     * never carries text — then a round-robin repartition to the target
     * file count. Idempotent: re-compacting a compacted store is a cheap
@@ -110,7 +123,8 @@ object SubstringDedup {
     */
   def compactStore(spark: org.apache.spark.sql.SparkSession,
       indexStorePath: String, targetBytes: Long = 128L * 1024 * 1024,
-      retain: Option[org.apache.spark.sql.Column] = None): Compaction.CompactionResult = {
+      retain: Option[org.apache.spark.sql.Column] = None,
+      beforeSwap: () => Unit = () => ()): Compaction.CompactionResult = {
     val path = new org.apache.hadoop.fs.Path(indexStorePath)
     val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(path)) return Compaction.CompactionResult(0, 0, 0L)
@@ -118,7 +132,11 @@ object SubstringDedup {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
     val totalBytes = dataFiles.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val deduped = spark.read.parquet(indexStorePath)
+    // read EXACTLY the snapshot's files (not the directory): a file
+    // appearing mid-plan must trip the pre-swap abort below, never be
+    // half-included depending on when Spark listed the directory
+    val snapshotNames = dataFiles.map(_.getPath.getName).toSet
+    val deduped = spark.read.parquet(dataFiles.map(_.getPath.toString): _*)
       .groupBy(col("h"))
       .agg(min(struct(col("id"), col("i"))).as("__f"))
       .select(col("h"), col("__f.id").as("id"), col("__f.i").as("i"))
@@ -127,6 +145,20 @@ object SubstringDedup {
       s".${path.getName}.compacting")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     kept.repartition(nOut).write.mode("overwrite").parquet(tmp.toString)
+    beforeSwap() // test seam: the race-guard spec plants an append here
+    // best-effort race guard (see scaladoc): abort rather than silently
+    // rename a concurrent append away with the old store
+    val nowNames = fs.listStatus(path).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).toSet
+    if ((nowNames -- snapshotNames).nonEmpty) {
+      fs.delete(tmp, true)
+      throw new java.util.ConcurrentModificationException(
+        s"compactStore aborted: ${(nowNames -- snapshotNames).size} data " +
+          s"file(s) appeared in $indexStorePath since the compaction " +
+          "snapshot (concurrent incrementalMatches append?); store left " +
+          "untouched — retry under writer exclusion")
+    }
     Compaction.atomicReplace(fs, path, tmp)
     val after = fs.listStatus(path).toSeq
       .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))

@@ -111,6 +111,27 @@ class ImageCodecSpec extends SparkSpec {
     assert(!ImageCodec.decodeMeta(Array.emptyByteArray).ok)
   }
 
+  test("out-of-spec PNG bit depths fail closed") {
+    // bitDepth=0 would collapse the expected inflated length to `height`
+    // bytes — a malformed container must never report ok=true. Flip the
+    // IHDR depth byte (offset 24) and re-stamp the IHDR CRC so only the
+    // depth check can reject it.
+    def withDepth(depth: Int): Array[Byte] = {
+      val b = ImageCodec.encodePng(8, 8, testPixels(8, 8)).clone()
+      b(24) = depth.toByte
+      val crc = new java.util.zip.CRC32()
+      crc.update(b, 12, 17)
+      val v = crc.getValue
+      b(29) = (v >>> 24).toByte; b(30) = (v >>> 16).toByte
+      b(31) = (v >>> 8).toByte; b(32) = v.toByte
+      b
+    }
+    // encodePng emits color type 2 (truecolor): legal depths are 8/16 only
+    for (d <- Seq(0, 1, 2, 3, 4, 7, 32, 255))
+      assert(!ImageCodec.decodeMeta(withDepth(d)).ok, s"depth $d must fail")
+    assert(ImageCodec.decodeMeta(withDepth(8)).ok, "re-stamped CRC is valid")
+  }
+
   test("encodeJpegShell emits a marker stream the walker and ImageIO agree on") {
     val bytes = ImageCodec.encodeJpegShell(640, 480, 3, "hello jpeg")
     val m = ImageCodec.decodeMeta(bytes)

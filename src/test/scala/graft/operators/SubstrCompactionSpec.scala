@@ -99,6 +99,35 @@ class SubstrCompactionSpec extends SparkSpec {
     assert(m2.nonEmpty && m2.forall(_._3 == 6L))
   }
 
+  test("an append landing after the snapshot aborts the swap, store intact") {
+    val s = spark
+    import s.implicits._
+    val store = Files.createTempDirectory("substr_cmp_race").toString + "/idx"
+    runMatches(store, batch1)
+    val before = s.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // a racing incrementalMatches append lands between the compaction
+    // snapshot and the swap (injected through the beforeSwap test seam):
+    // the guard must abort with the store directory untouched — the old
+    // behavior renamed the append away with the old store and lost it
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      SubstringDedup.compactStore(s, store, targetBytes = 1L << 20,
+        beforeSwap = () =>
+          Seq((99L, 999L, 1)).toDF("h", "id", "i")
+            .write.mode("append").parquet(store))
+    }
+    assert(ex.getMessage.contains("compactStore aborted"))
+    val after = s.read.parquet(store).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(after == before + ((99L, 999L, 1)), "append and store both intact")
+    // no leftover .compacting temp dir
+    assert(!new java.io.File(
+      new java.io.File(store).getParent, ".idx.compacting").exists)
+    // with the writer quiesced, a retry compacts cleanly
+    val r = SubstringDedup.compactStore(s, store, targetBytes = 1L << 20)
+    assert(r.filesAfter == 1)
+  }
+
   test("compacting a missing store is a safe no-op") {
     val r = SubstringDedup.compactStore(spark,
       Files.createTempDirectory("substr_cmp_none").toString + "/never")
