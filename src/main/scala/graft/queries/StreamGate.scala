@@ -35,14 +35,20 @@ object StreamGate {
     Temporal.Scd2OracleSql) { (s, dir) =>
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    // event drip: global (ts, event_id) order sliced into micro-batches
-    // preserves the operator's per-key-ordered delivery contract
+    // event drip: PER-KEY ordered but cross-key INTERLEAVED — each key's
+    // (ts, event_id)-ordered run splits into 4 consecutive segments by
+    // per-key position, and micro-batch i unions every key's segment i.
+    // Chunks are NOT globally time-sorted (batch 2 carries key A's late
+    // events alongside key B's early ones), which is exactly what a
+    // key-partitioned Kafka topic delivers: order within a key, none
+    // across keys. The operator's contract requires only the former.
     val typed = Tables(s, dir).events
       .select($"user_id", $"event_type".as("state"),
         Tables.epochUs($"ts").as("ts_us"), $"event_id")
       .as[TemporalStreams.StateEvent]
       .collect()
-      .sortBy(e => (e.ts_us, e.event_id))
+    val chunks = interleavedChunks(typed.toIndexedSeq)(_.user_id)(
+      e => (e.ts_us, e.event_id))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-gate-")
     val sink = "scd2_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -55,8 +61,8 @@ object StreamGate {
     // checkpoint dir or the memory-sink table across bench reps
     try {
       try {
-        typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
-          input.addData(chunk.toIndexedSeq)
+        chunks.foreach { chunk =>
+          input.addData(chunk)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -90,11 +96,12 @@ object StreamGate {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val durUs = 300000000L
+    // same per-key-ordered / cross-key-interleaved drip as q130
     val typed = Tables(s, dir).events
       .select($"user_id", Tables.epochUs($"ts").as("ts_us"))
       .as[TemporalStreams.IntervalEvent]
       .collect()
-      .sortBy(_.ts_us)
+    val chunks = interleavedChunks(typed.toIndexedSeq)(_.user_id)(_.ts_us)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-isl-gate-")
     val sink = "isl_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
@@ -105,8 +112,8 @@ object StreamGate {
       .outputMode("append").start()
     try {
       try {
-        typed.grouped(math.max(typed.length / 4, 1)).foreach { chunk =>
-          input.addData(chunk.toIndexedSeq)
+        chunks.foreach { chunk =>
+          input.addData(chunk)
           q.processAllAvailable()
         }
       } finally q.stop()
@@ -124,6 +131,23 @@ object StreamGate {
       s.catalog.dropTempView(sink)
       deleteRecursively(ckpt.toFile)
     }
+  }
+
+  /** Split each key's `order`-sorted events into `n` consecutive segments
+    * by per-key position; chunk i = every key's segment i, keys iterated
+    * in key order. Per-key delivery order is preserved across chunks
+    * (consecutive slices of a sorted run) while the chunks themselves mix
+    * time ranges across keys — the Kafka key-partitioned delivery shape.
+    */
+  private def interleavedChunks[T, O: Ordering](events: IndexedSeq[T],
+      n: Int = 4)(key: T => Long)(order: T => O): Seq[IndexedSeq[T]] = {
+    val byKey = events.groupBy(key).toSeq.sortBy(_._1)
+      .map { case (_, es) => es.sortBy(order) }
+    (0 until n).map { i =>
+      byKey.flatMap { es =>
+        es.slice(i * es.length / n, (i + 1) * es.length / n)
+      }.toIndexedSeq
+    }.filter(_.nonEmpty)
   }
 
   private def deleteRecursively(f: java.io.File): Unit = {
