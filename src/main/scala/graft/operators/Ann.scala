@@ -287,4 +287,39 @@ object Ann {
         VectorFunctions.cosineSim(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** Config auto-pick over a recall audit frame (the q131 shape:
+    * `(method, param, k, hits, candidates)` per configuration): for each
+    * target recall percentage, the CHEAPEST configuration meeting it —
+    * fewest candidates (candidates = exact re-scores paid per audit, the
+    * index's cost proxy), ties broken by (method, param). The threshold
+    * is integer math — `hits * 100 >= target_pct * k * nQueries` — so
+    * the result is hash-gateable with no float tolerance. Targets no
+    * config meets surface as an explicit ('none', 0, 0, 0) row.
+    *
+    * The audit frame is one row per configuration (a handful), so this
+    * is driver-cheap by construction; it stays declarative anyway so it
+    * composes into a gated plan.
+    */
+  def pickCheapestConfig(audit: DataFrame, nQueries: Long,
+      targetsPct: Seq[Int]): DataFrame = {
+    val spark = audit.sparkSession
+    import spark.implicits._
+    val targets = targetsPct.toDF("target_pct")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("target_pct"))
+      .orderBy(col("candidates"), col("method"), col("param"))
+    val met = audit.crossJoin(broadcast(targets))
+      .filter(col("hits") * 100L >=
+        col("target_pct").cast("long") * col("k") * lit(nQueries))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("target_pct"), col("method"), col("param"),
+        col("hits"), col("candidates"))
+    targets.join(met, Seq("target_pct"), "left")
+      .select(col("target_pct").cast("int").as("target_pct"),
+        coalesce(col("method"), lit("none")).as("method"),
+        coalesce(col("param"), lit(0)).cast("int").as("param"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("candidates"), lit(0L)).as("candidates"))
+  }
 }

@@ -25,8 +25,10 @@ import graft.operators.Ann
   */
 object AnnAudit {
 
-  private val q131 = QueryDef.sql(
-    "ANN recall@k audit: LSH plane counts and IVF probe widths vs brute force")(
+  /** The audit frame's oracle SQL, shared by q131 (the audit itself) and
+    * q140 (the config pick over it).
+    */
+  private val AuditSql: String =
     """WITH pj AS (SELECT p.p AS p, j.j AS j
       |  FROM (SELECT unnest(range(0, 8)) AS p) p
       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
@@ -115,7 +117,19 @@ object AnnAudit {
       |FROM spine s
       |LEFT JOIN hits h ON h.method = s.method AND h.param = s.param
       |LEFT JOIN cc ON cc.method = s.method AND cc.param = s.param
-      |ORDER BY s.method, s.param""".stripMargin) { (s, dir) =>
+      |ORDER BY s.method, s.param""".stripMargin
+
+  private val q131 = QueryDef.sql(
+    "ANN recall@k audit: LSH plane counts and IVF probe widths vs brute force")(
+    AuditSql) { (s, dir) => auditFrame(s, dir).smallOrdered(
+      org.apache.spark.sql.functions.col("method"),
+      org.apache.spark.sql.functions.col("param")) }
+
+  /** The audit frame itself — (method, param, k, hits, candidates) per
+    * configuration. Extracted so q140's pick replays the identical plan.
+    */
+  private def auditFrame(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
     val k = 5
     val emb = Tables(s, dir).embeddingsFanned
@@ -193,10 +207,43 @@ object AnnAudit {
         lit(k).cast("int").as("k"),
         coalesce($"hits", lit(0L)).as("hits"),
         coalesce($"candidates", lit(0L)).as("candidates"))
-      .smallOrdered($"method", $"param")
+  }
+
+  /** Config auto-pick over the audit (round 9): the operator a user
+    * actually calls after q131 — for each target recall, the CHEAPEST
+    * configuration (fewest exact re-scores, i.e. candidates; ties by
+    * method, param) whose measured hits meet the target. Integer-gated:
+    * the recall threshold compares `hits * 100 >= target_pct * k * nq`
+    * with no floats anywhere; unmet targets surface as an explicit
+    * 'none' row rather than vanishing.
+    */
+  private val q140 = QueryDef.sql(
+    "cheapest ANN config meeting each target recall, from the q131 audit")(
+    s"""WITH audit AS ($AuditSql),
+       |t AS (SELECT unnest([40, 60, 80, 100]) AS target_pct),
+       |nq AS (SELECT count(*) AS n FROM embeddings WHERE vec_id < 10),
+       |met AS (SELECT t.target_pct, a.method, a.param, a.hits, a.candidates,
+       |    row_number() OVER (PARTITION BY t.target_pct
+       |                       ORDER BY a.candidates, a.method, a.param) AS rn
+       |  FROM t JOIN audit a
+       |    ON a.hits * 100 >= t.target_pct * a.k * (SELECT n FROM nq))
+       |SELECT CAST(t.target_pct AS INT) AS target_pct,
+       |  coalesce(m.method, 'none') AS method,
+       |  CAST(coalesce(m.param, 0) AS INT) AS param,
+       |  CAST(coalesce(m.hits, 0) AS BIGINT) AS hits,
+       |  CAST(coalesce(m.candidates, 0) AS BIGINT) AS candidates
+       |FROM t LEFT JOIN met m ON m.target_pct = t.target_pct AND m.rn = 1
+       |ORDER BY target_pct""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val nQueries = Tables(s, dir).embeddingsFanned
+      .filter($"vec_id" < 10).count()
+    Ann.pickCheapestConfig(auditFrame(s, dir), nQueries,
+        targetsPct = Seq(40, 60, 80, 100))
+      .smallOrdered($"target_pct")
   }
 
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q131_ann_recall" -> q131
+    "q131_ann_recall" -> q131,
+    "q140_ann_config_pick" -> q140
   )
 }

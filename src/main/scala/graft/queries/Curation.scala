@@ -20,9 +20,10 @@ object Curation {
 
   /** Shared oracle CTE chain: exact near-dup pairs at j >= 0.9 (q20
     * semantics) transitively closed into components by a recursive CTE.
-    * Ends with `comp(id, component)`; q44/q61 select from it.
+    * Ends with `comp(id, component)`; q44/q61 select from it, q141's
+    * delivery chain (Delivery.scala) builds on it.
     */
-  private val clusterCtes =
+  private[queries] val clusterCtes =
     """WITH RECURSIVE tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
       |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx),
@@ -196,7 +197,8 @@ object Curation {
   }
 
   /** Stopword IN-list shared verbatim with the oracle (q16 convention). */
-  private val stopList = TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
+  private[queries] val stopList =
+    TextAnalysis.Stopwords.map(w => s"'$w'").mkString(", ")
 
   /** Per-source quality quota (the per-domain cap of corpus curation):
     * keep the 10 highest-quality documents per source, ties to the lowest
