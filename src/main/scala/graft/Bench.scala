@@ -42,8 +42,10 @@ object Bench {
       .config("spark.sql.constraintPropagation.enabled", "false")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
-      // no partitioned tables in the bench corpus: DPP planning is pure
-      // overhead; locality waits are meaningless in local mode
+      // the one partitioned table in the corpus (q143's date layout) prunes
+      // STATICALLY — its filter bounds are literals, so DPP (which serves
+      // join-derived filters) stays pure planning overhead here; locality
+      // waits are meaningless in local mode
       .config("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
       .config("spark.locality.wait", "0")
       // RDD-path stages (ParallelRank boundaries, CC label rounds) follow
@@ -262,27 +264,49 @@ object Bench {
     val direct: String =
       if (sys.env.contains("GRAFT_BENCH_CHILD") ||
           sys.env.get("SPARK_GRAFT_DIRECT").contains("false")) ""
-      else if (!System.getProperty("java.class.path").split(
-          java.io.File.pathSeparatorChar).exists(p =>
-          new java.io.File(p, "graft/Bench.class").isFile ||
-            (p.endsWith(".jar") && p.contains("graft")))) {
-        // unforked `sbt run` hands the child only the sbt launcher jar: the
-        // spawn would burn the full 20-minute wait on a ClassNotFoundException
-        // loop and silently record djvm_total:-1. Fail fast with an
-        // attributable note instead — the bench must run forked (the
-        // build.sbt default) or via a bare java -cp invocation.
-        System.err.println("BENCH directjvm skipped: java.class.path does " +
-          "not contain the build's class output (unforked sbt run?); run " +
-          "the bench forked for djvm fields")
-        s""","djvm_total":-1"""
-      } else try {
+      else try {
         import scala.jdk.CollectionConverters._
-        val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+        // Child classpath that works no matter how THIS JVM was launched:
+        // an unforked `sbt run` hands java.class.path only the sbt launcher
+        // jar (the round-9 djvm_total:-1 failure mode — the old fail-fast
+        // here skipped the spawn and the round shipped without a bare-JVM
+        // number). The build's class output and the Spark jars directory
+        // both self-identify via CodeSource locations of already-loaded
+        // classes, so a usable `<graft classes>:<spark jars>/*` classpath
+        // exists in every launch mode.
+        def codeSrc(c: Class[_]): Option[java.io.File] =
+          Option(c.getProtectionDomain.getCodeSource)
+            .map(cs => new java.io.File(cs.getLocation.toURI))
+        val parentCp = System.getProperty("java.class.path")
+        val parentHasBuild = parentCp.split(java.io.File.pathSeparatorChar)
+          .exists(p => new java.io.File(p, "graft/Bench.class").isFile ||
+            (p.endsWith(".jar") && p.contains("graft")))
+        val childCp =
+          if (parentHasBuild) parentCp
+          else (codeSrc(Bench.getClass), codeSrc(classOf[SparkSession])) match {
+            case (Some(g), Some(spk)) =>
+              g.getPath + java.io.File.pathSeparator + spk.getParent +
+                java.io.File.separator + "*"
+            case _ => sys.error("cannot derive child classpath: no CodeSource")
+          }
+        val jvmArgs0 = java.lang.management.ManagementFactory.getRuntimeMXBean
           .getInputArguments.asScala.toSeq
           .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        // The parent (e.g. sbt's own JVM) may lack the JDK17 module opens
+        // and a Spark-sized heap; top up with Spark's published defaults
+        // (the same list spark-submit injects) and the paired-protocol 8g
+        // heap so the child measures the standard configuration.
+        val moduleOpens = org.apache.spark.launcher.JavaModuleOptions
+          .defaultModuleOptions().split(" ").filter(_.nonEmpty).toSeq
+        val jvmArgs = jvmArgs0 ++
+          (if (jvmArgs0.exists(_.startsWith("--add-opens"))) Nil
+           else moduleOpens) ++
+          (if (jvmArgs0.exists(_.startsWith("-Xmx"))) Nil else Seq("-Xmx8g")) ++
+          (if (jvmArgs0.exists(_.startsWith("-Xss"))) Nil else Seq("-Xss8m")) ++
+          (if (jvmArgs0.exists(_.contains("spark.sql.session.timeZone"))) Nil
+           else Seq("-Dspark.sql.session.timeZone=UTC"))
         val cmd = Seq(System.getProperty("java.home") + "/bin/java") ++
-          jvmArgs ++ Seq("-cp", System.getProperty("java.class.path"),
-          "graft.Bench")
+          jvmArgs ++ Seq("-cp", childCp, "graft.Bench")
         val pb = new ProcessBuilder(cmd: _*)
         pb.environment().put("GRAFT_BENCH_CHILD", "1")
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)

@@ -7,13 +7,22 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Multi-JVM gate (round 10, VERDICT r9 #1): SPARK_GRAFT_MASTER=
+    // local-cluster[4,8,4096] runs the whole suite with four REAL executor
+    // processes — closure serialization, broadcast transport, task-side
+    // lazy statics and state-store placement all actually cross a process
+    // boundary, which single-JVM local[N] never exercises. Default stays
+    // local[cpus] (the driver's gate).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    if (master.startsWith("local-cluster"))
+      graft.core.GraftSession.configureLocalCluster(builder, master)
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (same contract as Bench): the driver never

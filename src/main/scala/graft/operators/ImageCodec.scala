@@ -21,19 +21,27 @@ import org.apache.spark.sql.functions.col
   *    chunk, Adler32 trailer), IEND. `javax.imageio` round-trips it
   *    (ImageCodecSpec) — pixel-exact.
   *  - `encodeJpegShell` emits a structurally valid JFIF header stream
-  *    (SOI, APP0, COM, SOF0, EOI) with NO entropy-coded scan: building
-  *    real DCT/Huffman data is out of scope, but every field a metadata
-  *    extractor reads (marker walk, segment lengths, SOF dimensions) is
-  *    real and ImageIO's header reader agrees on the dimensions.
+  *    (SOI, APP0, COM, SOF0, EOI) with NO entropy-coded scan: every field
+  *    a metadata extractor reads (marker walk, segment lengths, SOF
+  *    dimensions) is real and ImageIO's header reader agrees on the
+  *    dimensions.
+  *  - `encodeJpegGray` (round 10) emits a REAL baseline-sequential JPEG:
+  *    DQT, the Annex K Huffman tables in DHT, optional DRI, and an
+  *    entropy-coded scan (DC categories + extend bits, EOB, byte
+  *    stuffing, RSTn restarts) any conforming decoder reconstructs
+  *    exactly — blocks are flat, so DC-only coding IS the correct
+  *    bit-exact encoding, not an approximation.
   *
   * Decoder notes: `decodeMeta` sniffs the container by magic bytes and
   * walks the real structure — PNG verifies the signature, the IHDR CRC and
   * (when IDAT is present) INFLATES the pixel stream and checks it against
   * the expected `height * (1 + width * bytesPerPixel)` filtered-scanline
-  * length; JPEG walks the marker chain skipping variable-length segments
-  * until a frame header (SOF0..15 minus DHT/JPG/DAC). A truncated or
-  * corrupted payload decodes to `ok = false`, never to a throw — at corpus
-  * scale a poison blob must not kill the stage.
+  * length; JPEG walks the whole marker chain and, for single-scan
+  * baseline/extended-sequential frames with Huffman tables present,
+  * entropy-decodes EVERY MCU (T.81 F.2: canonical Huffman, receive/extend,
+  * run-length AC, restart resync) and requires the scan to land exactly on
+  * EOI. A truncated or corrupted payload decodes to `ok = false`, never to
+  * a throw — at corpus scale a poison blob must not kill the stage.
   *
   * Scale shape: the codec runs inside `mapPartitions` (the mapInPandas
   * batch shape, same as `Multimodal.decodePartitionwise`) so per-partition
@@ -46,10 +54,19 @@ object ImageCodec {
 
   /** Decoded container metadata; `ok` = the payload checks out end-to-end
     * (PNG: signature + IHDR CRC + inflated scanline length; JPEG: complete
-    * marker walk reaching SOF with sane dimensions).
+    * marker walk to SOF + — when the stream carries Huffman tables and an
+    * entropy-coded scan — a full baseline Huffman decode of every MCU,
+    * restart markers and byte stuffing included, ending exactly at EOI).
+    *
+    * `blocks`/`dcSum` are filled only by the entropy decode path: the 8x8
+    * block count of the scan's FIRST component and the sum of its
+    * reconstructed per-block DC means (`dc * qDC / 8 + 128` — exact for
+    * flat blocks, the fixture family `encodeJpegGray` produces). Header-
+    * only streams (the `encodeJpegShell` contract: SOS, no tables, empty
+    * scan) and non-baseline frames keep the 0 defaults.
     */
   final case class ImageMeta(format: String, width: Int, height: Int,
-      channels: Int, ok: Boolean)
+      channels: Int, ok: Boolean, blocks: Long = 0L, dcSum: Long = 0L)
 
   private val PngSignature: Array[Byte] =
     Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
@@ -194,6 +211,173 @@ object ImageCodec {
     out.toByteArray
   }
 
+  // ----------------------------------------------------- JPEG entropy layer
+
+  /** Standard Huffman tables, ITU-T T.81 Annex K.3 (tables K.3/K.5:
+    * luminance DC and AC) — the tables every baseline camera/encoder
+    * pipeline ships, emitted verbatim into DHT so the fixture stream is
+    * table-identical to production JPEGs.
+    */
+  private val DcLumaBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val DcLumaVals: Array[Int] = Array.tabulate(12)(identity)
+  private val AcLumaBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val AcLumaVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16,
+    0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5, 0xa6, 0xa7,
+    0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5,
+    0xc6, 0xc7, 0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4,
+    0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea,
+    0xf1, 0xf2, 0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8,
+    0xf9, 0xfa)
+
+  /** Canonical code assignment (T.81 C.2): symbol -> (code, length). */
+  private def canonicalCodes(bits: Array[Int],
+      vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0
+    var k = 0
+    var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) {
+        out += vals(k) -> (code, l)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  /** MSB-first bit writer with the scan layer's 0xFF -> 0xFF 0x00 byte
+    * stuffing; `align()` pads the current byte with 1-bits (T.81 F.1.2.3).
+    */
+  private final class BitWriter(out: java.io.ByteArrayOutputStream) {
+    private var acc = 0
+    private var n = 0
+    def put(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((code >>> i) & 1)
+        n += 1
+        if (n == 8) {
+          out.write(acc)
+          if (acc == 0xff) out.write(0x00)
+          acc = 0; n = 0
+        }
+        i -= 1
+      }
+    }
+    def align(): Unit = if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+  }
+
+  /** Baseline-sequential grayscale JPEG with a REAL entropy-coded scan:
+    * SOI, APP0, DQT (table 0, DC quantizer 8), DHT (the Annex K luminance
+    * DC+AC tables), optional DRI, SOF0, SOS, Huffman-coded MCU data with
+    * byte stuffing and RSTn restarts, EOI. Each 8x8 block is FLAT at
+    * `blockMeans(by * (width/8) + bx)` (0..255): a constant block's DCT is
+    * DC-only — `F(0,0) = 8 * (mean - 128)` — so with quantizer 8 the
+    * quantized coefficient is exactly `mean - 128`, the diff/category/EOB
+    * coding is bit-for-bit standard baseline JPEG, and any conforming
+    * decoder reconstructs the block means exactly (ImageCodecSpec
+    * round-trips through ImageIO). No DCT code is needed or pretended:
+    * flatness is a property of the FIXTURE, not a shortcut in the format.
+    * `restartInterval > 0` emits DRI and an RSTm every that-many MCUs with
+    * DC-predictor resets — the resync machinery a splittable 100 TB scan
+    * relies on.
+    */
+  def encodeJpegGray(width: Int, height: Int, blockMeans: Array[Int],
+      restartInterval: Int = 0): Array[Byte] = {
+    require(width > 0 && width % 8 == 0 && height > 0 && height % 8 == 0,
+      s"dims must be 8-aligned, got ${width}x$height")
+    val bw = width / 8
+    val bh = height / 8
+    require(blockMeans.length == bw * bh,
+      s"blockMeans ${blockMeans.length} != ${bw * bh}")
+    val out = new java.io.ByteArrayOutputStream(256 + blockMeans.length * 2)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def u16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0) // APP0 / JFIF 1.1
+    u16(16)
+    out.write("JFIF".getBytes("US-ASCII"), 0, 4); out.write(0)
+    out.write(1); out.write(1)
+    out.write(0); u16(1); u16(1); out.write(0); out.write(0)
+    marker(0xdb) // DQT: table 0, 8-bit precision, DC quantizer 8
+    u16(2 + 1 + 64)
+    out.write(0x00)
+    out.write(8) // q(0,0)
+    var i = 0
+    while (i < 63) { out.write(1); i += 1 } // AC quantizers (unused: DC-only)
+    def dht(clazz: Int, id: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4)
+      u16(2 + 1 + 16 + vals.length)
+      out.write((clazz << 4) | id)
+      bits.foreach(out.write)
+      vals.foreach(out.write)
+    }
+    dht(0, 0, DcLumaBits, DcLumaVals)
+    dht(1, 0, AcLumaBits, AcLumaVals)
+    if (restartInterval > 0) { marker(0xdd); u16(4); u16(restartInterval) }
+    marker(0xc0) // SOF0: 8-bit precision, 1 component, 1x1 sampling
+    u16(8 + 3)
+    out.write(8); u16(height); u16(width)
+    out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    marker(0xda) // SOS
+    u16(6 + 2)
+    out.write(1)
+    out.write(1); out.write(0x00) // component 1: DC table 0, AC table 0
+    out.write(0); out.write(63); out.write(0)
+    // entropy-coded scan: DC diff (category code + extend bits) + EOB
+    val dcCodes = canonicalCodes(DcLumaBits, DcLumaVals)
+    val (eobCode, eobLen) = canonicalCodes(AcLumaBits, AcLumaVals)(0x00)
+    val bw2 = new BitWriter(out)
+    var pred = 0
+    var rst = 0
+    var mcu = 0
+    while (mcu < blockMeans.length) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        bw2.align()
+        marker(0xd0 + rst)
+        rst = (rst + 1) % 8
+        pred = 0
+      }
+      val dc = blockMeans(mcu) - 128
+      var diff = dc - pred
+      pred = dc
+      // category = bit length of |diff| (T.81 table F.1)
+      val s = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      val (c, l) = dcCodes(s)
+      bw2.put(c, l)
+      if (s > 0) {
+        if (diff < 0) diff += (1 << s) - 1
+        bw2.put(diff, s)
+      }
+      bw2.put(eobCode, eobLen) // all-zero AC: end of block
+      mcu += 1
+    }
+    bw2.align()
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
   // ---------------------------------------------------------------- decode
 
   /** Container sniff + full structural decode; never throws on bad input. */
@@ -327,8 +511,119 @@ object ImageCodec {
     b(off) == t.charAt(0).toByte && b(off + 1) == t.charAt(1).toByte &&
       b(off + 2) == t.charAt(2).toByte && b(off + 3) == t.charAt(3).toByte
 
+  /** Canonical Huffman decode tables per T.81 F.2.2.3: mincode/maxcode/
+    * valptr per code length, over the DHT segment's (BITS, HUFFVAL).
+    */
+  private final class HuffTable(bits: Array[Int], vals: Array[Int]) {
+    val mincode = new Array[Int](17)
+    val maxcode = Array.fill(17)(-1)
+    val valptr = new Array[Int](17)
+    val huffval: Array[Int] = vals
+    locally {
+      var code = 0
+      var k = 0
+      var l = 1
+      while (l <= 16) {
+        if (bits(l - 1) > 0) {
+          valptr(l) = k
+          mincode(l) = code
+          code += bits(l - 1); k += bits(l - 1)
+          maxcode(l) = code - 1
+        }
+        code <<= 1
+        l += 1
+      }
+    }
+  }
+
+  /** MSB-first bit reader over the entropy-coded scan: un-stuffs
+    * 0xFF 0x00, stops (returns -1) at any real marker so the MCU loop can
+    * check restart/EOI alignment explicitly.
+    */
+  private final class BitReader(b: Array[Byte], start: Int) {
+    var pos: Int = start
+    private var acc = 0
+    private var n = 0
+    private var atMarker = false
+    def nextBit(): Int = {
+      if (n == 0) {
+        if (atMarker || pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        if (v == 0xff) {
+          if (pos + 1 < b.length && b(pos + 1) == 0) { pos += 2 } // stuffed
+          else { atMarker = true; return -1 }
+          acc = 0xff
+        } else { acc = v; pos += 1 }
+        n = 8
+      }
+      n -= 1
+      (acc >>> n) & 1
+    }
+    /** Drop partial-byte padding and report the marker byte at the head
+      * (or -1); advances past it. An all-ones pad byte is 0xFF and arrives
+      * STUFFED (0xFF 0x00) — skip such unconsumed data bytes too, plus any
+      * 0xFF fill bytes before the marker.
+      */
+    def takeMarker(): Int = {
+      n = 0; atMarker = false
+      while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          b(pos + 1) == 0) pos += 2 // stuffed pad byte(s)
+      while (pos + 1 < b.length && (b(pos) & 0xff) == 0xff &&
+          (b(pos + 1) & 0xff) == 0xff) pos += 1 // fill bytes
+      if (pos + 1 < b.length && (b(pos) & 0xff) == 0xff) {
+        val m = b(pos + 1) & 0xff
+        pos += 2
+        m
+      } else -1
+    }
+    def decodeHuff(t: HuffTable): Int = {
+      var code = nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && (t.maxcode(l) < 0 || code > t.maxcode(l))) {
+        val bit = nextBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      if (l > 16) return -1
+      t.huffval(t.valptr(l) + code - t.mincode(l))
+    }
+    /** `receive` + `extend` (T.81 F.2.2.1): s magnitude bits -> signed. */
+    def receiveExtend(s: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < s) {
+        val bit = nextBit()
+        if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit
+        i += 1
+      }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+  }
+
+  /** Full baseline JPEG decode: marker walk collecting DQT/DHT/DRI/SOF,
+    * then — for baseline/extended-sequential frames carrying Huffman
+    * tables — an entropy decode of EVERY MCU (DC diff + AC run-length,
+    * arbitrary sampling factors, byte stuffing, RSTn resync with
+    * cycling-index and DC-reset checks) that must land exactly on EOI.
+    * A table-less SOS is the `encodeJpegShell` header contract and is ok
+    * only with an EMPTY scan; entropy data with no tables, a malformed
+    * code, a wrong restart index, excess or missing MCUs, or a missing
+    * EOI all fail closed. Progressive/lossless frames (SOF2 etc.) get the
+    * structural dims check only — their scan layout is out of scope.
+    */
   private def decodeJpeg(b: Array[Byte]): ImageMeta = {
     val bad = ImageMeta("jpeg", 0, 0, 0, ok = false)
+    val dcTables = new java.util.HashMap[Int, HuffTable]()
+    val acTables = new java.util.HashMap[Int, HuffTable]()
+    val quantDc = new java.util.HashMap[Int, Int]()
+    var width = 0; var height = 0; var channels = 0
+    var baseline = false
+    var restartInterval = 0
+    // per-component (id -> (h, v, tq)) from SOF
+    var comps: Array[(Int, Int, Int, Int)] = Array.empty
     var off = 2 // past SOI
     while (off + 4 <= b.length) {
       if ((b(off) & 0xff) != 0xff) return bad
@@ -340,25 +635,176 @@ object ImageCodec {
           (marker >= 0xd0 && marker <= 0xd7)) {
         off += 2 // standalone markers with no length segment
       } else if (marker == 0xd9) {
-        return bad // EOI before any SOF
+        return bad // EOI before any SOS
       } else {
         val len = ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
         if (len < 2 || off + 2 + len > b.length) return bad
-        val isSof = marker >= 0xc0 && marker <= 0xcf &&
-          marker != 0xc4 && marker != 0xc8 && marker != 0xcc
-        if (isSof) {
-          if (len < 8) return bad
-          val height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
-          val width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
-          val channels = b(off + 9) & 0xff
-          val ok = width > 0 && height > 0 && channels > 0 &&
-            len == 8 + 3 * channels
-          return ImageMeta("jpeg", width, height, channels, ok)
+        val seg = off + 4 // first payload byte
+        val segEnd = off + 2 + len
+        marker match {
+          case 0xdb => // DQT: one or more (precision|id, 64/128 bytes)
+            var p = seg
+            while (p < segEnd) {
+              val pq = (b(p) & 0xff) >> 4
+              val tq = b(p) & 0x0f
+              if (pq > 1) return bad
+              val dc0 =
+                if (pq == 0) b(p + 1) & 0xff
+                else ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+              quantDc.put(tq, dc0)
+              p += 1 + (if (pq == 0) 64 else 128)
+            }
+            if (p != segEnd) return bad
+          case 0xc4 => // DHT: one or more (class|id, BITS, HUFFVAL)
+            var p = seg
+            while (p < segEnd) {
+              val clazz = (b(p) & 0xff) >> 4
+              val id = b(p) & 0x0f
+              if (clazz > 1 || p + 17 > segEnd) return bad
+              val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+              val nv = bits.sum
+              if (p + 17 + nv > segEnd || nv > 256) return bad
+              val vals = Array.tabulate(nv)(i => b(p + 17 + i) & 0xff)
+              val t = new HuffTable(bits, vals)
+              if (clazz == 0) dcTables.put(id, t) else acTables.put(id, t)
+              p += 17 + nv
+            }
+            if (p != segEnd) return bad
+          case 0xdd => // DRI
+            if (len != 4) return bad
+            restartInterval = ((b(seg) & 0xff) << 8) | (b(seg + 1) & 0xff)
+          case m if m >= 0xc0 && m <= 0xcf && m != 0xc8 && m != 0xcc =>
+            if (len < 8) return bad
+            height = ((b(off + 5) & 0xff) << 8) | (b(off + 6) & 0xff)
+            width = ((b(off + 7) & 0xff) << 8) | (b(off + 8) & 0xff)
+            channels = b(off + 9) & 0xff
+            if (width <= 0 || height <= 0 || channels <= 0 ||
+                len != 8 + 3 * channels) return bad
+            baseline = m == 0xc0 || m == 0xc1 // sequential DCT, Huffman
+            comps = Array.tabulate(channels) { ci =>
+              val p = off + 10 + 3 * ci
+              (b(p) & 0xff, (b(p + 1) & 0xff) >> 4, b(p + 1) & 0x0f,
+                b(p + 2) & 0xff)
+            }
+            if (comps.exists(c => c._2 < 1 || c._2 > 4 || c._3 < 1 || c._3 > 4))
+              return bad
+          case 0xda => // SOS: the scan starts after this header
+            if (width <= 0) return bad
+            val ns = b(seg) & 0xff
+            if (len != 6 + 2 * ns || ns < 1) return bad
+            if (!baseline)
+              // progressive/lossless: dims verified, scan not decoded
+              return ImageMeta("jpeg", width, height, channels, ok = true)
+            if (dcTables.isEmpty && acTables.isEmpty) {
+              // header-shell contract: valid ONLY with an empty scan
+              val ok = segEnd + 2 <= b.length &&
+                (b(segEnd) & 0xff) == 0xff && (b(segEnd + 1) & 0xff) == 0xd9
+              return ImageMeta("jpeg", width, height, channels, ok)
+            }
+            // scan components -> (h, v, dcTable, acTable, quantDc)
+            val scan = Array.tabulate(ns) { si =>
+              val p = seg + 1 + 2 * si
+              val cid = b(p) & 0xff
+              val td = (b(p + 1) & 0xff) >> 4
+              val ta = b(p + 1) & 0x0f
+              comps.find(_._1 == cid) match {
+                case Some((_, h, v, tq)) =>
+                  (h, v, dcTables.get(td), acTables.get(ta),
+                    quantDc.getOrDefault(tq, 8))
+                case None => return bad
+              }
+            }
+            if (scan.exists(s => s._3 == null || s._4 == null)) return bad
+            return decodeScan(b, segEnd, width, height, channels, scan,
+              restartInterval)
+          case _ => () // APPn / COM / other tables: skip by length
         }
-        off += 2 + len
+        off = segEnd
       }
     }
     bad
+  }
+
+  /** Entropy-decode every MCU of a baseline scan starting at `start`;
+    * returns the final meta (ok only when the decode lands exactly on
+    * EOI). `scan` is per scan-component (h, v, dcTable, acTable, qDC).
+    */
+  private def decodeScan(b: Array[Byte], start: Int, width: Int, height: Int,
+      channels: Int, scan: Array[(Int, Int, HuffTable, HuffTable, Int)],
+      restartInterval: Int): ImageMeta = {
+    val bad = ImageMeta("jpeg", width, height, channels, ok = false)
+    // MCU grid: interleaved scans tile ceil over 8*hmax x 8*vmax; a
+    // single-component scan is non-interleaved — its MCU is ONE block
+    val (mcusX, mcusY) =
+      if (scan.length == 1)
+        ((width + 7) / 8, (height + 7) / 8)
+      else {
+        val hmax = scan.map(_._1).max
+        val vmax = scan.map(_._2).max
+        ((width + 8 * hmax - 1) / (8 * hmax),
+          (height + 8 * vmax - 1) / (8 * vmax))
+      }
+    val totalMcus = mcusX.toLong * mcusY
+    val r = new BitReader(b, start)
+    val pred = new Array[Int](scan.length)
+    var blocks0 = 0L // component-0 block count
+    var dcSum = 0L   // component-0 reconstructed mean sum
+    var mcu = 0L
+    var rstIdx = 0
+    while (mcu < totalMcus) {
+      if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+        val m = r.takeMarker()
+        if (m != 0xd0 + rstIdx) return bad // wrong/missing RSTn
+        rstIdx = (rstIdx + 1) % 8
+        java.util.Arrays.fill(pred, 0)
+      }
+      var si = 0
+      while (si < scan.length) {
+        val (h, v, dcT, acT, qdc) = scan(si)
+        val blocksInMcu = if (scan.length == 1) 1 else h * v
+        var bi = 0
+        while (bi < blocksInMcu) {
+          // DC: category + extend bits
+          val s = r.decodeHuff(dcT)
+          if (s < 0 || s > 15) return bad
+          if (s > 0) {
+            val diff = r.receiveExtend(s)
+            if (diff == Int.MinValue) return bad
+            pred(si) += diff
+          }
+          if (si == 0) {
+            blocks0 += 1
+            dcSum += pred(si).toLong * qdc / 8 + 128
+          }
+          // AC: run-length to EOB or coefficient 63
+          var k = 1
+          var eob = false
+          while (!eob && k < 64) {
+            val rs = r.decodeHuff(acT)
+            if (rs < 0) return bad
+            val run = rs >> 4
+            val size = rs & 0x0f
+            if (size == 0) {
+              if (run == 15) k += 16 // ZRL
+              else eob = true        // EOB
+            } else {
+              k += run
+              if (k > 63) return bad
+              if (r.receiveExtend(size) == Int.MinValue) return bad
+              k += 1
+            }
+          }
+          bi += 1
+        }
+        si += 1
+      }
+      mcu += 1
+    }
+    // the scan must end exactly at EOI (optionally via fill bytes)
+    val m = r.takeMarker()
+    if (m == 0xd9)
+      ImageMeta("jpeg", width, height, channels, ok = true, blocks0, dcSum)
+    else bad
   }
 
   // ------------------------------------------------------------- operators
@@ -379,9 +825,11 @@ object ImageCodec {
         rows.map { case (id, bytes) =>
           val m = decodeMeta(bytes, crc, inf)
           (id, m.format, m.width, m.height, m.channels,
-            if (bytes == null) 0L else bytes.length.toLong, m.ok)
+            if (bytes == null) 0L else bytes.length.toLong, m.ok,
+            m.blocks, m.dcSum)
         }
       }
-      .toDF("id", "format", "width", "height", "channels", "byte_len", "ok")
+      .toDF("id", "format", "width", "height", "channels", "byte_len", "ok",
+        "blocks", "dc_sum")
   }
 }

@@ -75,4 +75,17 @@ object Layout {
       .drop("__z", "__xmax", "__ymax")
       .write.mode("overwrite").parquet(path)
   }
+
+  /** Hive-style partitioned write: each distinct `partCol` value becomes a
+    * directory (`event_date=2024-01-07/…`), the lake layout that lets a
+    * date-filtered scan at 100 TB LIST its way past everything else —
+    * Catalyst prunes the non-matching directories at planning time for
+    * literal filters (PartitionFilters on the scan) and at runtime via
+    * dynamic partition pruning when the filter arrives through a join.
+    * Distinct from [[writeClustered]]: min/max envelopes prune row groups
+    * INSIDE files the scan already opened; directory partitions prune
+    * whole subtrees before any footer is read.
+    */
+  def writePartitioned(df: DataFrame, path: String, partCol: String): Unit =
+    df.write.partitionBy(partCol).mode("overwrite").parquet(path)
 }

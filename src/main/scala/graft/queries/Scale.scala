@@ -407,6 +407,70 @@ object Scale {
       .smallOrdered($"la", $"lb")
   }
 
+  /** The pruned scan-plus-aggregate under the q143 gate, shared with
+    * PlanSpec so the partition-pruning assertion tests the EXACT gated
+    * plan: read the date-partitioned layout, filter to [from, to] with
+    * literal bounds (static pruning — PartitionFilters on the scan, no
+    * data files outside the window ever opened), aggregate per type.
+    */
+  def prunedWindowAgg(s: org.apache.spark.sql.SparkSession, path: String,
+      from: java.time.LocalDate, to: java.time.LocalDate)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.parquet(path)
+      .filter($"event_date".between(
+        lit(java.sql.Date.valueOf(from)), lit(java.sql.Date.valueOf(to))))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("events"),
+        countDistinct($"user_id").as("users"),
+        countDistinct($"event_date").as("days"))
+  }
+
+  /** Partition-pruned scan gate (round 10, VERDICT r9 #6): write the
+    * events table date-partitioned (operators.Layout.writePartitioned),
+    * then answer a 7-day window aggregate whose literal date filter MUST
+    * prune — the first plan property that matters on a 100 TB
+    * date-partitioned lake table (a scan that lists 30 days to answer a
+    * 7-day question reads 4× the data before the first row group opens).
+    * PlanSpec asserts the executed scan's `numPartitions` metric reads
+    * exactly the window's directories; this gate pins the ANSWER over the
+    * partitioned layout against the raw-table oracle. The window is
+    * data-relative (days 7..13 from the corpus min date) so every SF
+    * replays identically.
+    */
+  private val q143 = QueryDef.sql(
+    "date-partitioned events layout: partition-pruned 7-day window aggregate")(
+    """WITH b AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events)
+      |SELECT event_type, count(*)::BIGINT AS events,
+      |  count(DISTINCT user_id)::BIGINT AS users,
+      |  count(DISTINCT CAST(ts AS DATE))::BIGINT AS days
+      |FROM events
+      |WHERE CAST(ts AS DATE) BETWEEN (SELECT d0 + 7 FROM b)
+      |                           AND (SELECT d0 + 13 FROM b)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prune-")
+    try {
+      val path = tmp.resolve("events_by_date").toString
+      graft.operators.Layout.writePartitioned(
+        Tables(s, dir).events.withColumn("event_date", to_date($"ts")),
+        path, "event_date")
+      val d0 = Tables(s, dir).events.agg(min(to_date($"ts")))
+        .first().getDate(0).toLocalDate
+      // eager localCheckpoint pins the (bounded) result before the
+      // temp layout is torn down (the q141 pattern)
+      prunedWindowAgg(s, path, d0.plusDays(7), d0.plusDays(13))
+        .smallOrdered($"event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(tmp.toFile)
+  }
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteRecursively)
+    f.delete(): Unit
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q65_bloom_semi_join" -> q65,
     "q66_merge_upsert" -> q66,
@@ -418,6 +482,7 @@ object Scale {
     "q72_distinct_certified" -> q72,
     "q73_label_centroids" -> q73,
     "q105_local_supplier_revenue" -> q105,
-    "q113_centroid_geometry" -> q113
+    "q113_centroid_geometry" -> q113,
+    "q143_partition_pruned_scan" -> q143
   )
 }

@@ -133,6 +133,126 @@ object StreamGate {
     }
   }
 
+  /** Bounded-lateness SCD2 under a PROVABLY out-of-order drip (round 10,
+    * VERDICT r9 #4): chunks are `event_id % 6` — uncorrelated with event
+    * time, so inside every key later events routinely arrive whole chunks
+    * before earlier ones (beyond any per-key segment shape q130 allows).
+    * The lateness horizon is 9/10 of the corpus time span; with the
+    * watermark racing ahead on each chunk's max event time, ~9% of sf0.01
+    * events arrive PAST the horizon and must drop, the rest arrive late
+    * but inside it and must fold in exact (ts, event_id) order. Two
+    * per-key heartbeat rounds at the end (the production idle-key-closing
+    * shape the `scd2Late` scaladoc prescribes) advance the watermark past
+    * every real event so all pending buffers drain; the heartbeats
+    * themselves never fold (each stays above the final watermark), so the
+    * sink holds exactly the real closed versions and the state store the
+    * real open version per key. The oracle replays the SAME kept set —
+    * watermark arithmetic and all — in SQL: wm(chunk) = max event-ms over
+    * earlier chunks minus the horizon (floor-to-ms exactly as Spark's
+    * EventTimeStats tracks it), kept = arrivals above their chunk's
+    * watermark, then the q95 SCD2 window over the kept set.
+    */
+  private val q142 = QueryDef.sql(
+    "bounded-lateness streaming SCD2: out-of-order drip, in-horizon folds, past-horizon drops vs a kept-set oracle")(
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+      |    event_id % 6 AS chunk
+      |  FROM events),
+      |h AS (SELECT (max(ts_us) // 1000 - min(ts_us) // 1000) * 9 // 10
+      |        AS h_ms FROM e),
+      |mx AS (SELECT chunk, max(ts_us // 1000) AS mx_ms FROM e GROUP BY 1),
+      |wm AS (
+      |  SELECT c.chunk,
+      |    greatest(0, coalesce(max(m.mx_ms), 0) - (SELECT h_ms FROM h))
+      |      AS wm_ms
+      |  FROM (SELECT DISTINCT chunk FROM e) c
+      |  LEFT JOIN mx m ON m.chunk < c.chunk
+      |  GROUP BY c.chunk),
+      |kept AS (
+      |  SELECT e.user_id, e.event_type, e.ts_us, e.event_id
+      |  FROM e JOIN wm ON wm.chunk = e.chunk
+      |  WHERE e.ts_us > wm.wm_ms * 1000),
+      |o AS (
+      |  SELECT user_id, event_type, ts_us, event_id,
+      |    lag(event_type) OVER (PARTITION BY user_id
+      |                          ORDER BY ts_us, event_id) AS prev
+      |  FROM kept),
+      |m AS (
+      |  SELECT user_id, event_type, ts_us,
+      |    CAST(sum(CASE WHEN prev IS NULL OR prev <> event_type
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+      |  FROM o),
+      |g AS (
+      |  SELECT user_id, version, min(event_type) AS state,
+      |         min(ts_us) AS valid_from
+      |  FROM m GROUP BY 1, 2)
+      |SELECT user_id, state, valid_from,
+      |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+      |    AS valid_to,
+      |  version
+      |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val typed = Tables(s, dir).events
+      .select($"user_id", $"event_type".as("state"),
+        Tables.epochUs($"ts").as("ts_us"), $"event_id")
+      .as[TemporalStreams.StateEvent]
+      .collect()
+    val tsMax = typed.map(_.ts_us).max
+    val hMs = (tsMax / 1000 - typed.map(_.ts_us).min / 1000) * 9 / 10
+    // chunk = event_id % 6: deterministic, SQL-replayable, and (because
+    // event ids are uncorrelated with per-key time order across chunks)
+    // genuinely out-of-order delivery inside every key
+    val chunks = (0L until 6L)
+      .map(c => typed.filter(_.event_id % 6 == c).toIndexedSeq)
+      .filter(_.nonEmpty)
+    // heartbeat rounds: round r sits r full horizons past the corpus max,
+    // so round 2's batch runs with watermark >= every real event (all
+    // pending reals fold) while round 1's own events stay above it (no
+    // heartbeat ever folds — the sink and open state stay real-only)
+    val users = typed.map(_.user_id).distinct.sorted
+    def hb(round: Int): IndexedSeq[TemporalStreams.StateEvent] =
+      users.map(u => TemporalStreams.StateEvent(u, s"__hb$round",
+        tsMax + round * (hMs * 1000L + 1000000L), (1L << 40) | round.toLong))
+        .toIndexedSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2l-gate-")
+    val sink = "scd2l_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[TemporalStreams.StateEvent]
+    val q = TemporalStreams.scd2Late(input.toDS(), hMs)
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      try {
+        (chunks ++ Seq(hb(1), hb(2))).foreach { chunk =>
+          input.addData(chunk)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val closed = s.table(sink)
+        .select($"user_id", $"state", $"valid_from",
+          $"valid_to".cast("long").as("valid_to"), $"version")
+      // open (real) version per key from the committed state store; keys
+      // whose kept set is empty carry a null cur and drop here
+      val open = s.read.format("statestore").load(ckpt.toString)
+        .filter($"value.groupState.cur".isNotNull)
+        .select($"key.value".as("user_id"),
+          $"value.groupState.cur.state".as("state"),
+          $"value.groupState.cur.validFrom".as("valid_from"),
+          lit(null).cast("long").as("valid_to"),
+          $"value.groupState.cur.version".as("version"))
+      closed.unionAll(open)
+        .repartition(1).sortWithinPartitions($"user_id", $"version")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
+  }
+
   /** Split each key's `order`-sorted events into `n` consecutive segments
     * by per-key position; chunk i = every key's segment i, keys iterated
     * in key order. Per-key delivery order is preserved across chunks
@@ -158,6 +278,7 @@ object StreamGate {
 
   val defs: Seq[(String, QueryDef)] = Seq(
     "q130_streaming_scd2" -> q130,
+    "q142_streaming_scd2_late" -> q142,
     "q133_streaming_islands" -> q133
   )
 }

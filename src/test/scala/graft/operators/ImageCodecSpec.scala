@@ -192,6 +192,88 @@ class ImageCodecSpec extends SparkSpec {
     assert(out.take(n).sameElements(data))
   }
 
+  test("encodeJpegGray: ImageIO reconstructs every flat block's mean " +
+    "exactly; decodeMeta fully Huffman-decodes the scan") {
+    val (bw, bh) = (5, 3)
+    val means = Array.tabulate(bw * bh)(i => (i * 37 + 3) % 256)
+    val bytes = ImageCodec.encodeJpegGray(bw * 8, bh * 8, means,
+      restartInterval = 2)
+    // a conforming third-party decoder agrees pixel-for-pixel (flat
+    // blocks: DC-only data IS the exact encoding)
+    val img = ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(img != null, "ImageIO could not parse the entropy-coded JPEG")
+    assert(img.getWidth == bw * 8 && img.getHeight == bh * 8)
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val got = img.getRaster.getSample(bx * 8 + 4, by * 8 + 4, 0)
+      assert(got == means(by * bw + bx),
+        s"block ($bx,$by): decoded $got != mean ${means(by * bw + bx)}")
+    }
+    // our decoder verifies the whole scan: block count + exact DC sums
+    val m = ImageCodec.decodeMeta(bytes)
+    assert(m.format == "jpeg" && m.ok)
+    assert(m.width == bw * 8 && m.height == bh * 8 && m.channels == 1)
+    assert(m.blocks == bw * bh)
+    assert(m.dcSum == means.map(_.toLong).sum)
+  }
+
+  test("jpeg entropy decode fails closed on corruption: flipped scan bit, " +
+    "wrong restart index, truncation, tables stripped") {
+    val means = Array.tabulate(8)(i => (i * 53 + 11) % 256)
+    val bytes = ImageCodec.encodeJpegGray(32, 16, means, restartInterval = 2)
+    assert(ImageCodec.decodeMeta(bytes).ok)
+    // find the SOS segment; scan data starts after its 10-byte segment
+    def findMarker(b: Array[Byte], m: Int): Int = {
+      var i = 2
+      while (i + 1 < b.length &&
+        !((b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == m)) i += 1
+      i
+    }
+    val scanStart = findMarker(bytes, 0xda) + 2 + 8 + 2
+    // flip one bit mid-scan: the Huffman stream desynchronizes -> not ok
+    // (flip several independent positions; at least the code structure
+    // must break for each — a flip can also land in extend bits and
+    // change dcSum instead, so assert meta != original in all cases)
+    val orig = ImageCodec.decodeMeta(bytes)
+    for (p <- scanStart until math.min(scanStart + 4, bytes.length - 2)) {
+      val mut = bytes.clone()
+      mut(p) = (mut(p) ^ 0x40).toByte
+      assert(ImageCodec.decodeMeta(mut) != orig, s"bit flip at $p undetected")
+    }
+    // corrupt a restart marker's index (RST0 -> RST5): resync check fails
+    val rstPos = findMarker(bytes, 0xd0)
+    assert(rstPos + 1 < bytes.length, "no RST0 in a 2-MCU-interval stream")
+    val badRst = bytes.clone()
+    badRst(rstPos + 1) = 0xd5.toByte
+    assert(!ImageCodec.decodeMeta(badRst).ok, "wrong RST index undetected")
+    // truncate mid-scan: no EOI -> not ok
+    assert(!ImageCodec.decodeMeta(bytes.dropRight(6)).ok)
+    // strip the DHT segments: entropy data with no tables must fail
+    val dhtPos = findMarker(bytes, 0xc4)
+    val dhtLen = ((bytes(dhtPos + 2) & 0xff) << 8) | (bytes(dhtPos + 3) & 0xff)
+    val noDht1 = bytes.take(dhtPos) ++ bytes.drop(dhtPos + 2 + dhtLen)
+    val dhtPos2 = findMarker(noDht1, 0xc4)
+    val dhtLen2 = ((noDht1(dhtPos2 + 2) & 0xff) << 8) | (noDht1(dhtPos2 + 3) & 0xff)
+    val noDht = noDht1.take(dhtPos2) ++ noDht1.drop(dhtPos2 + 2 + dhtLen2)
+    assert(!ImageCodec.decodeMeta(noDht).ok, "tableless scan undetected")
+  }
+
+  test("decodeMeta fully decodes a FOREIGN entropy-coded JPEG (ImageIO, " +
+    "3 components, real DCT/quantization)") {
+    val img = new java.awt.image.BufferedImage(41, 27,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 27; x <- 0 until 41)
+      img.setRGB(x, y, ((x * 9) << 16) | ((y * 11) << 8) | (x + y))
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    val m = ImageCodec.decodeMeta(out.toByteArray)
+    assert(m.format == "jpeg" && m.ok, s"foreign JPEG failed: $m")
+    assert(m.width == 41 && m.height == 27 && m.channels == 3)
+    // the scan was actually decoded: component-0 blocks were counted
+    assert(m.blocks > 0, "foreign scan not entropy-decoded")
+    // and truncating its entropy data must fail closed
+    assert(!ImageCodec.decodeMeta(out.toByteArray.dropRight(10)).ok)
+  }
+
   test("decodeImages runs the codec partition-wise over a binary column") {
     val s = spark
     import s.implicits._

@@ -438,6 +438,54 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "melt aggregate not map-side combined")
   }
 
+  test("q143: the literal date window statically prunes the partitioned " +
+    "layout — the executed scan reads ONLY the window's directories") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-prunespec-")
+    try {
+      val path = tmp.resolve("events_by_date").toString
+      val ev = graft.core.Tables(spark, sf("sf0.01")).events
+      graft.operators.Layout.writePartitioned(
+        ev.withColumn("event_date", to_date($"ts")), path, "event_date")
+      val total = new java.io.File(path).listFiles()
+        .count(_.getName.startsWith("event_date="))
+      assert(total > 7, s"layout has only $total partitions — window not selective")
+      val d0 = ev.agg(min(to_date($"ts"))).first().getDate(0).toLocalDate
+      val df = Scale.prunedWindowAgg(spark, path, d0.plusDays(7), d0.plusDays(13))
+      // the filter must appear as a PartitionFilter on the scan (pruning at
+      // planning), not a post-scan row Filter
+      val p = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters: [isnotnull(event_date"),
+        "no partition filters on the scan")
+      df.collect()
+      // execution-grounded proof: the scan's own partitions-read metric
+      import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      def findScans(pl: SparkPlan): Seq[FileSourceScanExec] = pl match {
+        case a: AdaptiveSparkPlanExec => findScans(a.executedPlan)
+        case q: QueryStageExec        => findScans(q.plan)
+        case f: FileSourceScanExec    => Seq(f)
+        case other =>
+          (other.children ++ other.subqueries).flatMap(findScans)
+      }
+      val scans = findScans(df.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "no parquet scan in the executed plan")
+      val read = scans.head.metrics("numPartitions").value
+      assert(read == 7,
+        s"scan read $read partitions (want exactly the 7-day window)")
+      assert(read < total, s"no pruning: read $read of $total")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(): Unit
+      }
+      rm(tmp.toFile)
+    }
+  }
+
   test("q125: the df join keys on the bigram — the probe side reuses the " +
     "aggregate's partitioning, no third corpus exchange") {
     val p = plan("q125_bigram_surprisal")
