@@ -124,8 +124,101 @@ object Media {
       .cachedOrdered($"doc_id")
   }
 
+  /** Real audio-container gate (round 10): per document encode a genuine
+    * RIFF/WAVE PCM-16 file (rates 8/16/24 kHz, mono or stereo, a LIST/
+    * INFO chunk before fmt so the chunk walk is exercised) whose samples
+    * derive arithmetically from the row, then decode through the full
+    * structural parser — RIFF size bookkeeping, fmt byte-rate/block-align
+    * cross-checks, frame alignment, and the exact int16 sample sum. The
+    * oracle replays everything including the closed-form container size
+    * (`68 + 2 * frames * channels`) and the integer-microsecond duration.
+    * Upgrades the audio member of the multimodal family from
+    * `Multimodal`'s synthetic header stub to real bytes, the same step
+    * q129 took for images.
+    */
+  private val q145 = QueryDef.sql(
+    "real WAV codec roundtrip: RIFF/PCM-16 encode from row data, structurally decode with sample sums")(
+    """SELECT d.doc_id, 'wav' AS format,
+      |  CAST(8000 * (d.doc_id % 3 + 1) AS INT) AS sample_rate,
+      |  CAST(d.doc_id % 2 + 1 AS INT) AS channels,
+      |  CAST(16 AS INT) AS bits,
+      |  CAST(d.n_chars % 400 + 25 AS BIGINT) AS frames,
+      |  CAST((d.n_chars % 400 + 25) * 1000000
+      |       // (8000 * (d.doc_id % 3 + 1)) AS BIGINT) AS duration_us,
+      |  CAST(list_sum(list_transform(
+      |      range(0, (d.n_chars % 400 + 25) * (d.doc_id % 2 + 1)),
+      |      i -> (d.doc_id * 31 + i * 7) % 4096 - 2048)) AS BIGINT)
+      |    AS sample_sum,
+      |  CAST(68 + 2 * (d.n_chars % 400 + 25) * (d.doc_id % 2 + 1) AS BIGINT)
+      |    AS byte_len,
+      |  CAST(1 AS INT) AS ok
+      |FROM documents d ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+    val packed = docs.mapPartitions { rows =>
+      rows.map { case (id, nChars) =>
+        val rate = 8000 * (id % 3 + 1).toInt
+        val channels = (id % 2 + 1).toInt
+        val frames = (nChars % 400 + 25).toInt
+        val samples = Array.tabulate(frames * channels)(i =>
+          ((id * 31 + i * 7) % 4096 - 2048).toShort)
+        (id, graft.operators.AudioCodec.encodeWavPcm16(rate, channels, samples))
+      }
+    }.toDF("doc_id", "content")
+    graft.operators.AudioCodec.decodeWavs(packed, "doc_id", "content")
+      .select($"id".as("doc_id"), $"format", $"sample_rate", $"channels",
+        $"bits", $"frames", $"duration_us", $"sample_sum", $"byte_len",
+        when($"ok", 1).otherwise(0).cast("int").as("ok"))
+      .cachedOrdered($"doc_id")
+  }
+
+  /** Real video-container gate (round 10): per document encode a genuine
+    * ISO base media (MP4) shell — ftyp + moov{mvhd, trak{tkhd}} + mdat,
+    * every box a real 14496-12 layout — and decode through the full box
+    * walk with exact size bookkeeping. The metadata a video pipeline
+    * reads before touching any frame (movie timescale, integer-µs
+    * duration, track dimensions from 16.16 fixed-point) replays
+    * arithmetically in the oracle, including the closed-form 248-byte
+    * container size. Completes the image/audio/video triad of real
+    * container parsers; codec payloads stay out of scope per the brief.
+    */
+  private val q146 = QueryDef.sql(
+    "real MP4 box-structure roundtrip: mvhd/tkhd metadata decode with size bookkeeping")(
+    """SELECT d.doc_id, 'mp4' AS format,
+      |  CAST(600 * (d.doc_id % 3 + 1) AS BIGINT) AS timescale,
+      |  CAST((d.n_chars % 5000 + 600) * 1000000
+      |       // (600 * (d.doc_id % 3 + 1)) AS BIGINT) AS duration_us,
+      |  CAST(16 * (d.n_chars % 120 + 2) AS INT) AS width,
+      |  CAST(16 * (d.doc_id % 68 + 2) AS INT) AS height,
+      |  CAST(248 AS BIGINT) AS byte_len,
+      |  CAST(1 AS INT) AS ok
+      |FROM documents d ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+      .select($"doc_id", $"n_chars")
+      .as[(Long, Long)]
+    val packed = docs.mapPartitions { rows =>
+      rows.map { case (id, nChars) =>
+        (id, graft.operators.VideoCodec.encodeMp4Shell(
+          timescale = 600 * (id % 3 + 1).toInt,
+          duration = (nChars % 5000 + 600).toInt,
+          width = 16 * (nChars % 120 + 2).toInt,
+          height = 16 * (id % 68 + 2).toInt))
+      }
+    }.toDF("doc_id", "content")
+    graft.operators.VideoCodec.decodeMp4s(packed, "doc_id", "content")
+      .select($"id".as("doc_id"), $"format", $"timescale", $"duration_us",
+        $"width", $"height", $"byte_len",
+        when($"ok", 1).otherwise(0).cast("int").as("ok"))
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q129_image_codec" -> q129,
-    "q144_jpeg_entropy_codec" -> q144
+    "q144_jpeg_entropy_codec" -> q144,
+    "q145_wav_codec" -> q145,
+    "q146_mp4_codec" -> q146
   )
 }
