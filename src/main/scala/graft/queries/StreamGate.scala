@@ -28,6 +28,12 @@ import graft.streaming.TemporalStreams
   */
 object StreamGate {
 
+  /** Event row for the q147 stream-stream join drip (top-level so the
+    * product encoder derives).
+    */
+  final case class JoinEv(user_id: Long, event_type: String, ts_us: Long,
+      event_id: Long)
+
   private val q130 = QueryDef.sql(
     "streaming SCD2 (flatMapGroupsWithState + state-store readback) vs the batch oracle")(
     // the EXACT oracle text gating the batch q95: one SQL, two engines,
@@ -270,6 +276,90 @@ object StreamGate {
     }.filter(_.nonEmpty)
   }
 
+  /** Watermarked STREAM-STREAM interval join under the batch oracle
+    * (round 10): last-3-day touch attribution as a genuine two-stream
+    * join — every non-purchase event joins every purchase of the same
+    * user within the purchase's trailing 3 days. Both sides drip in SIX
+    * globally time-ordered chunks with 6-day watermarks, so the join's
+    * state-eviction machinery actually runs (a touch's state is dropped
+    * once the watermark proves no future purchase can reach back to it:
+    * eviction threshold ≈ wm − 3 d, and the chunk layout keeps every
+    * still-needed touch alive — chunk k's earliest needed touch is
+    * ~3 days back while eviction has only reached ~9 days back), yet no
+    * pair can be missed, making the FULL batch join the exact oracle.
+    * Inner stream-stream joins emit eagerly on match, so the memory sink
+    * holds every pair; the gate aggregates pairs per touch type.
+    */
+  private val q147 = QueryDef.sql(
+    "watermarked stream-stream interval join: 3-day touch->purchase attribution vs the batch join")(
+    """SELECT t.event_type AS touch,
+      |  count(*)::BIGINT AS pairs,
+      |  count(DISTINCT p.event_id)::BIGINT AS purchases,
+      |  count(DISTINCT t.user_id)::BIGINT AS users
+      |FROM events p
+      |JOIN events t
+      |  ON t.user_id = p.user_id
+      | AND p.event_type = 'purchase'
+      | AND t.event_type <> 'purchase'
+      | AND epoch_us(t.ts) >= epoch_us(p.ts) - 259200000000
+      | AND epoch_us(t.ts) <= epoch_us(p.ts)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val typed = Tables(s, dir).events
+      .select($"user_id", $"event_type", Tables.epochUs($"ts").as("ts_us"),
+        $"event_id")
+      .collect()
+      .map(r => JoinEv(r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(e => (e.ts_us, e.event_id))
+    // six globally time-ordered chunks: watermarks advance as real ingest
+    // does, state eviction runs mid-stream
+    val chunks = typed.grouped(math.max(typed.length / 6, 1)).toSeq
+    val sink = "ssjoin_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ssj-gate-")
+    val touchesIn = MemoryStream[JoinEv]
+    val purchasesIn = MemoryStream[JoinEv]
+    val touches = touchesIn.toDS()
+      .filter($"event_type" =!= "purchase")
+      .select($"user_id".as("t_user"), $"event_type".as("touch"),
+        $"ts_us".as("t_us"), timestamp_micros($"ts_us").as("t_ets"))
+      .withWatermark("t_ets", "6 days")
+    val purchases = purchasesIn.toDS()
+      .filter($"event_type" === "purchase")
+      .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+        $"ts_us".as("p_us"), timestamp_micros($"ts_us").as("p_ets"))
+      .withWatermark("p_ets", "6 days")
+    val joined = touches.join(purchases,
+      $"t_user" === $"p_user" &&
+        $"t_ets" >= $"p_ets" - expr("INTERVAL 3 DAYS") &&
+        $"t_ets" <= $"p_ets")
+    val q = joined
+      .select($"t_user".as("user_id"), $"touch", $"p_id")
+      .writeStream.format("memory").queryName(sink)
+      .option("checkpointLocation", ckpt.toString)
+      .outputMode("append").start()
+    try {
+      try {
+        chunks.foreach { c =>
+          touchesIn.addData(c)
+          purchasesIn.addData(c)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      s.table(sink)
+        .groupBy($"touch")
+        .agg(count(lit(1)).as("pairs"),
+          countDistinct($"p_id").as("purchases"),
+          countDistinct($"user_id").as("users"))
+        .repartition(1).sortWithinPartitions($"touch")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -279,6 +369,7 @@ object StreamGate {
   val defs: Seq[(String, QueryDef)] = Seq(
     "q130_streaming_scd2" -> q130,
     "q142_streaming_scd2_late" -> q142,
-    "q133_streaming_islands" -> q133
+    "q133_streaming_islands" -> q133,
+    "q147_streaming_interval_join" -> q147
   )
 }

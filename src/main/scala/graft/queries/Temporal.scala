@@ -324,6 +324,45 @@ object Temporal {
       .orderBy($"cnt".desc, $"a", $"b", $"c").limit(10)
   }
 
+  /** Native session-window aggregation (round 10): Spark's built-in
+    * `session_window` operator — a dedicated physical operator pair
+    * (UpdatingSessions + MergingSessions) distinct from the lag/cumsum
+    * windows the rest of the temporal family uses — gated against the
+    * standard gaps-and-islands SQL. Semantics pinned by the oracle: each
+    * event opens [ts, ts+gap), overlapping windows merge, so a session
+    * breaks exactly when the inter-event gap reaches 6 h and the merged
+    * window's end is `last_ts + gap`. One exchange by (user, session);
+    * the operator sorts within partitions instead of keeping per-key
+    * hash state, which is what lets it spill at 100 TB.
+    */
+  private val q148 = QueryDef.sql(
+    "native session_window aggregation vs the gaps-and-islands oracle (6h gap)")(
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type, event_id
+      |           FROM events),
+      |s AS (SELECT *, sum(CASE WHEN prev IS NULL
+      |          OR ts_us - prev >= 21600000000 THEN 1 ELSE 0 END)
+      |        OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |              ROWS UNBOUNDED PRECEDING) AS sess
+      |      FROM (SELECT *, lag(ts_us) OVER (PARTITION BY user_id
+      |              ORDER BY ts_us, event_id) AS prev FROM e))
+      |SELECT user_id, min(ts_us) AS session_start_us,
+      |  max(ts_us) + 21600000000 AS session_end_us,
+      |  count(*)::BIGINT AS n_events,
+      |  count(DISTINCT event_type)::BIGINT AS n_types
+      |FROM s GROUP BY user_id, sess
+      |ORDER BY user_id, session_start_us""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    Tables(s, dir).events
+      .groupBy($"user_id", session_window($"ts", "6 hours").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"event_type").as("n_types"))
+      .select($"user_id",
+        graft.core.Tables.epochUs($"sw.start").as("session_start_us"),
+        graft.core.Tables.epochUs($"sw.end").as("session_end_us"),
+        $"n_events", $"n_types")
+      .cachedOrdered($"user_id", $"session_start_us")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
@@ -332,6 +371,7 @@ object Temporal {
     "q111_event_transitions" -> q111,
     "q114_last_touch_attribution" -> q114,
     "q115_itemset_support" -> q115,
-    "q116_session_paths" -> q116
+    "q116_session_paths" -> q116,
+    "q148_native_session_window" -> q148
   )
 }

@@ -438,6 +438,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), "melt aggregate not map-side combined")
   }
 
+  test("q148: the native session-window operator (UpdatingSessions) rides " +
+    "ONE keyed exchange") {
+    val p = plan("q148_native_session_window")
+    assert(p.contains("UpdatingSessions"),
+      "native session-window physical operator missing")
+    val hashEx = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashEx >= 1, "no user_id exchange")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"$exchanges exchanges (want keyed + result sort)")
+  }
+
   test("q143: the literal date window statically prunes the partitioned " +
     "layout — the executed scan reads ONLY the window's directories") {
     import org.apache.spark.sql.functions._
