@@ -17,7 +17,8 @@ object SparkEntry {
     Relational.defs ++ TextVector.defs ++ MlDrift.defs ++ Analytics.defs ++
       Curation.defs ++ Scale.defs ++ Pipeline.defs ++ Graphs.defs ++
       Temporal.defs ++ Stats.defs ++ Features.defs ++ Media.defs ++
-      StreamGate.defs ++ AnnAudit.defs ++ Tokenizer.defs ++ Delivery.defs
+      StreamGate.defs ++ AnnAudit.defs ++ Tokenizer.defs ++ Delivery.defs ++
+      Formats.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
