@@ -37,4 +37,20 @@ object Bucketing {
   def coLocatedJoin(spark: SparkSession, leftTable: String, rightTable: String,
       keyCols: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keyCols, joinType)
+
+  /** Drop a bucketed table AND its warehouse location: the catalog is
+    * in-memory per JVM but the warehouse dir persists, so a table dropped
+    * (or a JVM restarted) leaves an orphaned directory that a later
+    * `saveAsTable` of the same name trips over.
+    */
+  def dropWithLocation(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = java.nio.file.Paths.get(wh, table)
+    if (java.nio.file.Files.exists(dir)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+  }
 }

@@ -155,10 +155,86 @@ object Formats {
       .smallOrdered($"metric")
   }
 
+  /** Schema evolution under mergeSchema: a lake table whose writer grew a
+    * column mid-history. Generation 1 (even user_ids) lands WITHOUT
+    * event_id; generation 2 (odd) carries it. The merged read must union
+    * the footers' schemas and null-fill the old files — count(event_id)
+    * vs count(*) proves the null-fill reached exactly the gen-1 rows, and
+    * sum(event_id) proves gen-2 values survived unmangled. mergeSchema is
+    * opt-in per read (the 100 TB default stays single-footer planning;
+    * evolved tables pay footer merging only where declared).
+    */
+  private val q154 = QueryDef.sql(
+    "parquet schema evolution: two-generation layout read under mergeSchema")(
+    """SELECT event_type, count(*)::BIGINT AS events,
+      |  count(event_id)::BIGINT AS with_id, sum(event_id)::BIGINT AS id_sum
+      |FROM (
+      |  SELECT event_type, NULL::BIGINT AS event_id FROM events
+      |  WHERE user_id % 2 = 0
+      |  UNION ALL
+      |  SELECT event_type, event_id FROM events WHERE user_id % 2 <> 0)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-evolve-")
+    try {
+      val base = tmp.resolve("events_evolved")
+      val ev = Tables(s, dir).events
+      ev.filter($"user_id" % 2 === 0)
+        .select($"user_id", $"event_type")
+        .write.mode("overwrite").parquet(base.resolve("gen=1").toString)
+      ev.filter($"user_id" % 2 =!= 0)
+        .select($"user_id", $"event_type", $"event_id")
+        .write.mode("overwrite").parquet(base.resolve("gen=2").toString)
+      s.read.option("mergeSchema", "true")
+        .option("basePath", base.toString)
+        .parquet(base.resolve("gen=1").toString, base.resolve("gen=2").toString)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("events"), count($"event_id").as("with_id"),
+          sum($"event_id").as("id_sum"))
+        .smallOrdered($"event_type")
+        .localCheckpoint()
+    } finally deleteRecursively(tmp.toFile)
+  }
+
+  /** CSV roundtrip: the reference's native ingest format (churn CSVs),
+    * here gated over the events table through Spark's real CSV
+    * writer/reader — header on, explicit read schema (inference is both a
+    * second full scan and a correctness hazard at 100 TB), timestamps as
+    * epoch-micros (CSV has no timestamp type; the integer encoding is the
+    * lossless one). Exercises quoting/escaping on the string column and
+    * long round-tripping on the ids.
+    */
+  private val q155 = QueryDef.sql(
+    "CSV sink+source roundtrip: events written and re-read as headered CSV")(
+    AggSql) { (s, dir) =>
+    import s.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv-")
+    try {
+      val path = tmp.resolve("events_csv").toString
+      Tables(s, dir).events
+        .select($"user_id", $"event_type",
+          Tables.epochUs($"ts").as("ts_us"), $"event_id")
+        .write.mode("overwrite").option("header", "true").csv(path)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType)))
+      agg(s.read.schema(schema).option("header", "true").csv(path))
+        .localCheckpoint()
+    } finally deleteRecursively(tmp.toFile)
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q149_orc_roundtrip" -> q149,
     "q150_jsonl_roundtrip" -> q150,
     "q151_pivot_revenue" -> q151,
-    "q152_unpivot_measures" -> q152
+    "q152_unpivot_measures" -> q152,
+    "q154_schema_evolution" -> q154,
+    "q155_csv_roundtrip" -> q155
   )
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{BloomJoin, Merge, Sampling, SkewJoin}
+import graft.operators.{BloomJoin, Bucketing, Merge, Sampling, SkewJoin}
 
 /** Join-at-scale + sampling operator surface (round 8): bloom-pruned
   * semi-joins, CDC merge/upsert, salted skew joins, grouped sketch
@@ -465,6 +465,62 @@ object Scale {
     } finally deleteRecursively(tmp.toFile)
   }
 
+  /** q153's bucketed pair: lineitem and orders persisted as catalog
+    * tables bucketed (and sorted) by the join key under a COMMON column
+    * name. Shared with PlanSpec so the no-shuffle assertion tests the
+    * exact gated tables.
+    */
+  def writeBucketedPair(s: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    Seq("graft_q153_lineitem", "graft_q153_orders")
+      .foreach(Bucketing.dropWithLocation(s, _))
+    val t = Tables(s, dir)
+    Bucketing.writeBucketed(
+      t.lineitem.select(col("l_orderkey").as("okey"),
+        col("l_extendedprice"), col("l_discount")),
+      "graft_q153_lineitem", buckets = 8, keyCols = Seq("okey"))
+    Bucketing.writeBucketed(
+      t.orders.select(col("o_orderkey").as("okey"), col("o_orderpriority")),
+      "graft_q153_orders", buckets = 8, keyCols = Seq("okey"))
+  }
+
+  /** The co-located rollup under the q153 gate: join the bucketed pair
+    * (zero shuffle, zero per-task sort — the scans' output partitioning
+    * and ordering already satisfy the join) and aggregate revenue per
+    * priority; the only exchange in the whole plan is the final 5-group
+    * rollup's.
+    */
+  def bucketedPriorityRevenue(s: org.apache.spark.sql.SparkSession)
+      : org.apache.spark.sql.DataFrame =
+    Bucketing.coLocatedJoin(s, "graft_q153_lineitem", "graft_q153_orders",
+      Seq("okey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("items"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast("float").as("revenue"))
+
+  /** Bucketed co-located join gate (round 10): the amortized-shuffle
+    * strategy a 100 TB fact table lives by — pay one bucketed write, then
+    * every recurring join on the key plans WITHOUT an exchange on either
+    * side (BucketingSpec + PlanSpec assert the executed plan; this gate
+    * pins the ANSWER against the plain-join oracle). Bucket metadata
+    * lives in the session catalog (plain parquet paths can't carry it),
+    * so the gate materializes real catalog tables and drops them — table
+    * AND warehouse location — after the result is pinned.
+    */
+  private val q153 = QueryDef.sql(
+    "bucketed co-located join: revenue per priority with no join shuffle")(
+    """SELECT o_orderpriority, count(*)::BIGINT AS items,
+      |  CAST(sum(l_extendedprice * (1 - l_discount)) AS REAL) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    writeBucketedPair(s, dir)
+    try bucketedPriorityRevenue(s)
+      .smallOrdered(col("o_orderpriority")).localCheckpoint()
+    finally Seq("graft_q153_lineitem", "graft_q153_orders")
+      .foreach(Bucketing.dropWithLocation(s, _))
+  }
+
   private def deleteRecursively(f: java.io.File): Unit = {
     val kids = f.listFiles()
     if (kids != null) kids.foreach(deleteRecursively)
@@ -483,6 +539,7 @@ object Scale {
     "q73_label_centroids" -> q73,
     "q105_local_supplier_revenue" -> q105,
     "q113_centroid_geometry" -> q113,
-    "q143_partition_pruned_scan" -> q143
+    "q143_partition_pruned_scan" -> q143,
+    "q153_bucketed_join" -> q153
   )
 }

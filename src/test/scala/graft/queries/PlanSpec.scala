@@ -507,4 +507,30 @@ class PlanSpec extends SparkSpec {
     val sKeyed = "hashpartitioning\\(s#".r.findAllIn(p).length
     assert(sKeyed <= 2, s"$sKeyed exchanges keyed on the bigram (want <= 2)")
   }
+
+  test("q153: the bucketed join plans with NO exchange on the join key — " +
+    "the only shuffle in the gated plan is the final 5-group rollup's") {
+    Scale.writeBucketedPair(spark, sf("sf0.001"))
+    try {
+      // force the sort-merge path: a broadcast would also avoid the
+      // shuffle but would prove nothing about bucketing
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val df = Scale.bucketedPriorityRevenue(spark)
+        val p = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          "no shuffle-class join operator (broadcast crept back?)")
+        assert(p.contains("Bucketed: true"), "scan not bucketed:\n" + p)
+        assert(!p.contains("hashpartitioning(okey"),
+          "co-located join still exchanges on the key:\n" + p)
+        // the one legitimate exchange: the post-join priority rollup
+        val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+        assert(exchanges <= 1,
+          s"$exchanges exchanges (want only the rollup's):\n" + p)
+      } finally
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    } finally Seq("graft_q153_lineitem", "graft_q153_orders")
+      .foreach(graft.operators.Bucketing.dropWithLocation(spark, _))
+  }
 }
