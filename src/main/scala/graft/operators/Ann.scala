@@ -222,6 +222,180 @@ object Ann {
       .filter(col("rn") <= k)
   }
 
+  // ---------------------------------------------------------------- PQ ---
+
+  /** PORTABLE product-quantization codebook (Jégou et al., "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): the embedding
+    * space splits into `subspaces` contiguous blocks of dim/subspaces
+    * dims; each block gets `codewords` centroids whose component (s, c, j)
+    * derives from md5("pq_s_c_j") on the same exact rational grid as
+    * `portableCentroids` — deterministic and replayable by any engine with
+    * md5 + integer arithmetic, so the ENCODE → ADC machinery is SQL-oracle
+    * gateable end-to-end (q156). A data-adapted codebook (per-subspace
+    * k-means) would drop quantization error further but is covered by the
+    * recall anchor in AnnSpec; the portable grid is the contract surface.
+    */
+  def portableCodebook(dim: Int, subspaces: Int,
+      codewords: Int): Seq[Seq[Array[Double]]] = {
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Seq.tabulate(subspaces) { s =>
+      Seq.tabulate(codewords) { c =>
+        Array.tabulate(subDim) { j =>
+          val hex = md.digest(s"pq_${s}_${c}_$j".getBytes("UTF-8"))
+            .map(b => f"$b%02x").mkString.substring(0, 15)
+          val h = java.lang.Long.parseLong(hex, 16)
+          ((h % 2001L) - 1000L).toDouble / 1000.0
+        }
+      }
+    }
+  }
+
+  /** Rank-equivalent squared L2 distance of a float subvector to a double
+    * codeword: |x|^2 is constant per (row, subspace) so argmin needs only
+    * -2 x.c + |c|^2 — but the ADC SUM across subspaces also only shifts by
+    * the per-query constant Σ_s |q_s|^2, so the same form serves both.
+    * Sequential double accumulation (DotProductFD) keeps every engine's
+    * replay bit-identical.
+    */
+  private def adcScore(sub: Column, cw: Array[Double]): Column = {
+    import org.apache.spark.sql.graft.{Bridge, DotProductFD}
+    val dot = Bridge.column(DotProductFD(
+      Bridge.expression(sub), Bridge.expression(typedLit(cw))))
+    dot * -2.0 + lit(cw.map(x => x * x).sum)
+  }
+
+  /** PQ encode: each vector compresses to `subspaces` small ints — the
+    * argmin codeword per block (ties → lowest code, the array_min struct
+    * order). 64 float dims become 8 bytes: 32× smaller, which at 100 TB is
+    * the difference between an embedding corpus that fits executor memory
+    * for ADC scans and one that doesn't. Codebook rides the plan as
+    * literals; the whole encode is one codegen'd projection, no shuffle.
+    */
+  def pqEncode(data: DataFrame, idCol: String, embCol: String,
+      codebook: Seq[Seq[Array[Double]]]): DataFrame = {
+    val subDim = codebook.head.head.length
+    val codes = array(codebook.zipWithIndex.map { case (cws, s) =>
+      array_min(array(cws.zipWithIndex.map { case (cw, c) =>
+        struct(adcScore(slice(col(embCol), s * subDim + 1, subDim), cw).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    data.select(col(idCol).as("vec_id"), codes.as("codes"))
+  }
+
+  /** Asymmetric-distance top-k: the query stays UNCOMPRESSED; its distance
+    * to every codeword precomputes into a per-query lookup table
+    * (subspaces × codewords), and each database vector scores as the sum
+    * of `subspaces` table lookups over its codes — no float math per
+    * candidate at all, the property that makes a compressed linear scan of
+    * a billion vectors feasible. Queries broadcast; the scan never
+    * shuffles the embedding column (codes only).
+    */
+  def pqAdcTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, codebook: Seq[Seq[Array[Double]]]): DataFrame = {
+    val subDim = codebook.head.head.length
+    val qtab = array(codebook.zipWithIndex.map { case (cws, s) =>
+      array(cws.map(cw =>
+        adcScore(slice(col("qemb"), s * subDim + 1, subDim), cw)): _*)
+    }: _*)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+      .withColumn("qtab", qtab).drop("qemb")
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    pqEncode(data, idCol, embCol, codebook)
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("qtab"),
+            (code, tab) => element_at(tab, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
+  /** Data-adapted PQ codebook: per-subspace Lloyd iterations (the k-means
+    * step of Jégou et al. §III). One exploded (vec, subspace) frame is
+    * cached and re-scanned per iteration; assignment is a codegen'd HOF
+    * argmin against the full codebook literal (array<array<array<double>>>,
+    * S×K×subDim ≈ 1k doubles — plan-baked, no join); the update is one
+    * groupBy(s, code, dim) mean. Driver state is the codebook only —
+    * bounded at S*K*subDim doubles regardless of corpus size, so the loop
+    * is cluster-safe at any scale; empty clusters keep their previous
+    * codeword (standard Lloyd degeneracy handling, deterministic).
+    * Init: the `codewords` lowest-id vectors' subvectors — deterministic,
+    * no RNG.
+    */
+  def pqTrain(data: DataFrame, idCol: String, embCol: String, dim: Int,
+      subspaces: Int, codewords: Int,
+      iters: Int = 5): Seq[Seq[Array[Double]]] = {
+    require(dim % subspaces == 0, s"dim $dim not divisible by $subspaces")
+    val subDim = dim / subspaces
+    val subs = data
+      .select(col(idCol).as("vec_id"), col(embCol).cast("array<double>").as("emb"))
+      .select(col("vec_id"), explode(array((0 until subspaces).map(s =>
+        struct(lit(s).as("s"),
+          slice(col("emb"), s * subDim + 1, subDim).as("sub"))): _*)).as("e"))
+      .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
+      .persist()
+    try {
+      val seed = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+        .orderBy(col("vec_id")).limit(codewords).collect()
+        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+      require(seed.length == codewords,
+        s"corpus has fewer than $codewords vectors")
+      var cb: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { s =>
+        Array.tabulate(codewords)(c =>
+          seed(c).slice(s * subDim, (s + 1) * subDim))
+      }
+      def dist2(sub: Column, cw: Column): Column =
+        aggregate(zip_with(sub, cw, (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, x) => acc + x)
+      for (_ <- 0 until iters) {
+        val cbl = typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq)
+        val myCws = element_at(cbl, col("s") + 1)
+        val best = array_min(array((0 until codewords).map(c =>
+          struct(dist2(col("sub"), element_at(myCws, c + 1)).as("d"),
+            lit(c).as("c"))): _*)).getField("c")
+        val means = subs.withColumn("c", best)
+          .select(col("s"), col("c"), posexplode(col("sub")).as(Seq("j", "x")))
+          .groupBy(col("s"), col("c"), col("j")).agg(avg(col("x")).as("m"))
+          .collect()
+        val next = cb.map(_.map(_.clone()))
+        means.foreach { r =>
+          next(r.getAs[Int]("s"))(r.getAs[Int]("c"))(r.getAs[Int]("j")) =
+            r.getAs[Double]("m")
+        }
+        cb = next
+      }
+      cb.map(_.toSeq).toSeq
+    } finally { subs.unpersist(); () }
+  }
+
+  /** Exact squared-L2 top-k — PQ's ground truth (rank-equivalent form
+    * -2 x.q + |x|^2; |q|^2 is constant per query). The right side widens
+    * float→double (exact) so DotProductFD's sequential double accumulation
+    * replays as `x[j]::DOUBLE * q[j]::DOUBLE` in any SQL engine.
+    */
+  def l2TopK(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, DotProductFD}
+    def dotFD(a: Column, b: Column): Column =
+      Bridge.column(DotProductFD(Bridge.expression(a),
+        Bridge.expression(b.cast("array<double>"))))
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      .crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        (dotFD(col("emb"), col("qemb")) * -2.0 +
+          dotFD(col("emb"), col("emb"))).as("d"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+  }
+
   /** All near-neighbor PAIRS above a similarity threshold via MULTI-BAND
     * sign-LSH: `bands` independent plane sets (seeded per band), a pair is
     * a candidate iff it collides in at least one band — narrow per-band

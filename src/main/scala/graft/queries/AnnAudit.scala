@@ -297,8 +297,84 @@ object AnnAudit {
       .smallOrdered($"target_pct")
   }
 
+  /** Product-quantization ADC recall gate (round 10): every vector
+    * compresses to 8 one-byte codes (32× smaller than the 64-float
+    * embedding), queries score the WHOLE corpus through per-query lookup
+    * tables (asymmetric distance — zero float math per candidate), and
+    * the gate reports recall@10 of the compressed scan against the exact
+    * squared-L2 top-10. The portable md5-derived codebook makes encode →
+    * table → scan → rank replayable bit-for-bit in the oracle: hits are
+    * integers, so any divergence anywhere in the chain (slice offsets,
+    * argmin tie-breaks, lookup indexing, sum order) breaks the row.
+    */
+  private val q156 = QueryDef.sql(
+    "PQ ADC recall: 8-byte codes vs exact L2 top-10, per query")(
+    """WITH scj AS (SELECT s.s AS s, c.c AS c, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS s) s
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) c
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j),
+      |w AS (SELECT s, c, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('pq_' || s || '_' || c || '_' || j), i, 1))
+      |          - 1)::BIGINT << (4 * (15 - i)))) AS BIGINT)
+      |      % 2001) - 1000) / 1000.0 AS wv
+      |  FROM scj),
+      |cb AS (SELECT s, c, list(wv ORDER BY j) AS cl FROM w GROUP BY s, c),
+      |cb2 AS (SELECT s, c, cl,
+      |    list_sum(list_transform(cl, x -> x * x)) AS c2 FROM cb),
+      |subv AS (SELECT e.vec_id, cb2.s, cb2.c,
+      |    list_sum(list_transform(range(1, 9), j ->
+      |      e.embedding[cb2.s * 8 + j]::DOUBLE * cb2.cl[j])) * -2.0
+      |      + cb2.c2 AS d
+      |  FROM embeddings e CROSS JOIN cb2),
+      |enc AS (SELECT vec_id, s, c FROM (
+      |    SELECT vec_id, s, c,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+      |    FROM subv) WHERE rn = 1),
+      |adc AS (SELECT t.qid, n.vec_id, list_sum(list(t.d ORDER BY t.s)) AS adc
+      |  FROM enc n JOIN (SELECT vec_id AS qid, s, c, d FROM subv
+      |    WHERE vec_id < 10) t ON t.s = n.s AND t.c = n.c
+      |  WHERE n.vec_id <> t.qid
+      |  GROUP BY 1, 2),
+      |pqk AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 10),
+      |exd AS (SELECT q.vec_id AS qid, e.vec_id,
+      |    list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * q.embedding[j]::DOUBLE)) * -2.0
+      |    + list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE)) AS d
+      |  FROM embeddings e CROSS JOIN embeddings q
+      |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |exk AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+      |    FROM exd) WHERE rn <= 10)
+      |SELECT e.qid,
+      |  count(CASE WHEN p.vec_id IS NOT NULL THEN 1 END)::BIGINT AS hits,
+      |  CAST(10 AS BIGINT) AS k
+      |FROM exk e LEFT JOIN pqk p ON p.qid = e.qid AND p.vec_id = e.vec_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    val cb = Ann.portableCodebook(dim = 64, subspaces = 8, codewords = 16)
+    val pq = Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", k = 10, cb)
+      .select($"qid", $"vec_id").withColumn("hit", lit(1))
+    Ann.l2TopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"qid", $"vec_id")
+      .join(pq, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid")
+      .agg(count($"hit").as("hits"))
+      .withColumn("k", lit(10L))
+      .smallOrdered($"qid")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q131_ann_recall" -> q131,
-    "q140_ann_config_pick" -> q140
+    "q140_ann_config_pick" -> q140,
+    "q156_pq_adc_recall" -> q156
   )
 }
