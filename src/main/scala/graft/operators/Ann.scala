@@ -340,9 +340,11 @@ object Ann {
       .select(col("vec_id"), col("e.s").as("s"), col("e.sub").as("sub"))
       .persist()
     try {
-      val seed = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"))
+      val seed = data
+        .select(col(idCol).as("vec_id"),
+          col(embCol).cast("array<double>").as("emb"))
         .orderBy(col("vec_id")).limit(codewords).collect()
-        .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+        .map(_.getSeq[Double](1).toArray)
       require(seed.length == codewords,
         s"corpus has fewer than $codewords vectors")
       var cb: Array[Array[Array[Double]]] = Array.tabulate(subspaces) { s =>
@@ -371,6 +373,58 @@ object Ann {
       }
       cb.map(_.toSeq).toSeq
     } finally { subs.unpersist(); () }
+  }
+
+  /** IVFADC (Jégou et al. §IV): the coarse quantizer routes each vector to
+    * its nearest cell; PQ encodes the RESIDUAL v - centroid(cell); a query
+    * probes its `nProbe` nearest cells and ADC-scans only those cells'
+    * codes, with a residual lookup table built per (query, cell). Because
+    * scores are FULL per-subspace squared distances ‖(q-c)_s - cw_s‖²
+    * (not the rank-equivalent shortcut, which drops a per-cell constant
+    * and would make cross-cell ranking meaningless), candidates from
+    * different probed cells rank on one comparable scale. This is the
+    * billion-vector architecture: the corpus stores cell + 8 bytes per
+    * vector, a query touches nProbe/nLists of it, and no float vector
+    * moves at scan time. All arithmetic is HOF zip/fold in ascending
+    * index order — bit-replayable by the SQL oracle (q157).
+    */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, centroids: Seq[Array[Double]],
+      codebook: Seq[Seq[Array[Double]]], nProbe: Int): DataFrame = {
+    val subDim = codebook.head.head.length
+    val centLit = typedLit(centroids.map(_.toSeq))
+    def residOf(emb: Column, cell: Column): Column =
+      zip_with(emb.cast("array<double>"), element_at(centLit, cell + 1),
+        (x, c) => x - c)
+    def l2(sub: Column, cw: Array[Double]): Column =
+      aggregate(zip_with(sub, typedLit(cw.toSeq), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+    val enc = ivfAssign(data, idCol, embCol, centroids)
+      .withColumn("resid", residOf(col("emb"), col("cell")))
+      .select(col("vec_id"), col("cell"),
+        array(codebook.zipWithIndex.map { case (cws, s) =>
+          array_min(array(cws.zipWithIndex.map { case (cw, c) =>
+            struct(l2(slice(col("resid"), s * subDim + 1, subDim), cw).as("d"),
+              lit(c).as("c"))
+          }: _*)).getField("c")
+        }: _*).as("codes"))
+    val probedT = ivfProbeRanks(queries, idCol, embCol, centroids, nProbe)
+      .withColumn("qresid", residOf(col("qemb"), col("cell")))
+      .select(col("qid"), col("cell"),
+        array(codebook.zipWithIndex.map { case (cws, s) =>
+          array(cws.map(cw =>
+            l2(slice(col("qresid"), s * subDim + 1, subDim), cw)): _*)
+        }: _*).as("qtab"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    enc.join(broadcast(probedT), "cell")
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        aggregate(
+          zip_with(col("codes"), col("qtab"),
+            (code, tab) => element_at(tab, code + 1)),
+          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
   }
 
   /** Exact squared-L2 top-k — PQ's ground truth (rank-equivalent form

@@ -372,9 +372,133 @@ object AnnAudit {
       .smallOrdered($"qid")
   }
 
+  /** IVFADC gate (round 10): the composed billion-scale architecture —
+    * coarse cells route vectors, PQ encodes residuals, a query probes its
+    * 2 nearest of 8 cells and ADC-scans ONLY those cells' codes on full
+    * (cross-cell comparable) per-subspace squared distances. The output
+    * certifies BOTH sides of the trade: `scanned` (integer) proves the
+    * scan was partial, `hits` (integer) prices the recall that partiality
+    * costs vs the exact top-10. The oracle replays routing, residuals,
+    * residual encode, per-(query, cell) tables, scan, and rank.
+    */
+  private val q157 = QueryDef.sql(
+    "IVFADC: residual-PQ scan of 2-of-8 probed cells vs exact L2 top-10")(
+    """WITH cj AS (SELECT c.c AS c, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS c) c
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w2 AS (SELECT c, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('centroid_' || c || '_' || j), i, 1))
+      |          - 1)::BIGINT << (4 * (15 - i)))) AS BIGINT)
+      |      % 2001) - 1000) / 1000.0 AS wv
+      |  FROM cj),
+      |cents AS (SELECT c, list(wv ORDER BY j) AS cl FROM w2 GROUP BY c),
+      |cents2 AS (SELECT c, cl,
+      |    list_sum(list_transform(cl, x -> x * x)) AS c2 FROM cents),
+      |cd AS (SELECT e.vec_id, ct.c,
+      |    list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * ct.cl[j])) * -2.0 + ct.c2 AS d
+      |  FROM embeddings e CROSS JOIN cents2 ct),
+      |assign AS (SELECT vec_id, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM cd) WHERE rn = 1),
+      |qprobe AS (SELECT vec_id AS qid, c AS cell FROM (
+      |    SELECT vec_id, c,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+      |    FROM cd WHERE vec_id < 10) WHERE rn <= 2),
+      |resid AS (SELECT e.vec_id, a.cell,
+      |    list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE - ct.cl[j]) AS r
+      |  FROM embeddings e JOIN assign a ON a.vec_id = e.vec_id
+      |  JOIN cents ct ON ct.c = a.cell),
+      |qresid AS (SELECT qp.qid, qp.cell,
+      |    list_transform(range(1, 65), j ->
+      |      q.embedding[j]::DOUBLE - ct.cl[j]) AS r
+      |  FROM qprobe qp JOIN embeddings q ON q.vec_id = qp.qid
+      |  JOIN cents ct ON ct.c = qp.cell),
+      |scj AS (SELECT s.s AS s, c.c AS c, j.j AS j
+      |  FROM (SELECT unnest(range(0, 8)) AS s) s
+      |  CROSS JOIN (SELECT unnest(range(0, 16)) AS c) c
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) j),
+      |wq AS (SELECT s, c, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('pq_' || s || '_' || c || '_' || j), i, 1))
+      |          - 1)::BIGINT << (4 * (15 - i)))) AS BIGINT)
+      |      % 2001) - 1000) / 1000.0 AS wv
+      |  FROM scj),
+      |cb AS (SELECT s, c, list(wv ORDER BY j) AS cl FROM wq GROUP BY s, c),
+      |encd AS (SELECT r.vec_id, r.cell, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 9), j ->
+      |      (r.r[cb.s * 8 + j] - cb.cl[j])
+      |      * (r.r[cb.s * 8 + j] - cb.cl[j]))) AS d
+      |  FROM resid r CROSS JOIN cb),
+      |enc AS (SELECT vec_id, cell, s, c FROM (
+      |    SELECT vec_id, cell, s, c,
+      |      row_number() OVER (PARTITION BY vec_id, s ORDER BY d, c) AS rn
+      |    FROM encd) WHERE rn = 1),
+      |qtab AS (SELECT qr.qid, qr.cell, cb.s, cb.c,
+      |    list_sum(list_transform(range(1, 9), j ->
+      |      (qr.r[cb.s * 8 + j] - cb.cl[j])
+      |      * (qr.r[cb.s * 8 + j] - cb.cl[j]))) AS d
+      |  FROM qresid qr CROSS JOIN cb),
+      |adc AS (SELECT t.qid, n.vec_id, list_sum(list(t.d ORDER BY t.s)) AS adc
+      |  FROM enc n JOIN qtab t
+      |    ON t.cell = n.cell AND t.s = n.s AND t.c = n.c
+      |  WHERE n.vec_id <> t.qid
+      |  GROUP BY 1, 2),
+      |pqk AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY adc, vec_id) AS rn
+      |    FROM adc) WHERE rn <= 10),
+      |scn AS (SELECT qid, count(*)::BIGINT AS scanned FROM adc GROUP BY 1),
+      |exd AS (SELECT q.vec_id AS qid, e.vec_id,
+      |    list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * q.embedding[j]::DOUBLE)) * -2.0
+      |    + list_sum(list_transform(range(1, 65), j ->
+      |      e.embedding[j]::DOUBLE * e.embedding[j]::DOUBLE)) AS d
+      |  FROM embeddings e CROSS JOIN embeddings q
+      |  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id),
+      |exk AS (SELECT qid, vec_id FROM (
+      |    SELECT qid, vec_id,
+      |      row_number() OVER (PARTITION BY qid ORDER BY d, vec_id) AS rn
+      |    FROM exd) WHERE rn <= 10),
+      |hits AS (SELECT e.qid,
+      |    count(CASE WHEN p.vec_id IS NOT NULL THEN 1 END)::BIGINT AS hits
+      |  FROM exk e LEFT JOIN pqk p ON p.qid = e.qid AND p.vec_id = e.vec_id
+      |  GROUP BY 1)
+      |SELECT h.qid, h.hits, s.scanned, CAST(10 AS BIGINT) AS k
+      |FROM hits h JOIN scn s ON s.qid = h.qid ORDER BY h.qid""".stripMargin) {
+    (s, dir) =>
+    import s.implicits._
+    val emb = Tables(s, dir).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    val cents = Ann.portableCentroids(dim = 64, nLists = 8)
+    val cb = Ann.portableCodebook(dim = 64, subspaces = 8, codewords = 16)
+    val pq = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        cents, cb, nProbe = 2)
+      .select($"qid", $"vec_id").withColumn("hit", lit(1))
+    val hits = Ann.l2TopK(emb, queries, "vec_id", "embedding", k = 10)
+      .select($"qid", $"vec_id")
+      .join(pq, Seq("qid", "vec_id"), "left")
+      .groupBy($"qid").agg(count($"hit").as("hits"))
+    val scanned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+      .select($"vec_id", $"cell")
+      .join(broadcast(
+        Ann.ivfProbeRanks(queries, "vec_id", "embedding", cents, maxProbe = 2)
+          .select($"qid", $"cell")), "cell")
+      .filter($"vec_id" =!= $"qid")
+      .groupBy($"qid").agg(count(lit(1)).as("scanned"))
+    hits.join(scanned, "qid").withColumn("k", lit(10L))
+      .smallOrdered($"qid")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q131_ann_recall" -> q131,
     "q140_ann_config_pick" -> q140,
-    "q156_pq_adc_recall" -> q156
+    "q156_pq_adc_recall" -> q156,
+    "q157_ivfadc_recall" -> q157
   )
 }

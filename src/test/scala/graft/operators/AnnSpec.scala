@@ -209,6 +209,36 @@ class AnnSpec extends SparkSpec {
     assert(learned >= 20, s"learned recall implausibly low: $learned/100")
   }
 
+  test("IVFADC: residual-trained codebook beats the portable grid at equal probe") {
+    val s2 = spark
+    import s2.implicits._
+    import org.apache.spark.sql.functions._
+    val emb = graft.core.Tables(spark, sf("sf0.001")).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    val cents = Ann.portableCentroids(64, 8)
+    val centLit = typedLit(cents.map(_.toSeq))
+    // the residual frame IS the training corpus for IVFADC's codebook
+    val resid = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
+      .withColumn("resid",
+        zip_with($"emb".cast("array<double>"),
+          element_at(centLit, $"cell" + 1), (x, c) => x - c))
+      .select($"vec_id", $"resid")
+    def hits(cb: Seq[Seq[Array[Double]]]): Long = {
+      val pq = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+        cents, cb, nProbe = 2).select($"qid", $"vec_id")
+      Ann.l2TopK(emb, queries, "vec_id", "embedding", k = 10)
+        .select($"qid", $"vec_id")
+        .join(pq, Seq("qid", "vec_id")).count()
+    }
+    val portable = hits(Ann.portableCodebook(64, 8, 16))
+    val learned = hits(Ann.pqTrain(resid, "vec_id", "resid", dim = 64,
+      subspaces = 8, codewords = 16, iters = 4))
+    // both share the nProbe=2 routing ceiling; within it the residual fit
+    // must win (deterministic regression pin, not a flake)
+    assert(learned > portable,
+      s"residual-trained ($learned/100) not above portable ($portable/100)")
+  }
+
   test("PQ codes are within range and deterministic across runs") {
     val s2 = spark
     import s2.implicits._
