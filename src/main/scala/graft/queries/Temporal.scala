@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -363,6 +364,51 @@ object Temporal {
       .cachedOrdered($"user_id", $"session_start_us")
   }
 
+  /** Daily resample + forward fill (round 10): the reshape every
+    * time-series feature pipeline needs — per-user daily observations land
+    * on a dense day grid (each user's own [min, max] span, built with
+    * `sequence` + explode, so the grid is data-driven, never a cross
+    * join against a global calendar) and gaps carry the last observed
+    * value forward (`last` IGNORE NULLS over the running window). The
+    * fill never crosses users, and the first grid day is observed by
+    * construction, so the filled series has no nulls — `observed < days`
+    * in the output proves real gaps were filled. One exchange on user_id
+    * serves grid build, join, and fill window alike.
+    */
+  private val q158 = QueryDef.sql(
+    "daily resample with forward fill: dense per-user day grid, gaps carry last value")(
+    """WITH obs AS (SELECT user_id, CAST(ts AS DATE) AS day,
+      |    sum(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (SELECT user_id,
+      |    unnest(generate_series(min(day), max(day),
+      |      INTERVAL 1 DAY))::DATE AS day
+      |  FROM obs GROUP BY user_id),
+      |f AS (SELECT g.user_id, g.day, o.v,
+      |    last_value(o.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |      ORDER BY g.day ROWS UNBOUNDED PRECEDING) AS fv
+      |  FROM grid g LEFT JOIN obs o
+      |    ON o.user_id = g.user_id AND o.day = g.day)
+      |SELECT user_id, count(*)::BIGINT AS days, count(v)::BIGINT AS observed,
+      |  CAST(sum(fv) AS REAL) AS filled_sum
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val obs = Tables(s, dir).events
+      .groupBy($"user_id", to_date($"ts").as("day"))
+      .agg(sum($"value").as("v"))
+    val grid = obs.groupBy($"user_id")
+      .agg(min($"day").as("d0"), max($"day").as("d1"))
+      .select($"user_id", explode(sequence($"d0", $"d1")).as("day"))
+    val w = Window.partitionBy($"user_id").orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(obs, Seq("user_id", "day"), "left")
+      .withColumn("fv", last($"v", ignoreNulls = true).over(w))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("days"), count($"v").as("observed"),
+        sum($"fv").cast("float").as("filled_sum"))
+      .smallOrdered($"user_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
@@ -372,6 +418,7 @@ object Temporal {
     "q114_last_touch_attribution" -> q114,
     "q115_itemset_support" -> q115,
     "q116_session_paths" -> q116,
-    "q148_native_session_window" -> q148
+    "q148_native_session_window" -> q148,
+    "q158_resample_ffill" -> q158
   )
 }

@@ -26,9 +26,31 @@ class StreamRecoverySpec extends SparkSpec {
   }
 
   test("scd2 state survives stop + restart from checkpoint (file source)") {
+    recoveryRoundTrip(provider = None)
+  }
+
+  test("scd2 recovery under the RocksDB state store — the at-scale backend") {
+    // HDFS-backed state lives on the executor HEAP (every key resident, a
+    // hard ceiling at 100 TB key cardinality); RocksDB spills to native
+    // memtables + SST files and is the provider a production deployment
+    // runs. Same contract, different engine underneath the checkpoint.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try recoveryRoundTrip(provider = Some("rocksdb"))
+    finally prev match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
+  private def recoveryRoundTrip(provider: Option[String]): Unit = {
     val s = spark
     import s.implicits._
-    val root = Files.createTempDirectory("graft-recover-")
+    val root = Files.createTempDirectory(
+      s"graft-recover-${provider.getOrElse("hdfs")}-")
     val inDir = root.resolve("in"); Files.createDirectory(inDir)
     val ckpt = root.resolve("ckpt").toString
     try {
