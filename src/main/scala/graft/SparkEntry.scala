@@ -18,7 +18,7 @@ object SparkEntry {
       Curation.defs ++ Scale.defs ++ Pipeline.defs ++ Graphs.defs ++
       Temporal.defs ++ Stats.defs ++ Features.defs ++ Media.defs ++
       StreamGate.defs ++ AnnAudit.defs ++ Tokenizer.defs ++ Delivery.defs ++
-      Formats.defs ++ ModelEval.defs
+      Formats.defs ++ ModelEval.defs ++ Clustering.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
