@@ -36,21 +36,7 @@ object Psi {
     */
   def binned(df: DataFrame, valueCol: String, isCurrent: Column,
       bins: Int = 10, eps: Double = 1e-6): DataFrame = {
-    val v = col(valueCol)
-    val bounds = df.agg(
-      min(v.cast("double")).as("lo"), max(v.cast("double")).as("hi")).first()
-    val lo = bounds.getDouble(0)
-    val hi = bounds.getDouble(1)
-    val width = if (hi > lo) (hi - lo) / bins else 1.0
-    val bin = least(floor((v.cast("double") - lit(lo)) / lit(width)),
-      lit(bins - 1L)).cast("long")
-    val perBin = df.groupBy(bin.as("bin")).agg(
-      sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur"),
-      sum(when(isCurrent, 0L).otherwise(1L)).as("n_ref"))
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val totals = perBin
-      .withColumn("t_cur", sum(col("n_cur")).over(w))
-      .withColumn("t_ref", sum(col("n_ref")).over(w))
+    val totals = binCounts(df, valueCol, isCurrent, bins)
     val pCur = greatest(col("n_cur").cast("double") / col("t_cur"), lit(eps))
     val pRef = greatest(col("n_ref").cast("double") / col("t_ref"), lit(eps))
     val contrib = (pCur - pRef) * log(pCur / pRef)
@@ -67,5 +53,53 @@ object Psi {
       .withColumn("psi_cum", sum(col("__c")).over(wCum).cast("float"))
       .select(col("bin"), col("n_cur"), col("n_ref"),
         col("contribution"), col("psi_cum"))
+  }
+
+  /** Weight-of-Evidence encoding table + Information Value — the classic
+    * credit/churn-scoring feature transform (Siddiqi 2006): per bin,
+    * WOE = ln((pos_b/pos_tot)/(neg_b/neg_tot)) is the encoded value a
+    * feature pipeline substitutes for the raw bin, and the running
+    * IV = Σ (p_pos − p_neg)·WOE scores the feature's predictive power
+    * (IV > 0.3 strong). Same binning, clamping and float32-edge rules as
+    * `binned` — WOE is literally the PSI log term with (current,
+    * reference) = (positives, negatives).
+    */
+  def woeTable(df: DataFrame, valueCol: String, isPositive: Column,
+      bins: Int = 10, eps: Double = 1e-6): DataFrame = {
+    val totals = binCounts(df, valueCol, isPositive, bins)
+      .withColumnRenamed("n_cur", "n_pos").withColumnRenamed("n_ref", "n_neg")
+    val pPos = greatest(col("n_pos").cast("double") / col("t_cur"), lit(eps))
+    val pNeg = greatest(col("n_neg").cast("double") / col("t_ref"), lit(eps))
+    val woe = log(pPos / pNeg)
+    val wCum = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    totals
+      .withColumn("__w", woe)
+      .withColumn("__ivc", (pPos - pNeg) * col("__w"))
+      .withColumn("woe", col("__w").cast("float"))
+      .withColumn("iv_cum", sum(col("__ivc")).over(wCum).cast("float"))
+      .select(col("bin"), col("n_pos"), col("n_neg"), col("woe"),
+        col("iv_cum"))
+  }
+
+  /** Shared binning: per fixed-width bin, side counts plus side totals. */
+  private def binCounts(df: DataFrame, valueCol: String, isCurrent: Column,
+      bins: Int): DataFrame = {
+    val v = col(valueCol)
+    val bounds = df.agg(
+      min(v.cast("double")).as("lo"), max(v.cast("double")).as("hi")).first()
+    val lo = bounds.getDouble(0)
+    val hi = bounds.getDouble(1)
+    val width = if (hi > lo) (hi - lo) / bins else 1.0
+    val bin = least(floor((v.cast("double") - lit(lo)) / lit(width)),
+      lit(bins - 1L)).cast("long")
+    val perBin = df.groupBy(bin.as("bin")).agg(
+      sum(when(isCurrent, 1L).otherwise(0L)).as("n_cur"),
+      sum(when(isCurrent, 0L).otherwise(1L)).as("n_ref"))
+    val w = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perBin
+      .withColumn("t_cur", sum(col("n_cur")).over(w))
+      .withColumn("t_ref", sum(col("n_ref")).over(w))
   }
 }

@@ -171,10 +171,51 @@ object ModelEval {
       .smallOrdered($"bin")
   }
 
+  /** Weight-of-Evidence encoding + Information Value (Siddiqi 2006): the
+    * classic churn/credit-scoring feature transform — per-bin WOE is the
+    * value a pipeline substitutes for the raw bin, running IV scores the
+    * feature (IV > 0.3 strong). Same binning/clamp/float32 discipline as
+    * q159; WOE is the PSI log term with (current, reference) =
+    * (positives, negatives).
+    */
+  private val q165 = QueryDef.sql(
+    "WOE encoding table + running information value on events.value vs purchase")(
+    """WITH v AS (SELECT value AS v, (event_type = 'purchase') AS pos
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+      |binned AS (SELECT
+      |    least(floor((v - lo) / ((hi - lo) / 10)), 9)::BIGINT AS bin,
+      |    sum(CASE WHEN pos THEN 1 ELSE 0 END) AS n_pos,
+      |    sum(CASE WHEN pos THEN 0 ELSE 1 END) AS n_neg
+      |  FROM v, b GROUP BY 1),
+      |t AS (SELECT *, sum(n_pos) OVER () AS t_pos,
+      |    sum(n_neg) OVER () AS t_neg FROM binned),
+      |c AS (SELECT bin, n_pos, n_neg,
+      |    ln(greatest(n_pos::DOUBLE / t_pos, 1e-6)
+      |       / greatest(n_neg::DOUBLE / t_neg, 1e-6)) AS w,
+      |    (greatest(n_pos::DOUBLE / t_pos, 1e-6)
+      |      - greatest(n_neg::DOUBLE / t_neg, 1e-6))
+      |    * ln(greatest(n_pos::DOUBLE / t_pos, 1e-6)
+      |         / greatest(n_neg::DOUBLE / t_neg, 1e-6)) AS ivc
+      |  FROM t)
+      |SELECT bin, cast(n_pos AS BIGINT) AS n_pos,
+      |  cast(n_neg AS BIGINT) AS n_neg,
+      |  cast(w AS REAL) AS woe,
+      |  cast(sum(ivc) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS REAL)
+      |    AS iv_cum
+      |FROM c ORDER BY bin""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.drift.Psi.woeTable(
+      Tables(s, dir).events.filter($"value".isNotNull),
+      "value", $"event_type" === "purchase", bins = 10)
+      .smallOrdered($"bin")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q159_psi_drift" -> q159,
     "q160_roc_auc" -> q160,
     "q161_lift_gains" -> q161,
-    "q162_calibration_bins" -> q162
+    "q162_calibration_bins" -> q162,
+    "q165_woe_iv" -> q165
   )
 }

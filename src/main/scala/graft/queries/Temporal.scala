@@ -409,6 +409,71 @@ object Temporal {
       .smallOrdered($"user_id")
   }
 
+  /** Rolling median (round 10): exact order-statistic windowing — the
+    * robust smoother feature pipelines prefer over rolling mean when
+    * `value` spikes. Restricted to full 5-row frames so the median is
+    * always the 3rd order statistic — an INPUT value, never an
+    * interpolation, hence engine-exact with no float edge. The frame's
+    * collect_list is bounded state (5 doubles); one user_id exchange
+    * serves both windows.
+    */
+  private val q164 = QueryDef.sql(
+    "rolling median of the last 5 event values per user (full frames only)")(
+    """WITH e AS (SELECT user_id, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      |  FROM events WHERE value IS NOT NULL)
+      |SELECT user_id, event_id,
+      |  median(value) OVER (PARTITION BY user_id ORDER BY event_id
+      |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      |FROM e QUALIFY rn >= 5
+      |ORDER BY event_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"event_id")
+    val w5 = w.rowsBetween(-4, 0)
+    Tables(s, dir).events.filter($"value".isNotNull)
+      .select($"user_id", $"event_id", $"value")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("med5",
+        element_at(sort_array(collect_list($"value").over(w5)), 3))
+      .filter($"rn" >= 5)
+      .select($"user_id", $"event_id", $"med5")
+      .cachedOrdered($"event_id")
+  }
+
+  /** Per-type daily EWMA (round 10): the monitoring smoother, run as the
+    * literal recurrence through operators.Ewma's streaming per-key fold
+    * (the q139 external-sort shape — O(1) state, nothing resident), so
+    * the oracle's recursive CTE matches bit-exactly: each step is the
+    * same two multiplies and an add, in the same order. α = 0.25 keeps
+    * both coefficients binary-exact.
+    */
+  private val q166 = QueryDef.sql(
+    "daily event-count EWMA per type (alpha=0.25, recurrence-exact)")(
+    """WITH RECURSIVE idx AS (
+      |  SELECT event_type, day, n,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS i
+      |  FROM (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+      |        FROM events GROUP BY 1, 2)),
+      |e AS (
+      |  SELECT event_type, day, n, i, n::DOUBLE AS ewma FROM idx WHERE i = 1
+      |  UNION ALL
+      |  SELECT idx.event_type, idx.day, idx.n, idx.i,
+      |    0.25 * idx.n + 0.75 * e.ewma
+      |  FROM e JOIN idx ON idx.event_type = e.event_type AND idx.i = e.i + 1)
+      |SELECT event_type, day, cast(n AS BIGINT) AS n, ewma
+      |FROM e ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val daily = Tables(s, dir).events
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .select($"event_type", unix_date($"day").cast("long").as("d"), $"n")
+    graft.operators.Ewma.perKey(daily, "event_type", "d", "n", alpha = 0.25)
+      .select($"event_type",
+        date_from_unix_date($"d".cast("int")).as("day"),
+        $"n".cast("long").as("n"), $"ewma")
+      .smallOrdered($"event_type", $"day")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q95_scd2_history" -> q95,
     "q96_interval_coverage" -> q96,
@@ -419,6 +484,8 @@ object Temporal {
     "q115_itemset_support" -> q115,
     "q116_session_paths" -> q116,
     "q148_native_session_window" -> q148,
-    "q158_resample_ffill" -> q158
+    "q158_resample_ffill" -> q158,
+    "q164_rolling_median" -> q164,
+    "q166_daily_ewma" -> q166
   )
 }
