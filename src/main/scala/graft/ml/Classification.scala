@@ -73,7 +73,10 @@ object Classification {
       eps: Double = 1e-15): DataFrame = {
     val y = col(labelCol).cast("double")
     val p = least(greatest(col(probCol), lit(eps)), lit(1 - eps))
-    df.agg(avg(-(y * log(p) + (lit(1) - y) * log(lit(1) - p))).as("value"))
+    // n rides the same single aggregate (value stays column 0 for the
+    // positional readers) — callers wanting (loss, n) never rescan.
+    df.agg(avg(-(y * log(p) + (lit(1) - y) * log(lit(1) - p))).as("value"),
+      count(lit(1)).as("n"))
   }
 
   /** F1 at each candidate decision threshold (SURVEY.md §2.8 M7). The

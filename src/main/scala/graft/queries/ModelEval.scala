@@ -211,11 +211,41 @@ object ModelEval {
       .smallOrdered($"bin")
   }
 
+  /** Log-loss of the normalized score (A8, previously unit-only): the
+    * proper scoring rule `mlflow.models.evaluate` reports alongside AUC.
+    * Same min-max normalization as q162; Classification.logLoss's
+    * eps-clamp keeps the boundary rows (p=0 at the observed min, p=1 at
+    * the max) finite. avg over ln terms → float32 at the edge.
+    */
+  private val q167 = QueryDef.sql(
+    "log-loss of the normalized score against the purchase label")(
+    """WITH v AS (SELECT value AS v, (event_type = 'purchase')::INT AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |b AS (SELECT min(v) AS lo, max(v) AS hi FROM v),
+      |p AS (SELECT y,
+      |    least(greatest((v - lo) / (hi - lo), 1e-15), 1 - 1e-15) AS p
+      |  FROM v, b)
+      |SELECT cast(avg(-(y * ln(p) + (1 - y) * ln(1 - p))) AS REAL)
+      |    AS log_loss,
+      |  count(*) AS n
+      |FROM p""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val v = Tables(s, dir).events.filter($"value".isNotNull)
+      .select($"value".as("v"),
+        ($"event_type" === "purchase").cast("int").as("y"))
+    val Seq(lo, hi) = v.agg(min($"v"), max($"v")).first()
+      .toSeq.map(_.asInstanceOf[Double])
+    val scored = v.select($"y", (($"v" - lit(lo)) / lit(hi - lo)).as("p"))
+    graft.ml.Classification.logLoss(scored, "y", "p")
+      .select(col("value").cast("float").as("log_loss"), col("n"))
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q159_psi_drift" -> q159,
     "q160_roc_auc" -> q160,
     "q161_lift_gains" -> q161,
     "q162_calibration_bins" -> q162,
-    "q165_woe_iv" -> q165
+    "q165_woe_iv" -> q165,
+    "q167_log_loss" -> q167
   )
 }
