@@ -295,24 +295,114 @@ object Ann {
     */
   def pqAdcTopK(data: DataFrame, queries: DataFrame, idCol: String,
       embCol: String, k: Int, codebook: Seq[Seq[Array[Double]]]): DataFrame = {
-    val subDim = codebook.head.head.length
-    val qtab = array(codebook.zipWithIndex.map { case (cws, s) =>
-      array(cws.map(cw =>
-        adcScore(slice(col("qemb"), s * subDim + 1, subDim), cw)): _*)
-    }: _*)
     val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
-      .withColumn("qtab", qtab).drop("qemb")
+      .withColumn("qtab", pqQueryTable(col("qemb"), codebook)).drop("qemb")
     val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     pqEncode(data, idCol, embCol, codebook)
       .crossJoin(broadcast(q))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id"),
-        aggregate(
-          zip_with(col("codes"), col("qtab"),
-            (code, tab) => element_at(tab, code + 1)),
-          lit(0.0), (acc, x) => acc + x).as("adc"))
+      .select(col("qid"), col("vec_id"), pqAdcSum.as("adc"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
+  }
+
+  /** Per-query ADC lookup table: distance of each subspace block of `qemb`
+    * to every codeword (subspaces × codewords doubles).
+    */
+  private def pqQueryTable(qemb: Column,
+      codebook: Seq[Seq[Array[Double]]]): Column = {
+    val subDim = codebook.head.head.length
+    array(codebook.zipWithIndex.map { case (cws, s) =>
+      array(cws.map(cw =>
+        adcScore(slice(qemb, s * subDim + 1, subDim), cw)): _*)
+    }: _*)
+  }
+
+  /** ADC score of a coded row against the broadcast `qtab`. */
+  private def pqAdcSum: Column =
+    aggregate(
+      zip_with(col("codes"), col("qtab"),
+        (code, tab) => element_at(tab, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** PQ recall-vs-exact in ONE exchange (the q156 gate): the ADC rank and
+    * the exact-L2 rank are two orderings of the SAME (query, candidate)
+    * pair frame, so both compute as two sorts over one qid partitioning —
+    * one scan, one broadcast, one shuffle — instead of two separately
+    * windowed branches meeting in a sort-merge join (the previous shape
+    * paid ~6 sequential AQE stage barriers to rank 20k pairs: 2.4 s wall
+    * at 0.6 s CPU on the sf0.1 gate). Arithmetic is unchanged — identical
+    * ADC and exact-distance expressions, so the oracle replay still
+    * matches bit-exactly. Returns (qid, hits, k).
+    */
+  def pqAdcRecall(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, codebook: Seq[Seq[Array[Double]]]): DataFrame = {
+    import org.apache.spark.sql.graft.{Bridge, DotProductFD}
+    def dotFD(a: Column, b: Column): Column =
+      Bridge.column(DotProductFD(Bridge.expression(a),
+        Bridge.expression(b.cast("array<double>"))))
+    val subDim = codebook.head.head.length
+    val codes = array(codebook.zipWithIndex.map { case (cws, s) =>
+      array_min(array(cws.zipWithIndex.map { case (cw, c) =>
+        struct(adcScore(slice(col(embCol), s * subDim + 1, subDim), cw).as("d"),
+          lit(c).as("c"))
+      }: _*)).getField("c")
+    }: _*)
+    // persist pins the encode in its OWN stage: fused into the pair
+    // projection, the 128-block argmin would re-evaluate per PAIR (and the
+    // combined method blows the whole-stage-codegen budget) — measured
+    // +50% CPU without the boundary. The encoded frame is id+emb+codes,
+    // tiny at any corpus size relative to the corpus itself.
+    val d = data.select(col(idCol).as("vec_id"), col(embCol).as("emb"),
+      codes.as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = queries.select(col(idCol).as("qid"), col(embCol).as("qemb"))
+      .withColumn("qtab", pqQueryTable(col("qemb"), codebook))
+    val w = Window.partitionBy(col("qid"))
+    d.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), pqAdcSum.as("adc"),
+        (dotFD(col("emb"), col("qemb")) * -2.0 +
+          dotFD(col("emb"), col("emb"))).as("d"))
+      .withColumn("rn_adc",
+        row_number().over(w.orderBy(col("adc"), col("vec_id"))))
+      .withColumn("rn_ex",
+        row_number().over(w.orderBy(col("d"), col("vec_id"))))
+      .filter(col("rn_ex") <= k)
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rn_adc") <= k, 1L).otherwise(0L)).as("hits"))
+      .withColumn("k", lit(k.toLong))
+  }
+
+  /** IVFADC recall + scan-fraction audit from ONE candidate materialization
+    * (the q157 gate): the ADC top-k and the scanned-count both derive from
+    * a single persisted candidate frame (previously the `scanned` column
+    * recomputed assignment + probe from scratch), and the exact side joins
+    * once. Returns (qid, hits, scanned, k).
+    */
+  def ivfPqRecall(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, centroids: Seq[Array[Double]],
+      codebook: Seq[Seq[Array[Double]]], nProbe: Int): DataFrame = {
+    // A/B-measured shape (sf0.1, direct JVM): deriving rank AND
+    // scanned-count from one persisted candidate frame beats both the
+    // original triple-recompute (assignment+probe rebuilt for `scanned`)
+    // and a fully-fused single-window-frame variant (whose extra window
+    // pass over the all-pairs frame cost more than its saved barriers).
+    val cands = ivfPqCandidates(data, queries, idCol, embCol, centroids,
+        codebook, nProbe)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wq = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    val topk = cands
+      .withColumn("rn_adc", row_number().over(wq))
+      .filter(col("rn_adc") <= k)
+      .select(col("qid"), col("vec_id"), col("rn_adc"))
+    val scanned = cands.groupBy(col("qid")).agg(count(lit(1)).as("scanned"))
+    val hits = l2TopK(data, queries, idCol, embCol, k)
+      .select(col("qid"), col("vec_id"))
+      .join(topk, Seq("qid", "vec_id"), "left")
+      .groupBy(col("qid"))
+      .agg(sum(when(col("rn_adc").isNotNull, 1L).otherwise(0L)).as("hits"))
+    hits.join(scanned, "qid").withColumn("k", lit(k.toLong))
   }
 
   /** Data-adapted PQ codebook: per-subspace Lloyd iterations (the k-means
@@ -388,8 +478,14 @@ object Ann {
     * moves at scan time. All arithmetic is HOF zip/fold in ascending
     * index order — bit-replayable by the SQL oracle (q157).
     */
-  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
-      embCol: String, k: Int, centroids: Seq[Array[Double]],
+  /** The IVFADC candidate frame BEFORE ranking: (qid, vec_id, adc) for
+    * every database vector in one of the query's probed cells. Split out
+    * so recall auditing can derive the top-k AND the scanned-count from
+    * ONE encode scan (q157 previously recomputed assignment + probe for
+    * its `scanned` column).
+    */
+  def ivfPqCandidates(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, centroids: Seq[Array[Double]],
       codebook: Seq[Seq[Array[Double]]], nProbe: Int): DataFrame = {
     val subDim = codebook.head.head.length
     val centLit = typedLit(centroids.map(_.toSeq))
@@ -408,6 +504,10 @@ object Ann {
               lit(c).as("c"))
           }: _*)).getField("c")
         }: _*).as("codes"))
+      // own-stage boundary for the residual encode: fused past the probe
+      // join it re-evaluates per (candidate, probe) pair and blows the
+      // whole-stage-codegen budget (see pqAdcRecall)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probedT = ivfProbeRanks(queries, idCol, embCol, centroids, nProbe)
       .withColumn("qresid", residOf(col("qemb"), col("cell")))
       .select(col("qid"), col("cell"),
@@ -415,7 +515,6 @@ object Ann {
           array(cws.map(cw =>
             l2(slice(col("qresid"), s * subDim + 1, subDim), cw)): _*)
         }: _*).as("qtab"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
     enc.join(broadcast(probedT), "cell")
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
@@ -423,6 +522,13 @@ object Ann {
           zip_with(col("codes"), col("qtab"),
             (code, tab) => element_at(tab, code + 1)),
           lit(0.0), (acc, x) => acc + x).as("adc"))
+  }
+
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String,
+      embCol: String, k: Int, centroids: Seq[Array[Double]],
+      codebook: Seq[Seq[Array[Double]]], nProbe: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))
+    ivfPqCandidates(data, queries, idCol, embCol, centroids, codebook, nProbe)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
   }

@@ -361,14 +361,7 @@ object AnnAudit {
     val emb = Tables(s, dir).embeddings
     val queries = emb.filter($"vec_id" < 10)
     val cb = Ann.portableCodebook(dim = 64, subspaces = 8, codewords = 16)
-    val pq = Ann.pqAdcTopK(emb, queries, "vec_id", "embedding", k = 10, cb)
-      .select($"qid", $"vec_id").withColumn("hit", lit(1))
-    Ann.l2TopK(emb, queries, "vec_id", "embedding", k = 10)
-      .select($"qid", $"vec_id")
-      .join(pq, Seq("qid", "vec_id"), "left")
-      .groupBy($"qid")
-      .agg(count($"hit").as("hits"))
-      .withColumn("k", lit(10L))
+    Ann.pqAdcRecall(emb, queries, "vec_id", "embedding", k = 10, cb)
       .smallOrdered($"qid")
   }
 
@@ -477,21 +470,8 @@ object AnnAudit {
     val queries = emb.filter($"vec_id" < 10)
     val cents = Ann.portableCentroids(dim = 64, nLists = 8)
     val cb = Ann.portableCodebook(dim = 64, subspaces = 8, codewords = 16)
-    val pq = Ann.ivfPqTopK(emb, queries, "vec_id", "embedding", k = 10,
+    Ann.ivfPqRecall(emb, queries, "vec_id", "embedding", k = 10,
         cents, cb, nProbe = 2)
-      .select($"qid", $"vec_id").withColumn("hit", lit(1))
-    val hits = Ann.l2TopK(emb, queries, "vec_id", "embedding", k = 10)
-      .select($"qid", $"vec_id")
-      .join(pq, Seq("qid", "vec_id"), "left")
-      .groupBy($"qid").agg(count($"hit").as("hits"))
-    val scanned = Ann.ivfAssign(emb, "vec_id", "embedding", cents)
-      .select($"vec_id", $"cell")
-      .join(broadcast(
-        Ann.ivfProbeRanks(queries, "vec_id", "embedding", cents, maxProbe = 2)
-          .select($"qid", $"cell")), "cell")
-      .filter($"vec_id" =!= $"qid")
-      .groupBy($"qid").agg(count(lit(1)).as("scanned"))
-    hits.join(scanned, "qid").withColumn("k", lit(10L))
       .smallOrdered($"qid")
   }
 
