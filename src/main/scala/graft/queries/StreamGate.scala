@@ -430,10 +430,126 @@ object StreamGate {
     f.delete(): Unit
   }
 
+  /** Native streaming dedup (round 10): Spark's own `dropDuplicates`
+    * state machinery under the oracle gate — each (user, type) pair must
+    * be emitted EXACTLY once across the 6-batch drip, no matter which
+    * batches carry its occurrences. The gate projects to the key columns
+    * only: within one micro-batch the "first" full row of a key is
+    * partition-arrival-dependent (nondeterministic), but the emitted KEY
+    * SET is exact — which is precisely the cross-batch state contract
+    * being gated. Unbounded key state by design here; the bounded-state
+    * production variant is dropDuplicatesWithinWatermark.
+    */
+  private val q168 = QueryDef.sql(
+    "streaming dropDuplicates: distinct (user, type) pairs across the drip vs batch DISTINCT")(
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val typed = memoized("scd2", dir)(Tables(s, dir).events
+      .select($"user_id", $"event_type".as("state"),
+        Tables.epochUs($"ts").as("ts_us"), $"event_id")
+      .as[TemporalStreams.StateEvent]
+      .collect())
+    val chunks = typed.sortBy(e => (e.ts_us, e.event_id))
+      .grouped(math.max(typed.length / 6, 1)).map(_.toIndexedSeq).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-dedup-gate-")
+    val sink = "dedup_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[TemporalStreams.StateEvent]
+    try {
+      withDripConf(s) {
+        val q = input.toDS()
+          .select($"user_id", $"state".as("event_type"))
+          .dropDuplicates("user_id", "event_type")
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .repartition(1).sortWithinPartitions($"user_id", $"event_type")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
+  }
+
+  /** Native watermarked tumbling-window aggregation (round 10): THE
+    * canonical streaming query — per-day per-type event counts in append
+    * mode, where a window only emits once the watermark passes it. Six
+    * globally time-ordered chunks advance the watermark as real ingest
+    * would; two far-future heartbeat rounds then push it past every real
+    * window (the q142 two-round shape: round 1's batch still runs on the
+    * pre-heartbeat watermark, round 2's closes everything real), so the
+    * sink holds the complete day grid and the batch GROUP BY is the exact
+    * oracle. Heartbeat windows sit beyond the real max and are excluded
+    * by the window-start bound.
+    */
+  private val q169 = QueryDef.sql(
+    "streaming tumbling-window counts (1-day windows, watermark close) vs batch GROUP BY")(
+    """SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val typed = memoized("scd2", dir)(Tables(s, dir).events
+      .select($"user_id", $"event_type".as("state"),
+        Tables.epochUs($"ts").as("ts_us"), $"event_id")
+      .as[TemporalStreams.StateEvent]
+      .collect())
+    val sorted = typed.sortBy(e => (e.ts_us, e.event_id))
+    val tsMax = sorted.last.ts_us
+    val dayUs = 86400000000L
+    def hb(round: Int): IndexedSeq[TemporalStreams.StateEvent] =
+      IndexedSeq(TemporalStreams.StateEvent(-1L, "__hb",
+        tsMax + round * 3 * dayUs, (1L << 41) | round.toLong))
+    val chunks = sorted.grouped(math.max(sorted.length / 6, 1))
+      .map(_.toIndexedSeq).toIndexedSeq ++ Seq(hb(1), hb(2))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-twin-gate-")
+    val sink = "twin_gate_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val input = MemoryStream[TemporalStreams.StateEvent]
+    try {
+      withDripConf(s) {
+        val q = input.toDS()
+          .select($"state".as("event_type"),
+            timestamp_micros($"ts_us").as("ets"))
+          .withWatermark("ets", "1 hour")
+          .groupBy(window($"ets", "1 day"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .option("checkpointLocation", ckpt.toString)
+          .outputMode("append").start()
+        try {
+          chunks.foreach { chunk =>
+            input.addData(chunk)
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
+      s.table(sink)
+        .filter(unix_micros($"window.start") <= tsMax)
+        .select(to_date($"window.start").as("day"), $"event_type", $"n")
+        .repartition(1).sortWithinPartitions($"day", $"event_type")
+        .localCheckpoint()
+    } finally {
+      s.catalog.dropTempView(sink)
+      deleteRecursively(ckpt.toFile)
+    }
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q130_streaming_scd2" -> q130,
     "q142_streaming_scd2_late" -> q142,
     "q133_streaming_islands" -> q133,
-    "q147_streaming_interval_join" -> q147
+    "q147_streaming_interval_join" -> q147,
+    "q168_streaming_dedup" -> q168,
+    "q169_streaming_window_counts" -> q169
   )
 }
