@@ -240,12 +240,45 @@ object ModelEval {
       .select(col("value").cast("float").as("log_loss"), col("n"))
   }
 
+  /** Stratified k-fold assignment, portable-order variant (M2's gate: the
+    * pipeline path uses rand(seed) per the reference's
+    * StratifiedKFold(shuffle=True); this gate swaps the seeded shuffle for
+    * the md5-content order q38's sampler already gates, so the SAME
+    * round-robin-within-stratum rule is replayable cross-engine). Output
+    * proves both the balance contract (per-(fold,label) counts differ by
+    * at most 1 within a stratum) and the exact membership (id_sum).
+    * Ranks ride ParallelRank's range exchange — no per-stratum sort task.
+    */
+  private val q170 = QueryDef.sql(
+    "stratified 3-fold assignment (md5 order): per-fold class counts + membership checksum")(
+    """WITH l AS (SELECT event_id, (value > 50)::INT AS label FROM events
+      |  WHERE value IS NOT NULL),
+      |r AS (SELECT event_id, label,
+      |    (row_number() OVER (PARTITION BY label
+      |       ORDER BY md5(cast(event_id AS VARCHAR))) - 1) % 3 AS fold
+      |  FROM l)
+      |SELECT fold, label, count(*) AS n,
+      |  cast(sum(event_id) AS BIGINT) AS id_sum
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val l = Tables(s, dir).events.filter($"value".isNotNull)
+      .select($"event_id", ($"value" > 50).cast("int").as("label"))
+    graft.operators.ParallelRank.rowNumber(
+        l.withColumn("__o", md5($"event_id".cast("string"))),
+        Seq("label"), "__o", "__rn")
+      .withColumn("fold", (($"__rn" - 1) % 3).cast("long"))
+      .groupBy($"fold", $"label")
+      .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
+      .smallOrdered($"fold", $"label")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q159_psi_drift" -> q159,
     "q160_roc_auc" -> q160,
     "q161_lift_gains" -> q161,
     "q162_calibration_bins" -> q162,
     "q165_woe_iv" -> q165,
-    "q167_log_loss" -> q167
+    "q167_log_loss" -> q167,
+    "q170_stratified_folds" -> q170
   )
 }
