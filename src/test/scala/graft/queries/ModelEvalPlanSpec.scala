@@ -31,8 +31,12 @@ class ModelEvalPlanSpec extends SparkSpec {
       val p = plan(q)
       assert(p.contains("partial_sum") || p.contains("partial_count"),
         s"$q: no map-side partial aggregation")
-      // events.props/event_id never read — only value and event_type
-      assert(!p.contains("props"), s"$q: scan reads unused columns")
+      // events.props/event_id never read — only value and event_type.
+      // Only assertable against a direct parquet scan: under the shared
+      // test session another suite may have CACHED the full events table,
+      // and the InMemoryRelation legitimately lists every column.
+      if (!p.contains("InMemoryRelation"))
+        assert(!p.contains("props"), s"$q: scan reads unused columns")
     }
   }
 
