@@ -146,9 +146,23 @@ object ParallelRank {
     }
   }
 
-  private def joinOffsets(b: DataFrame, groupCols: Seq[String],
+  private def joinOffsets(b0: DataFrame, groupCols: Seq[String],
       orderCol: String, rankCol: String, descending: Boolean,
       totalCol: Option[String]): DataFrame = {
+    // The totals branch and the rank branch BOTH read the range exchange,
+    // and correctness requires the SAME row→pid assignment in both. Stage
+    // reuse usually guarantees that, but it is an optimization, not a
+    // contract — round 10 caught a plan context where the two branches
+    // re-sampled boundaries independently (rdd.id seeds the sampler) and
+    // the offsets silently corrupted ~30% of ranks. Pinning the bucketed
+    // frame makes the assignment definitionally shared. The frames ranked
+    // here are pre-collapsed (distinct values / strata keys), so the
+    // materialization is bounded by value cardinality, never raw rows;
+    // ContextCleaner reclaims it once the plan drops.
+    val b =
+      if (b0.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+        b0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else b0
     val totals = partitionTotals(b, groupCols, Seq(lit(1L)))
     val off = offsets(totals, groupCols, 1)
     val withTotal = totalCol match {
@@ -246,7 +260,9 @@ object ParallelRank {
       sumCols: Seq[String], outCols: Seq[String],
       descending: Boolean = false): DataFrame = {
     require(sumCols.length == outCols.length, "sumCols/outCols length mismatch")
+    // pinned for the same two-branch pid-consistency reason as joinOffsets
     val b = bucketed(df, groupCols, orderCol, descending)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val off = offsets(
       partitionTotals(b, groupCols, sumCols.map(col)), groupCols, sumCols.length)
     val ord = if (descending) col(orderCol).desc else col(orderCol).asc

@@ -265,7 +265,7 @@ object ModelEval {
       .select($"event_id", ($"value" > 50).cast("int").as("label"))
     graft.operators.ParallelRank.rowNumber(
         l.withColumn("__o", md5($"event_id".cast("string"))),
-        Seq("label"), "__o", "__rn")
+        Seq("label"), "__o", "__rn", smallGroupsHint = true)
       .withColumn("fold", (($"__rn" - 1) % 3).cast("long"))
       .groupBy($"fold", $"label")
       .agg(count(lit(1)).as("n"), sum($"event_id").as("id_sum"))
