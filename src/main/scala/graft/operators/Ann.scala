@@ -18,6 +18,15 @@ import graft.functions.VectorFunctions
   * hyperplanes are seeded literals baked into the plan — no driver state,
   * no join against a planes table. Multi-probe (flipping the weakest signs)
   * recovers recall without more buckets.
+  *
+  * Cache lifecycle: the PQ/IVFADC paths pin their encode and candidate
+  * frames (MEMORY_AND_DISK) to hold a codegen stage boundary — fused past
+  * it, the per-block argmin re-evaluates per PAIR and blows the
+  * whole-stage-codegen budget. The pins are not explicitly unpersisted
+  * (the returned DataFrames are lazy and still reference them); they are
+  * reclaimed by ContextCleaner when the plan is dropped, the same
+  * lifecycle as a caller's own `df.cache()`. Long-lived sessions should
+  * `spark.catalog.clearCache()` between batches (the bench does, per rep).
   */
 object Ann {
 

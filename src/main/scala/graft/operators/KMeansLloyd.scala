@@ -22,10 +22,16 @@ import org.apache.spark.sql.functions._
   * literal centroids, then ONE map-side-combined aggregate to k rows of
   * (n, 64 component sums) collected to the driver (k·dim longs — the
   * bounded-collect pattern of Ann's centroid literals). At 100 TB: scans
-  * dominate, nothing downstream exceeds k·dim. Exactness bound: integer
-  * dots stay inside the 2^63 long while n·scale²·dim < 2^63 (≈ 10^12 rows
-  * at scale=1000, dim=64); past that, lift the dot accumulator to
-  * decimal(38,0) — same plan, wider lanes.
+  * dominate, nothing downstream exceeds k·dim. Exactness bounds: the v·S
+  * dot and Σv·v accumulate in longs — safe while n·scale²·dim < 2^63
+  * (≈ 10^11 rows PER CLUSTER at scale=1000, dim=64); the quadratic S·S
+  * term would wrap six orders of magnitude earlier (S_j² ≈ n²·scale²),
+  * so it is computed in widened arithmetic instead — BigInt on the
+  * driver, decimal(38,0) in-plan — and never binds. Both widenings
+  * convert to double with one round-to-nearest, exactly DuckDB's
+  * HUGEINT→DOUBLE cast, so oracle replays stay bit-identical. Past the
+  * long bound, lift the dot accumulator to decimal(38,0) too — same
+  * plan, wider lanes.
   */
 object KMeansLloyd {
 
@@ -49,7 +55,10 @@ object KMeansLloyd {
       val dot = aggregate(
         zip_with(v, typedLit(c.sums.toSeq), (a, b) => a * b),
         lit(0L), (acc, x) => acc + x)
-      val ss = c.sums.map(s => s * s).sum
+      // S·S in BigInt: with scale=1000 a Long Σ S_j² wraps around n ≈ 10^6
+      // rows per cluster; BigInt is exact at any n and its toDouble is one
+      // deterministic round-to-nearest (DuckDB's HUGEINT sum + ::DOUBLE).
+      val ss = c.sums.map(s => BigInt(s) * BigInt(s)).sum
       val d = (dot * -2L).cast("double") / lit(c.n.toDouble) +
         lit(ss.toDouble / (c.n.toDouble * c.n))
       struct(d.as("d"), lit(c.id).as("cell"))
@@ -94,7 +103,12 @@ object KMeansLloyd {
           cellStats(q.withColumn("cell", cellFor(col("v"), cents)), dim), dim)
       }
       val stats = cellStats(q.withColumn("cell", cellFor(col("v"), fin)), dim)
-      val ss = (1 to dim).map(j => col(s"s$j") * col(s"s$j"))
+      // in-plan S·S widened to decimal(38,0): Long s_j*s_j wraps around
+      // n ≈ 10^6 rows per cluster (see cellFor); the exact decimal sum
+      // casts to double with one round-to-nearest, matching the oracle's
+      // HUGEINT list_sum + ::DOUBLE
+      val ss = (1 to dim).map(j =>
+          col(s"s$j").cast("decimal(38,0)") * col(s"s$j").cast("decimal(38,0)"))
         .reduce(_ + _)
       stats.select(col("cell").as("cluster"), col("n"),
         (col("svv").cast("double") - ss.cast("double") / col("n"))

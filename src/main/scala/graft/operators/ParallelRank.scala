@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * branch of the plan; Catalyst's ReuseExchange collapses them into one
   * physical shuffle (asserted in ParallelRankSpec — the offsets are only
   * correct against the exact partitioning they were computed from).
+  *
+  * Cache lifecycle: every entry point pins its bucketed frame
+  * (MEMORY_AND_DISK) because stage reuse is an optimization, not a
+  * contract (round 10's ParallelRank bug). The pin is NOT explicitly
+  * unpersisted — the returned DataFrame is lazy and still references it;
+  * reclamation is ContextCleaner's (the cached RDD is GC'd with the plan,
+  * the same lifecycle as any `df.cache()` a caller drops). Long-lived
+  * sessions iterating many plans should `spark.catalog.clearCache()`
+  * between batches, as the bench harness does between reps.
   */
 object ParallelRank {
 
@@ -203,7 +212,14 @@ object ParallelRank {
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       qs: Seq[(String, Double)]): DataFrame = {
     val gcols = groupCols.map(col)
+    // pinned for the same two-branch pid-consistency reason as joinOffsets:
+    // the cell-count/offsets branch and the pass-2 cellRows branch both read
+    // the range exchange, and the located (pid, local-rank) coordinates are
+    // only meaningful against the exact row->pid assignment they were
+    // computed from — an uncached exchange can re-sample its boundaries per
+    // plan (rdd.id seeds the sampler) and silently pick the wrong rows.
     val b = bucketed(df, groupCols, valueCol, descending = false)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellCnt = partitionTotals(b, groupCols, Seq(lit(1L)))
     val off = offsets(cellCnt, groupCols, 1)
     val cellBounds = off.join(cellCnt, Pid +: groupCols).select(
