@@ -22,15 +22,32 @@ object Verify {
       .config("spark.ui.enabled", "false")
     if (master.startsWith("local-cluster"))
       graft.core.GraftSession.configureLocalCluster(builder, master)
+    // Fault-injection gate (round 11, VERDICT r10 #1):
+    // SPARK_GRAFT_FAULT_SCOPES=scan,rank,cc,stream enables the FaultOnce
+    // probes (every covered task fails once on attempt 0) and raises
+    // spark.task.maxFailures so the retries are absorbed. NOTE: in-process
+    // local masters ignore the conf — pass a `local[N,4]` master alongside.
+    sys.env.get("SPARK_GRAFT_FAULT_SCOPES").foreach { v =>
+      builder.config("spark.graft.fault.scopes", v)
+        .config("spark.task.maxFailures", "4")
+    }
+    // SPARK_GRAFT_KILL_AFTER=<n>: hard-halt one executor process after the
+    // n-th query (sorted order) — executor-loss recovery mid-suite.
+    val killAfter = sys.env.get("SPARK_GRAFT_KILL_AFTER").map(_.toInt)
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (same contract as Bench): the driver never
     // sets it, so the gate always dumps every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    SparkEntry.queries
+    SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+      .zipWithIndex
+      .foreach { case ((name, fn), idx) =>
+      if (killAfter.contains(idx)) {
+        System.err.println(s"[fault] executor kill before query #$idx ($name)")
+        graft.fault.FaultInjection.killOneExecutor(spark): Unit
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

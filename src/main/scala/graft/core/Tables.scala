@@ -14,9 +14,14 @@ final case class Tables(spark: SparkSession, dir: String) {
   // directory and re-reads footers on every call, a fixed per-query tax that
   // dominates small-SF benchmarks. DataFrames are immutable plans — safe to
   // share across queries of the same session.
+  // The fault gate's suite-wide injection point (scope "scan"): identity
+  // unless spark.graft.fault.scopes enables it, in which case every task
+  // of every table-reading stage fails once on attempt 0 and is retried.
+  // Applied OUTSIDE the memo so the cached plan stays probe-free.
   private def t(name: String): DataFrame =
-    Tables.cache.computeIfAbsent((spark, dir, name),
-      _ => spark.read.parquet(s"$dir/$name.parquet"))
+    graft.fault.FaultInjection.probe(
+      Tables.cache.computeIfAbsent((spark, dir, name),
+        _ => spark.read.parquet(s"$dir/$name.parquet")), "scan")
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")

@@ -160,11 +160,15 @@ object ConnectedComponents extends Logging {
         .groupBy("src")
         .agg(min(col("ncomp")).as("nbr_min"))
         .select(col("src").as("id"), col("nbr_min"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
-          (coalesce(col("nbr_min"), col("comp")) < col("comp"))
-            .cast("long").as("chg"))
+      // fault-gate injection point (scope "cc"): each label round's
+      // checkpoint materialization runs under attempt-0 task retry
+      val next = graft.fault.FaultInjection.probe(
+        labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("comp"), coalesce(col("nbr_min"), col("comp"))).as("comp"),
+            (coalesce(col("nbr_min"), col("comp")) < col("comp"))
+              .cast("long").as("chg")),
+        "cc")
         .localCheckpoint() // materializes: one action per round, bounded lineage
       changed = next.agg(sum(col("chg"))).head.getLong(0)
       // the new round is materialized — release the previous round's
@@ -229,10 +233,13 @@ object ConnectedComponents extends Logging {
       // parents onto mp = min parent — emit (c, mp) and (p, mp) for the
       // displaced parents. Orientation (child > parent) is preserved.
       val joined = ls.join(ls.groupBy("c").agg(min(col("p")).as("m")), "c")
-      val next = joined.select(col("c"), col("m").as("p"))
-        .union(joined.filter(col("p") =!= col("m"))
-          .select(col("p").as("c"), col("m").as("p")))
-        .distinct()
+      // fault-gate injection point (scope "cc"), as in the hash-min rounds
+      val next = graft.fault.FaultInjection.probe(
+        joined.select(col("c"), col("m").as("p"))
+          .union(joined.filter(col("p") =!= col("m"))
+            .select(col("p").as("c"), col("m").as("p")))
+          .distinct(),
+        "cc")
         .localCheckpoint()
       // fixed point = identical edge set (both sides distinct, so equal
       // counts + empty one-way difference suffices)

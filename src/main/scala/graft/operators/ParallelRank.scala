@@ -48,7 +48,13 @@ object ParallelRank {
     // Every branch reuses the SAME materialized query stage (ReuseExchange /
     // AQE stage cache, asserted in ParallelRankSpec), so spark_partition_id
     // stays consistent between the totals and rank branches.
-    df.repartitionByRange(keys: _*).withColumn(Pid, spark_partition_id())
+    // fault-gate injection point (scope "rank"): the probe sits ABOVE the
+    // range exchange, so attempt-0 failures hit the reduce-side tasks that
+    // materialize the pinned bucketed frame — exactly the re-execution
+    // surface of the round-10 pid-consistency bug. Identity when disabled.
+    graft.fault.FaultInjection.probe(
+      df.repartitionByRange(keys: _*).withColumn(Pid, spark_partition_id()),
+      "rank")
   }
 
   /** Per-(partition, group) totals of `terms`, named __t0..__tN. */

@@ -110,7 +110,12 @@ object StreamGate {
     // checkpoint dir or the memory-sink table across bench reps
     try {
       withDripConf(s) {
-        val q = TemporalStreams.scd2(input.toDS())
+        // fault-gate injection point (scope "stream"): every micro-batch's
+        // tasks fail once on attempt 0 and retry against the LIVE state
+        // store (abort -> reload prior version -> re-fold) — the streaming
+        // face of the re-execution-consistency class
+        val q = TemporalStreams.scd2(
+            graft.fault.FaultInjection.probeDs(input.toDS(), "stream"))
           .writeStream.format("memory").queryName(sink)
           .option("checkpointLocation", ckpt.toString)
           .outputMode("append").start()

@@ -1,0 +1,162 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ParallelRank
+
+/** Pressure certification of the POST-FIX pinned-exchange ParallelRank
+  * paths (round 11, VERDICT r10 #7): the round-10 bug corrupted ranks via
+  * independently re-sampled range boundaries, and its fix pins the
+  * bucketed exchange (MEMORY_AND_DISK) across every two-branch read. This
+  * tool certifies, at ~10M rows x 16 groups:
+  *
+  *  - `rowNumber` on BOTH dispatches (the declarative joinOffsets path and
+  *    the budget-guarded driver-offsets path) bit-equal to Spark's own
+  *    one-task-per-group window `row_number` — an independent execution
+  *    path, compared distributedly (a join counting mismatches, nothing
+  *    large collected);
+  *  - `runningSums` bit-equal to the window running sum the same way;
+  *  - `quantiles` exactly equal to a shared-nothing DRIVER REPLAY (plain
+  *    sorted arrays + the (n-1)·q two-row interpolation, no engine code),
+  *    collected one group at a time so driver memory stays ~60 MB;
+  *  - an EVICTION phase: a second SparkContext with
+  *    spark.memory.fraction=0.05 (~tens of MB of storage for a multi-
+  *    hundred-MB pin) re-runs both rowNumber dispatches and runningSums,
+  *    asserting some pinned blocks actually went to DISK
+  *    (sc.getRDDStorageInfo) — the MEMORY_AND_DISK pin's disk path is the
+  *    one a 100 TB job lives on, and a pin that silently fell back to
+  *    recomputation would reintroduce the exact re-sampling bug.
+  *
+  * Values are a bijective odd-multiplier scramble of the row id — unique
+  * within every group, so ranks are tie-free and the equality is exact,
+  * while the range sampler sees pseudorandom order (the adversarial
+  * layout: every boundary sample matters).
+  */
+object PressureRank {
+
+  private val N = 10000000L
+  private val G = 16
+
+  private def data(spark: SparkSession): DataFrame =
+    spark.range(N).select(
+      col("id").as("rid"),
+      (col("id") % G).cast("int").as("g"),
+      // odd multiplier => bijection mod 2^64: unique values, random order
+      (col("id") * lit(6364136223846793005L) +
+        lit(1442695040888963407L)).as("v"))
+      .withColumn("w", pmod(col("v"), lit(1000L)))
+
+  private def timed[A](label: String)(f: => A): A = {
+    val t0 = System.nanoTime(); val r = f
+    println(f"  $label%-44s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+  }
+
+  /** Count of rows where the engine column differs from the window
+    * reference — computed distributedly, must be 0.
+    */
+  private def mismatches(eng: DataFrame, ref: DataFrame,
+      cols: Seq[String]): Long =
+    eng.select(col("rid") +: cols.map(c => col(c).as(s"e_$c")): _*)
+      .join(ref.select(col("rid") +: cols.map(c => col(c).as(s"r_$c")): _*),
+        "rid")
+      .filter(cols.map(c => col(s"e_$c") =!= col(s"r_$c")).reduce(_ || _))
+      .count()
+
+  private def checkRanks(spark: SparkSession, label: String): Unit = {
+    val df = data(spark)
+    val wRef = df.withColumn("rn_ref",
+      row_number().over(Window.partitionBy("g").orderBy("v")))
+      .select("rid", "rn_ref")
+    for (hint <- Seq(false, true)) {
+      val eng = timed(s"$label rowNumber(smallGroupsHint=$hint)") {
+        ParallelRank.rowNumber(df, Seq("g"), "v", rankCol = "rn",
+            smallGroupsHint = hint)
+          .select(col("rid"), col("rn").as("rn_ref"))
+      }
+      val bad = timed(s"$label   compare vs window reference") {
+        mismatches(eng, wRef, Seq("rn_ref"))
+      }
+      require(bad == 0L, s"$label rowNumber(hint=$hint): $bad rank mismatches")
+      println(s"  $label rowNumber(hint=$hint): EXACT over $N rows")
+      spark.catalog.clearCache()
+    }
+    val rsRef = df.withColumn("s_ref",
+      sum(col("w")).over(Window.partitionBy("g").orderBy("v")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("rid", "s_ref")
+    val rsEng = timed(s"$label runningSums") {
+      ParallelRank.runningSums(df, Seq("g"), "v", Seq("w"), Seq("s_ref"))
+        .select("rid", "s_ref")
+    }
+    val badRs = timed(s"$label   compare vs window reference") {
+      mismatches(rsEng, rsRef, Seq("s_ref"))
+    }
+    require(badRs == 0L, s"$label runningSums: $badRs mismatches")
+    println(s"  $label runningSums: EXACT over $N rows")
+    spark.catalog.clearCache()
+  }
+
+  def main(args: Array[String]): Unit = {
+    println(s"pressure-rank: $N rows, $G groups, unique scrambled values")
+
+    // ---- phase A: normal memory config -------------------------------
+    val sparkA = graft.core.GraftSession.local(cores = 16,
+      appName = "pressure-rank")
+    checkRanks(sparkA, "normal")
+
+    // quantiles vs driver replay (plain arrays, no engine code)
+    val qs = Seq("p01" -> 0.01, "p25" -> 0.25, "p50" -> 0.5,
+      "p75" -> 0.75, "p99" -> 0.99)
+    val engQ = timed("normal quantiles (5 bounds x 16 groups)") {
+      ParallelRank.quantiles(data(sparkA), Seq("g"), "v", qs)
+        .collect().map(r => r.getAs[Int]("g") ->
+          qs.map { case (n, _) => r.getAs[Double](n) }).toMap
+    }
+    val repQ = timed("driver replay (per-group collect + sort)") {
+      (0 until G).map { gi =>
+        val vs = data(sparkA).filter(col("g") === gi).select("v")
+          .collect().map(_.getLong(0))
+        java.util.Arrays.sort(vs)
+        gi -> qs.map { case (_, q) =>
+          val k = (vs.length - 1) * q
+          val lo = math.floor(k).toInt; val hi = math.ceil(k).toInt
+          val frac = k - lo
+          vs(lo) * (1.0 - frac) + vs(hi) * frac
+        }
+      }.toMap
+    }
+    require(engQ == repQ,
+      s"quantiles diverge:\n  engine $engQ\n  replay $repQ")
+    println(s"  quantiles: bit-identical to driver replay, $G groups x " +
+      s"${qs.size} bounds")
+    sparkA.stop()
+
+    // ---- phase B: forced eviction (tiny storage pool) -----------------
+    // 5% memory fraction: the pinned bucketed frame (~10M rows) cannot fit
+    // the store; MEMORY_AND_DISK must spill pinned blocks to disk, and
+    // correctness must ride the disk path, not recomputation
+    val sparkB = graft.core.GraftSession.configure(
+      SparkSession.builder().master("local[16]")
+        .appName("pressure-rank-evict")
+        .config("spark.memory.fraction", "0.05"),
+      shufflePartitions = 16).getOrCreate()
+    sparkB.sparkContext.setLogLevel("WARN")
+    // materialize one engine pass, then PROVE blocks hit disk
+    val probe = ParallelRank.rowNumber(data(sparkB), Seq("g"), "v",
+      rankCol = "rn")
+    timed("evict rowNumber materialize")(probe.count(): Unit)
+    val storage = sparkB.sparkContext.getRDDStorageInfo
+    val onDisk = storage.map(_.diskSize).sum
+    val inMem = storage.map(_.memSize).sum
+    println(s"  evict storage: ${storage.length} cached RDDs, " +
+      s"mem=${inMem / 1024 / 1024} MB disk=${onDisk / 1024 / 1024} MB")
+    require(onDisk > 0L,
+      "eviction phase kept every pinned block in memory — raise pressure")
+    sparkB.catalog.clearCache()
+    checkRanks(sparkB, "evict")
+    sparkB.stop()
+    println("  PRESSURE-RANK: all paths exact, eviction disk path exercised")
+  }
+}

@@ -35,7 +35,27 @@ object PressureTest {
       r
     }
 
-    val docs = graft.core.Tables(spark, sfDir).documents
+    // Outer source multiplication (round 11, VERDICT r10 #8 — ~10x the
+    // corpus): each copy applies a copy-specific global character
+    // translation to the text, so copies share essentially NO shingles
+    // (distinct sources, not bigger clusters — pair growth must stay
+    // linear in docs) while every copy's own near-dup variants below still
+    // cluster. SPARK_GRAFT_PRESSURE_COPIES=10 is the committed evidence
+    // run (~1.5M docs, ~76M pairs); default 1 preserves the original run.
+    val copies = sys.env.getOrElse("SPARK_GRAFT_PRESSURE_COPIES", "1").toInt
+    require(copies >= 1 && copies <= 10, s"copies=$copies out of range")
+    val rots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio",
+      "01234", "12340", "23401", "34012", "40123")
+    val baseDocs = graft.core.Tables(spark, sfDir).documents
+    val docs =
+      if (copies == 1) baseDocs
+      else baseDocs
+        .withColumn("cpy", explode(sequence(lit(0), lit(copies - 1))))
+        .select(($"doc_id" * 16 + $"cpy").as("doc_id"),
+          (1 until copies).foldLeft(when($"cpy" === 0, $"text")) {
+            (acc, i) => acc.when($"cpy" === i,
+              translate($"text", "aeiou", rots(i)))
+          }.as("text"))
     // Skewed replication: doc_id % 997 == 0 -> 1200 near-dup copies,
     // % 7 == 0 -> 90, else 18 (sized so the LSH pair graph clears the 2M
     // driver union-find budget on the CURRENT 5k-doc sf0.1 corpus — the
@@ -92,7 +112,10 @@ object PressureTest {
     // threshold, legitimately disconnecting its pair graph (observed: 2 of
     // 8.6k sources at ~100-char texts) — clustering must follow the
     // verified graph, not the amplification intent.
-    val allEdges = pairs.as[(Long, Long)].collect()
+    // toLocalIterator, NOT collect: at the 10x scale the edge list is ~76M
+    // tuples (~3.5 GB boxed) — streaming one partition at a time keeps the
+    // tool's driver footprint at the union-find map (O(vertices)), and
+    // union-find is order-independent so the check is unchanged
     val parent = new java.util.HashMap[java.lang.Long, java.lang.Long]()
     def find(x: Long): Long = {
       var r = x
@@ -101,9 +124,11 @@ object PressureTest {
       while (c != r) { val p = parent.getOrDefault(c, c); parent.put(c, r); c = p }
       r
     }
-    allEdges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    timed("union-find (streamed edges)") {
+      pairs.as[(Long, Long)].toLocalIterator().forEachRemaining { e =>
+        val (ra, rb) = (find(e._1), find(e._2))
+        if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+      }
     }
     val engine = labels.select($"id", $"comp").as[(Long, Long)].collect()
     val engineOfTruth = new java.util.HashMap[java.lang.Long, java.lang.Long]()
