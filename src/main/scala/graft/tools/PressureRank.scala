@@ -22,14 +22,16 @@ import graft.operators.ParallelRank
   *    sorted arrays + the (n-1)·q two-row interpolation, no engine code),
   *    collected one group at a time so driver memory stays ~60 MB;
   *  - an EVICTION phase: a second SparkContext with
-  *    spark.memory.fraction=0.05 (~tens of MB of storage for a multi-
-  *    hundred-MB pin) re-runs both rowNumber dispatches and runningSums,
-  *    asserting some pinned blocks actually went to DISK
+  *    spark.memory.fraction=0.02 + storageFraction=0 (no protected
+  *    storage — execution may evict every cached block) and a 3x dataset
+  *    (30M rows, ~330 MB columnar pin) re-runs both rowNumber dispatches
+  *    and runningSums under guaranteed storage displacement, asserting
+  *    some pinned blocks actually went to DISK
   *    (sc.getRDDStorageInfo) — the MEMORY_AND_DISK pin's disk path is the
   *    one a 100 TB job lives on, and a pin that silently fell back to
   *    recomputation would reintroduce the exact re-sampling bug.
   *
-  * Values are a bijective odd-multiplier scramble of the row id — unique
+  * Values are a bijective xorshift scramble of the row id — unique
   * within every group, so ranks are tie-free and the equality is exact,
   * while the range sampler sees pseudorandom order (the adversarial
   * layout: every boundary sample matters).
@@ -39,14 +41,18 @@ object PressureRank {
   private val N = 10000000L
   private val G = 16
 
-  private def data(spark: SparkSession): DataFrame =
-    spark.range(N).select(
+  private def data(spark: SparkSession, n: Long = N): DataFrame = {
+    // xorshift scramble: each step is invertible, so values are UNIQUE
+    // (tie-free ranks) while the range sampler sees pseudorandom order.
+    // Pure bit ops — no overflow, so ANSI mode (Spark 4 default) is happy.
+    val x1 = col("id").bitwiseXOR(shiftleft(col("id"), 21))
+    val v = x1.bitwiseXOR(shiftright(x1, 17))
+    spark.range(n).select(
       col("id").as("rid"),
       (col("id") % G).cast("int").as("g"),
-      // odd multiplier => bijection mod 2^64: unique values, random order
-      (col("id") * lit(6364136223846793005L) +
-        lit(1442695040888963407L)).as("v"))
+      v.as("v"))
       .withColumn("w", pmod(col("v"), lit(1000L)))
+  }
 
   private def timed[A](label: String)(f: => A): A = {
     val t0 = System.nanoTime(); val r = f
@@ -64,8 +70,9 @@ object PressureRank {
       .filter(cols.map(c => col(s"e_$c") =!= col(s"r_$c")).reduce(_ || _))
       .count()
 
-  private def checkRanks(spark: SparkSession, label: String): Unit = {
-    val df = data(spark)
+  private def checkRanks(spark: SparkSession, label: String,
+      n: Long = N): Unit = {
+    val df = data(spark, n)
     val wRef = df.withColumn("rn_ref",
       row_number().over(Window.partitionBy("g").orderBy("v")))
       .select("rid", "rn_ref")
@@ -79,7 +86,7 @@ object PressureRank {
         mismatches(eng, wRef, Seq("rn_ref"))
       }
       require(bad == 0L, s"$label rowNumber(hint=$hint): $bad rank mismatches")
-      println(s"  $label rowNumber(hint=$hint): EXACT over $N rows")
+      println(s"  $label rowNumber(hint=$hint): EXACT over $n rows")
       spark.catalog.clearCache()
     }
     val rsRef = df.withColumn("s_ref",
@@ -94,7 +101,7 @@ object PressureRank {
       mismatches(rsEng, rsRef, Seq("s_ref"))
     }
     require(badRs == 0L, s"$label runningSums: $badRs mismatches")
-    println(s"  $label runningSums: EXACT over $N rows")
+    println(s"  $label runningSums: EXACT over $n rows")
     spark.catalog.clearCache()
   }
 
@@ -133,18 +140,27 @@ object PressureRank {
       s"${qs.size} bounds")
     sparkA.stop()
 
-    // ---- phase B: forced eviction (tiny storage pool) -----------------
-    // 5% memory fraction: the pinned bucketed frame (~10M rows) cannot fit
-    // the store; MEMORY_AND_DISK must spill pinned blocks to disk, and
-    // correctness must ride the disk path, not recomputation
+    // ---- phase B: forced eviction (tiny storage pool, 3x data) --------
+    // 2% memory fraction (~235 MB unified on the 12g tool heap) with
+    // storageFraction=0 (NO protected storage region — with the default
+    // 50% region this starves execution of its minimum pages: measured
+    // UNABLE_TO_ACQUIRE_MEMORY at 16 tasks) against a 30M-row pin
+    // (~330 MB columnar > the whole pool): eviction is guaranteed,
+    // 4 cores so each task's execution share (pool/8 ~ 29 MB) clears the
+    // sorter/agg minimum pages 16-way concurrency could not,
+    // MEMORY_AND_DISK must land pinned blocks ON DISK, and correctness
+    // must ride the disk path, not recomputation (a silent recompute
+    // would re-sample the range boundaries: the exact round-10 bug).
+    val nEvict = 3 * N
     val sparkB = graft.core.GraftSession.configure(
-      SparkSession.builder().master("local[16]")
+      SparkSession.builder().master("local[4]")
         .appName("pressure-rank-evict")
-        .config("spark.memory.fraction", "0.05"),
+        .config("spark.memory.fraction", "0.02")
+        .config("spark.memory.storageFraction", "0"),
       shufflePartitions = 16).getOrCreate()
     sparkB.sparkContext.setLogLevel("WARN")
     // materialize one engine pass, then PROVE blocks hit disk
-    val probe = ParallelRank.rowNumber(data(sparkB), Seq("g"), "v",
+    val probe = ParallelRank.rowNumber(data(sparkB, nEvict), Seq("g"), "v",
       rankCol = "rn")
     timed("evict rowNumber materialize")(probe.count(): Unit)
     val storage = sparkB.sparkContext.getRDDStorageInfo
@@ -155,7 +171,7 @@ object PressureRank {
     require(onDisk > 0L,
       "eviction phase kept every pinned block in memory — raise pressure")
     sparkB.catalog.clearCache()
-    checkRanks(sparkB, "evict")
+    checkRanks(sparkB, "evict", nEvict)
     sparkB.stop()
     println("  PRESSURE-RANK: all paths exact, eviction disk path exercised")
   }
