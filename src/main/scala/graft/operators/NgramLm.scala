@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the classic
+  * perplexity-style quality filter of a pretraining-data pipeline (score
+  * every document by how predictable its token stream is under a model of
+  * the corpus itself; garbled/boilerplate/foreign text scores low and gets
+  * dropped or down-weighted). CCNet (Wenzek et al. 2020) popularized the
+  * shape with KenLM; this is the engine-native equivalent at bigram order,
+  * fully replayable by a SQL oracle.
+  *
+  * Model: add-one-smoothed bigram LM trained on the scored corpus —
+  * P(w2|w1) = (c(w1,w2) + 1) / (c(w1·) + V), with c(w1·) counted over
+  * bigram CONTEXTS (every token except a document's last) and V the
+  * distinct-token vocabulary size. Score = mean ln P over the document's
+  * bigrams.
+  *
+  * Plan shape (the 100 TB design): bigram extraction is a PURE PROJECTION
+  * — zip_with over two slices of the split-token array, no window, no
+  * per-document sort, so extraction stays inside the scan's codegen stage.
+  * Training is two map-side-combined aggregates over the exploded bigrams
+  * (vocabulary-sized results, shuffled on token keys — never collected);
+  * V is a one-row frame cross-joined in (broadcast of one long). Scoring
+  * re-joins the exploded bigrams against the two count tables on token
+  * keys — Catalyst broadcasts them when they fit, shuffle-joins when a
+  * web-scale vocabulary doesn't — then one groupBy(doc) mean. Nothing in
+  * the plan is bounded by corpus size except the shuffles on their
+  * natural keys. Train-on-sample / score-everything splits compose by
+  * passing a different `train` frame.
+  */
+object NgramLm {
+
+  /** (doc_id, w1, w2) exploded bigrams of `textCol`, split on spaces.
+    * Single-token and empty documents contribute nothing (and are absent
+    * from scores — matching the SQL oracle's semantics).
+    */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a: Column, b: Column) => struct(a.as("w1"), b.as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+  }
+
+  /** Per-document LM quality: (doc_id, n_bigrams, avg_logp float32).
+    * `train` defaults to the scored corpus (self-scoring, the CCNet
+    * bootstrap shape); pass a held-out/reference corpus to score against
+    * a fixed model instead.
+    */
+  def bigramScore(docs: DataFrame, idCol: String, textCol: String,
+      train: Option[DataFrame] = None): DataFrame = {
+    val scoreBg = bigrams(docs, idCol, textCol)
+    val trainDf = train.getOrElse(docs)
+    val trainBg =
+      if (train.isEmpty) scoreBg
+      else bigrams(trainDf, idCol, textCol)
+    val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = trainDf
+      .select(explode(split(col(textCol), " ")).as("x"))
+      .agg(countDistinct(col("x")).as("v"))
+    scoreBg
+      // unseen (w1,w2) or unseen w1 under a foreign model: add-one floor
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c12"), lit(0L)) + lit(1L)).cast("double") /
+          (coalesce(col("c1"), lit(0L)) + col("v")).cast("double")).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("lp")).cast("float").as("avg_logp"))
+  }
+}

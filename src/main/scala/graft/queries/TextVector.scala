@@ -560,6 +560,38 @@ object TextVector {
       .cachedOrdered($"doc_id")
   }
 
+  /** Bigram-LM quality scoring (round 11): the perplexity-style filter of
+    * a pretraining pipeline (CCNet's shape at bigram order) — train an
+    * add-one-smoothed bigram model ON the corpus, score every document by
+    * mean ln P(w2|w1). Bigram extraction is a pure projection (zip_with
+    * over two array slices — no window, no per-doc sort); training is two
+    * vocabulary-sized aggregates; scoring re-joins on token keys. Integer
+    * n_bigrams pins the extraction chain exactly; the float32-cast mean
+    * follows the suite's accumulated-value parity rule.
+    */
+  private val q172 = QueryDef.sql(
+    "bigram-LM quality score per document (add-one smoothing, self-trained)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM tok WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x) AS v
+      |  FROM (SELECT unnest(t) AS x FROM tok)),
+      |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+      |    avg(ln((c12.c12 + 1)::DOUBLE / (c1.c1 + (SELECT v FROM v))::DOUBLE))
+      |      AS lp
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1)
+      |SELECT doc_id, n_bigrams, CAST(lp AS REAL) AS avg_logp
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.NgramLm.bigramScore(
+        Tables(s, dir).documentsFanned, "doc_id", "text")
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -575,6 +607,7 @@ object TextVector {
     "q35_cosine_pairs" -> q35,
     "q37_decontamination" -> q37,
     "q43_ivf_ann" -> q43,
-    "q64_embedding_dedup_survivors" -> q64
+    "q64_embedding_dedup_survivors" -> q64,
+    "q172_bigram_lm_quality" -> q172
   )
 }

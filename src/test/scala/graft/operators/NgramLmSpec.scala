@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** NgramLm unit coverage beyond the q172 oracle gate (which pins the
+  * self-trained path bit-for-bit at 3 SFs): hand-checked bigram math on a
+  * tiny corpus, degenerate documents, and the held-out-model path where
+  * unseen contexts must hit the add-one floor instead of dividing by null.
+  */
+class NgramLmSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("bigram extraction: pure projection, correct pairs, degenerate docs") {
+    import spark.implicits._
+    val bg = NgramLm.bigrams(
+      docs(0L -> "a b c", 1L -> "x", 2L -> "", 3L -> "a a"),
+      "doc_id", "text")
+      .as[(Long, String, String)].collect().toSet
+    // single-token and empty docs contribute nothing; repeats kept
+    assert(bg == Set((0L, "a", "b"), (0L, "b", "c"), (3L, "a", "a")))
+  }
+
+  test("self-trained score matches the hand computation") {
+    import spark.implicits._
+    // corpus: "a b" x2, "a c" -> contexts c(a.)=3; c12: (a,b)=2, (a,c)=1
+    // V = 3 (a, b, c). P(b|a) = (2+1)/(3+3) = 1/2; P(c|a) = (1+1)/6 = 1/3
+    val got = NgramLm.bigramScore(
+      docs(0L -> "a b", 1L -> "a b", 2L -> "a c"), "doc_id", "text")
+      .orderBy($"doc_id")
+      .as[(Long, Long, Float)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 1L, 1L))
+    assert(math.abs(got(0)._3 - math.log(0.5)) < 1e-6)
+    assert(math.abs(got(2)._3 - math.log(1.0 / 3.0)) < 1e-6)
+  }
+
+  test("held-out model: unseen bigrams and contexts hit the add-one floor") {
+    import spark.implicits._
+    val train = docs(0L -> "a b", 1L -> "a b", 2L -> "a c")
+    // "a b": seen (P=1/2). "z q": context z unseen -> (0+1)/(0+V) = 1/3.
+    // "a z": seen context, unseen bigram -> (0+1)/(3+3) = 1/6.
+    val got = NgramLm.bigramScore(
+      docs(10L -> "a b", 11L -> "z q", 12L -> "a z"), "doc_id", "text",
+      train = Some(train))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Float)].collect().toSeq
+    assert(math.abs(got(0)._3 - math.log(0.5)) < 1e-6)
+    assert(math.abs(got(1)._3 - math.log(1.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(2)._3 - math.log(1.0 / 6.0)) < 1e-6)
+  }
+
+  test("plan: bigram extraction carries no window and no per-doc sort") {
+    val p = NgramLm.bigramScore(
+      graft.core.Tables(spark, sf()).documents, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "bigram extraction regressed to a window")
+  }
+}
