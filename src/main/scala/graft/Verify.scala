@@ -34,8 +34,20 @@ object Verify {
     // SPARK_GRAFT_KILL_AFTER=<n>: hard-halt one executor process after the
     // n-th query (sorted order) — executor-loss recovery mid-suite.
     val killAfter = sys.env.get("SPARK_GRAFT_KILL_AFTER").map(_.toInt)
+    // Conf overlay (same contract as Bench's): the third fault mode —
+    // aggressive SPECULATION (duplicate attempts racing every slow task,
+    // exactly-once result/commit semantics under the gate) runs as
+    // SPARK_GRAFT_CONF="spark.speculation=true;...". Generic on purpose.
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        builder.config(k, v)
+      })
     val spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // INFO opt-in so fault-mode evidence runs can PROVE the fault fired
+    // (e.g. TaskSetManager's "speculatable" lines) — default stays WARN
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "WARN"))
     new java.io.File(outDir).mkdirs()
     // Local-iteration subset (same contract as Bench): the driver never
     // sets it, so the gate always dumps every query.
