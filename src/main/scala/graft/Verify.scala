@@ -52,6 +52,13 @@ object Verify {
     // Local-iteration subset (same contract as Bench): the driver never
     // sets it, so the gate always dumps every query.
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SPARK_GRAFT_KILL_DURING=<query>:<delayMs>: destroy an executor
+    // PROCESS (out-of-band, ProcessHandle) that many ms into the named
+    // query — mid-job executor loss with in-flight tasks and live shuffle
+    // blocks, the strongest re-execution probe.
+    val killDuring = sys.env.get("SPARK_GRAFT_KILL_DURING").map { v =>
+      val Array(q, ms) = v.split(":", 2); (q, ms.toLong)
+    }
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
@@ -59,6 +66,15 @@ object Verify {
       if (killAfter.contains(idx)) {
         System.err.println(s"[fault] executor kill before query #$idx ($name)")
         graft.fault.FaultInjection.killOneExecutor(spark): Unit
+      }
+      killDuring.filter(_._1 == name).foreach { case (_, delayMs) =>
+        val t = new Thread(() => {
+          Thread.sleep(delayMs)
+          System.err.println(s"[fault] mid-query kill: $name at ${delayMs}ms")
+          graft.fault.FaultInjection.killExecutorProcess(): Unit
+        }, "fault-kill-during")
+        t.setDaemon(true)
+        t.start()
       }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

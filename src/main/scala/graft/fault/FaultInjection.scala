@@ -55,6 +55,34 @@ object FaultInjection {
     if (!enabled(ds.sparkSession, scope)) ds
     else ds.filter(Bridge.column(FaultOnce(scope)))
 
+  /** Out-of-band executor kill: destroy one CoarseGrainedExecutorBackend
+    * JVM directly through ProcessHandle — no Spark job involved, so the
+    * kill lands MID-QUERY at an exact wall-clock offset regardless of
+    * scheduler state (the in-band `killOneExecutor` needs free task slots,
+    * which a running query may be holding). Picks the lowest-pid executor
+    * process. Returns the killed pid, None when no executor process
+    * exists (single-JVM masters).
+    *
+    * TEST HARNESS ONLY: invoked by `graft.Verify` under
+    * SPARK_GRAFT_KILL_DURING — never from any operator or query.
+    */
+  def killExecutorProcess(): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val victims = ProcessHandle.allProcesses().iterator().asScala
+      .filter(_.info().commandLine().map[Boolean](
+        _.contains("CoarseGrainedExecutorBackend")).orElse(false))
+      .toSeq.sortBy(_.pid())
+    victims.headOption.map { p =>
+      System.err.println(s"[fault] destroying executor process pid=${p.pid()}" +
+        s" (of ${victims.map(_.pid()).mkString(",")})")
+      p.destroyForcibly()
+      p.pid()
+    }.orElse {
+      System.err.println("[fault] no executor processes found — kill skipped")
+      None
+    }
+  }
+
   /** Hard-kill one executor process (lowest executor id observed task-side)
     * by halting its JVM from inside a task — skipping shutdown hooks, so
     * nothing gets flushed or committed on the way down. Tasks running on
