@@ -77,4 +77,49 @@ object NgramLm {
       .agg(count(lit(1)).as("n_bigrams"),
         avg(col("lp")).cast("float").as("avg_logp"))
   }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): log w(doc) = mean
+    * ln P_target − mean ln P_raw per bigram, where P_target is trained on
+    * the target-domain subset (`isTargetId` over the id column) and P_raw
+    * on the whole corpus. Resampling the corpus by exp(lw) shifts it
+    * toward the target domain — the standard curation move for domain-
+    * matching pretraining data.
+    *
+    * One bigram extraction is shared by the raw counts, the target counts
+    * (a filter of the same frame) and the scoring join, so the corpus is
+    * tokenized exactly once; the four count tables join on token keys and
+    * the two vocabulary sizes ride in as broadcast one-row frames. Target
+    * counts join LEFT: bigrams/contexts unseen in the target hit the
+    * add-one floor. Returns (doc_id, n_bigrams, log_w float32).
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTargetId: Column => Column): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val tBg = bg.filter(isTargetId(col("doc_id")))
+    val c12r = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12r"))
+    val c1r = bg.groupBy("w1").agg(count(lit(1)).as("c1r"))
+    val c12t = tBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+    val c1t = tBg.groupBy("w1").agg(count(lit(1)).as("c1t"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("x"))
+    val vr = toks.agg(countDistinct(col("x")).as("vr"))
+    val vt = toks.filter(isTargetId(col("doc_id")))
+      .agg(countDistinct(col("x")).as("vt"))
+    def lp(c12: Column, c1: Column, v: Column): Column =
+      log((coalesce(c12, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(c1, lit(0L)) + v).cast("double"))
+    bg.join(c12r, Seq("w1", "w2"))
+      .join(c1r, Seq("w1"))
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vr))
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"),
+        (lp(col("c12t"), col("c1t"), col("vt")) -
+          lp(col("c12r"), col("c1r"), col("vr"))).as("dlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("dlp")).cast("float").as("log_w"))
+  }
 }

@@ -592,6 +592,46 @@ object TextVector {
       .cachedOrdered($"doc_id")
   }
 
+  /** DSIR importance weights (round 11): log w = mean ln P_target − mean
+    * ln P_raw per document, target domain = doc_id % 7 == 0 — resampling
+    * by exp(log_w) shifts the corpus toward the target domain (Xie et al.
+    * 2023). Composes NgramLm's held-out-model path (target counts join
+    * LEFT; unseen bigrams/contexts hit the add-one floor) under the
+    * oracle gate, one shared bigram extraction for all four count tables.
+    */
+  private val q173 = QueryDef.sql(
+    "DSIR importance weight per document: target-domain vs corpus bigram LM")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM tok WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+      |tbg AS (SELECT * FROM bg WHERE doc_id % 7 = 0),
+      |c12r AS (SELECT w1, w2, count(*) AS c12r FROM bg GROUP BY 1, 2),
+      |c1r AS (SELECT w1, count(*) AS c1r FROM bg GROUP BY 1),
+      |c12t AS (SELECT w1, w2, count(*) AS c12t FROM tbg GROUP BY 1, 2),
+      |c1t AS (SELECT w1, count(*) AS c1t FROM tbg GROUP BY 1),
+      |vr AS (SELECT count(DISTINCT x) AS vr
+      |  FROM (SELECT unnest(t) AS x FROM tok)),
+      |vt AS (SELECT count(DISTINCT x) AS vt
+      |  FROM (SELECT unnest(t) AS x FROM tok WHERE doc_id % 7 = 0)),
+      |sc AS (SELECT bg.doc_id, count(*) AS n_bigrams,
+      |    avg(ln((coalesce(c12t.c12t, 0) + 1)::DOUBLE
+      |          / (coalesce(c1t.c1t, 0) + (SELECT vt FROM vt))::DOUBLE)
+      |      - ln((c12r.c12r + 1)::DOUBLE
+      |          / (c1r.c1r + (SELECT vr FROM vr))::DOUBLE)) AS lw
+      |  FROM bg JOIN c12r USING (w1, w2) JOIN c1r USING (w1)
+      |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams, CAST(lw AS REAL) AS log_w
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    graft.operators.NgramLm.dsirWeights(
+        Tables(s, dir).documentsFanned, "doc_id", "text",
+        id => pmod(id, lit(7L)) === 0)
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -608,6 +648,7 @@ object TextVector {
     "q37_decontamination" -> q37,
     "q43_ivf_ann" -> q43,
     "q64_embedding_dedup_survivors" -> q64,
-    "q172_bigram_lm_quality" -> q172
+    "q172_bigram_lm_quality" -> q172,
+    "q173_dsir_importance" -> q173
   )
 }

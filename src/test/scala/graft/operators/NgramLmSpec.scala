@@ -52,6 +52,26 @@ class NgramLmSpec extends SparkSpec {
     assert(math.abs(got(2)._3 - math.log(1.0 / 6.0)) < 1e-6)
   }
 
+  test("DSIR weights: target-domain docs weigh above off-domain docs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    // two disjoint dialects, uniform within each (rare one-off bigrams
+    // would hit add-one's unseen floor, which with a tiny target vocab
+    // is HIGHER than a rare raw probability — a real smoothing artifact,
+    // not a separation failure); target = even ids (the a/b dialect)
+    val corpus = docs(
+      0L -> "a b a b a b", 2L -> "a b a b a b", 4L -> "b a b a b a",
+      1L -> "x y x y x y", 3L -> "x y x y x y", 5L -> "y x y x y x")
+    val w = graft.operators.NgramLm.dsirWeights(corpus, "doc_id", "text",
+        id => pmod(id, lit(2L)) === 0)
+      .as[(Long, Long, Float)].collect().map(r => r._1 -> r._3).toMap
+    val target = Seq(0L, 2L, 4L).map(w); val off = Seq(1L, 3L, 5L).map(w)
+    assert(target.min > off.max,
+      s"importance weights do not separate domains: $w")
+    // resampling by exp(log_w) must upweight the target dialect
+    assert(target.forall(_ > 0f) && off.forall(_ < 0f), w.toString)
+  }
+
   test("plan: bigram extraction carries no window and no per-doc sort") {
     val p = NgramLm.bigramScore(
       graft.core.Tables(spark, sf()).documents, "doc_id", "text")
