@@ -237,14 +237,28 @@ object Bench {
         Map.empty[String, Double]
       }
     }.getOrElse(Map.empty)
+    // a silently-empty parse (format drift in the diag line) must be
+    // VISIBLE: it disables the self-regression trigger with no other signal
+    priorRef.foreach { path =>
+      if (priorWalls.isEmpty)
+        System.err.println(s"BENCH prior-walls WARNING: 0 walls parsed from " +
+          s"$path — self-regression rebench trigger is DISABLED this run")
+      else
+        System.err.println(s"BENCH prior-walls: ${priorWalls.size} entries " +
+          s"parsed from $path")
+    }
+    // two tiers (round 12, VERDICT r11 #6): >=4x for anything measurable,
+    // plus >=2x for queries whose committed prior exceeds 0.3 s — the 4x
+    // floor let genuine 0.4->0.7 s drift ride through unadjudicated
     def selfRegressed(name: String, wall: Double): Boolean =
-      priorWalls.get(name).exists(p => p > 0 && wall >= 4 * p && wall > 0.2)
+      priorWalls.get(name).exists(p =>
+        (p > 0 && wall >= 4 * p && wall > 0.2) || (p > 0.3 && wall >= 2 * p))
     val rebenched = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = firstPass.map {
       case r @ (name, wall, _, _)
           if wall > suspectThresh || selfRegressed(name, wall) =>
         val why = if (wall > suspectThresh) f"> thresh=$suspectThresh%.2f"
-          else f">= 4x prior=${priorWalls(name)}%.2f"
+          else f">= self-trigger vs prior=${priorWalls(name)}%.2f"
         System.err.println(
           f"BENCH REMEASURE $name first-pass wall=$wall%.2f $why")
         val fresh = measure(name, selected.toMap.apply(name))

@@ -59,6 +59,10 @@ object Verify {
     val killDuring = sys.env.get("SPARK_GRAFT_KILL_DURING").map { v =>
       val Array(q, ms) = v.split(":", 2); (q, ms.toLong)
     }
+    // which query is running RIGHT NOW, for the kill thread's attribution:
+    // the fire-and-forget timer used to outlive a fast target query and
+    // land (unlogged) in a later one, mislabeling the committed evidence
+    @volatile var current: String = ""
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .zipWithIndex
@@ -67,20 +71,42 @@ object Verify {
         System.err.println(s"[fault] executor kill before query #$idx ($name)")
         graft.fault.FaultInjection.killOneExecutor(spark): Unit
       }
-      killDuring.filter(_._1 == name).foreach { case (_, delayMs) =>
+      val killer = killDuring.filter(_._1 == name).map { case (_, delayMs) =>
         val t = new Thread(() => {
-          Thread.sleep(delayMs)
-          System.err.println(s"[fault] mid-query kill: $name at ${delayMs}ms")
-          graft.fault.FaultInjection.killExecutorProcess(): Unit
+          try {
+            Thread.sleep(delayMs)
+            // log the query ACTUALLY running when the kill lands — if the
+            // target finished early this prints the mismatch instead of
+            // silently mislabeling the run
+            System.err.println(s"[fault] mid-query kill firing at ${delayMs}ms:" +
+              s" scheduled=$name running=$current")
+            graft.fault.FaultInjection.killExecutorProcess(): Unit
+          } catch { case _: InterruptedException =>
+            System.err.println(s"[fault] kill-during canceled: $name " +
+              s"finished before the ${delayMs}ms delay — no kill fired")
+          }
         }, "fault-kill-during")
         t.setDaemon(true)
         t.start()
+        t
       }
+      current = name
+      val t0 = System.nanoTime()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      killer.foreach { t =>
+        if (t.isAlive) t.interrupt()
+        else System.err.println(f"[fault] kill window: $name ran " +
+          f"${(System.nanoTime() - t0) / 1e3}%.0fus and the kill fired inside it")
+      }
+      // release per-query pinned frames (ParallelRank's bucketed exchanges
+      // persist MEMORY_AND_DISK): over 173 queries the pins would otherwise
+      // accumulate until ContextCleaner GC — same discipline as Bench's
+      // per-rep clearCache
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

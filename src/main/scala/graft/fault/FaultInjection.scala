@@ -32,6 +32,20 @@ import org.apache.spark.sql.graft.{Bridge, FaultOnce}
   *              localCheckpoint materialization
   *  - `stream`— the q130 SCD2 gate's event stream (per-micro-batch task
   *              retry against live state stores)
+  *
+  * Round 12 (VERDICT r11 #2/#5) widens to the three surfaces retry had not
+  * crossed:
+  *
+  *  - `window`— above the Temporal/Features frame computations, so the
+  *              retried task re-executes the window sort + frame evaluation
+  *              and re-fetches the window exchange's shuffle blocks
+  *  - `agg`   — inside `KllSketchAgg.merge` (FaultOnce.maybeFail): retry
+  *              through deserialized PARTIAL aggregation buffers, a
+  *              different re-execution path than any rescanned input
+  *  - `sink`  — DRIVER-side, between IdempotentSink's batch write and its
+  *              commit marker (the dangerous half of exactly-once): the
+  *              replay must find the torn directory and rewrite it, never
+  *              duplicate it
   */
 object FaultInjection {
 
@@ -55,6 +69,23 @@ object FaultInjection {
     if (!enabled(ds.sparkSession, scope)) ds
     else ds.filter(Bridge.column(FaultOnce(scope)))
 
+  /** Driver-side once-per-key failure (the `sink` scope): throws
+    * [[FaultOnce.InjectedCommitFailure]] the FIRST time a (scope, key) pair
+    * is seen with the scope enabled — subsequent calls (the replay of the
+    * same batch after restart) pass. Keyed per batch directory so a
+    * multi-batch stream crashes once per batch, exercising the replay path
+    * at every commit boundary, not just the first.
+    */
+  private val driverFired =
+    scala.collection.concurrent.TrieMap[(String, String), Unit]()
+
+  def driverFailOnce(spark: SparkSession, scope: String, key: String): Unit =
+    if (enabled(spark, scope) &&
+        driverFired.putIfAbsent((scope, key), ()).isEmpty) {
+      System.err.println(s"[fault] injected commit failure scope=$scope key=$key")
+      throw new FaultOnce.InjectedCommitFailure(scope, key)
+    }
+
   /** Out-of-band executor kill: destroy one CoarseGrainedExecutorBackend
     * JVM directly through ProcessHandle — no Spark job involved, so the
     * kill lands MID-QUERY at an exact wall-clock offset regardless of
@@ -68,7 +99,10 @@ object FaultInjection {
     */
   def killExecutorProcess(): Option[Long] = {
     import scala.jdk.CollectionConverters._
-    val victims = ProcessHandle.allProcesses().iterator().asScala
+    // victims restricted to DESCENDANTS of this JVM: a machine-wide scan
+    // could destroy an executor of an unrelated concurrently-running Spark
+    // app (a parallel `sbt test` fork, a simultaneous bench)
+    val victims = ProcessHandle.current().descendants().iterator().asScala
       .filter(_.info().commandLine().map[Boolean](
         _.contains("CoarseGrainedExecutorBackend")).orElse(false))
       .toSeq.sortBy(_.pid())

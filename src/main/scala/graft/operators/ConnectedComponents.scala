@@ -46,18 +46,24 @@ object ConnectedComponents extends Logging {
     */
   def assign(edges: DataFrame, maxIters: Int = 50,
       driverEdgeBudget: Long = 2000000L): DataFrame = {
+    // session-conf override of the dispatch budget: deployments size it to
+    // their driver heap, and the fault gate pins it to 0 so the DISTRIBUTED
+    // label rounds (the `cc` probe's surface) run even on gate-sized graphs
+    val budget = edges.sparkSession.conf
+      .getOption("spark.graft.cc.driverEdgeBudget").map(_.toLong)
+      .getOrElse(driverEdgeBudget)
     val e = edges
       .select(col("da").cast("long").as("da"), col("db").cast("long").as("db"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = e.count()
     val out =
-      if (nEdges <= driverEdgeBudget) {
+      if (nEdges <= budget) {
         logInfo(s"ConnectedComponents: $nEdges edges <= budget " +
-          s"$driverEdgeBudget, driver union-find path")
+          s"$budget, driver union-find path")
         driverAssign(e)
       } else {
         logInfo(s"ConnectedComponents: $nEdges edges > budget " +
-          s"$driverEdgeBudget, distributed label-propagation path")
+          s"$budget, distributed label-propagation path")
         distributedAssign(e, maxIters)
       }
     e.unpersist()

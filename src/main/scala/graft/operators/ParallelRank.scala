@@ -224,6 +224,10 @@ object ParallelRank {
     // only meaningful against the exact row->pid assignment they were
     // computed from — an uncached exchange can re-sample its boundaries per
     // plan (rdd.id seeds the sampler) and silently pick the wrong rows.
+    // The pin must outlive the RETURNED plan (both branches re-read it when
+    // the caller materializes), so it cannot be unpersisted here; release
+    // is the caller's catalog.clearCache() — Bench clears per rep, Verify
+    // per query — with ContextCleaner GC as the long-lived-session backstop.
     val b = bucketed(df, groupCols, valueCol, descending = false)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cellCnt = partitionTotals(b, groupCols, Seq(lit(1L)))

@@ -114,10 +114,13 @@ object Analytics {
       .agg(count(lit(1)).as("n"))
     val w = Window.partitionBy($"event_type").orderBy($"day")
     val w7 = w.rowsBetween(-6, 0)
-    daily.select($"event_type", $"day", $"n",
+    // fault-gate probe ABOVE the frames (`window` scope): the retried task
+    // re-fetches the window exchange and re-runs sort + frame evaluation
+    graft.fault.FaultInjection.probe(
+      daily.select($"event_type", $"day", $"n",
         sum($"n").over(w7).as("roll7_sum"),
         avg($"n").over(w7).as("roll7_avg"),
-        ($"n" - lag($"n", 1).over(w)).as("dod_delta"))
+        ($"n" - lag($"n", 1).over(w)).as("dod_delta")), "window")
       .smallOrdered($"event_type", $"day")
   }
 

@@ -494,7 +494,9 @@ object AnnAudit {
     * scale this memo is a stand-in for the index TABLE the enc frame
     * would be written to — the consumption plan (broadcast probe join
     * against a scan of stored codes) is identical either way. q171 always
-    * re-times the build and refreshes both memos; q157 consumes them.
+    * re-times the build and refreshes the INDEX memo; the ground-truth memo
+    * is fingerprint-keyed and lazily built by q157's first run on a corpus
+    * (safe: a corpus change changes the key, never staling the entry).
     */
   private val indexMemo = scala.collection.concurrent.TrieMap[
     (String, Long),

@@ -200,9 +200,153 @@ object Delivery {
     }
   }
 
+  /** LLM-curation flagship (round 12, VERDICT r11 #3): the actual shape a
+    * training-data run executes, chained through every already-gated link
+    * as ONE oracle-replayed query — corpus-scale near-dup dedup (q61's
+    * pairs → components → survivors), a self-trained bigram-LM quality
+    * filter over the deduped corpus (q172's operator, threshold −3.40 on
+    * the float32 score — bit-equal across engines, so the cut is exact),
+    * benchmark decontamination against eval docs 0–19 (q37's containment,
+    * any hit drops the doc), DSIR importance weights trained on the same
+    * deduped corpus with a per-source top-40 quota by log_w (q173's
+    * operator + q52's quota — the deterministic analog of importance
+    * resampling), next-fit packing into 2000-char bins (q139) and the
+    * 4-shard integrity manifest (q136/q141's portable hash). Every
+    * corpus-scale stage runs at corpus scale; only the post-quota tail is
+    * bounded. The survivor frame is pinned once and feeds the LM trainer,
+    * the DSIR trainer and the decontamination probe — the operator-
+    * boundary materialization a per-query gate never exercises. Wall
+    * budget: ≤ the sum of its parts (q61+q172+q173+q37+q139+q136).
+    */
+  private val q174 = QueryDef.sql(
+    "curation flagship: dedup -> LM quality -> decontaminate -> DSIR quota -> pack -> shard")(
+    s"""${Curation.clusterCtes},
+       |surv AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
+       |  LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
+       |  WHERE c.id IS NULL),
+       |stok AS (SELECT tok.doc_id, tok.t FROM tok
+       |  JOIN surv ON tok.doc_id = surv.doc_id),
+       |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+       |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+       |  FROM stok WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+       |v AS (SELECT count(DISTINCT x) AS v
+       |  FROM (SELECT unnest(t) AS x FROM stok)),
+       |sc AS (SELECT bg.doc_id,
+       |    CAST(avg(ln((c12.c12 + 1)::DOUBLE
+       |      / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS avg_logp
+       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+       |q AS (SELECT surv.doc_id, surv.source, surv.n_chars
+       |  FROM surv JOIN sc ON surv.doc_id = sc.doc_id
+       |  WHERE sc.avg_logp >= CAST(-3.40 AS REAL) AND surv.doc_id >= 20),
+       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+       |qsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN q ON sh.doc_id = q.doc_id),
+       |hits AS (SELECT qsh.doc_id, count(b.s) AS n_hits
+       |  FROM qsh LEFT JOIN bench b ON qsh.s = b.s GROUP BY 1),
+       |clean AS (SELECT q.doc_id, q.source, q.n_chars
+       |  FROM q JOIN hits ON q.doc_id = hits.doc_id WHERE hits.n_hits = 0),
+       |tbg AS (SELECT * FROM bg WHERE doc_id % 7 = 0),
+       |c12t AS (SELECT w1, w2, count(*) AS c12t FROM tbg GROUP BY 1, 2),
+       |c1t AS (SELECT w1, count(*) AS c1t FROM tbg GROUP BY 1),
+       |vt AS (SELECT count(DISTINCT x) AS vt
+       |  FROM (SELECT unnest(t) AS x FROM stok WHERE doc_id % 7 = 0)),
+       |dw AS (SELECT bg.doc_id,
+       |    CAST(avg(ln((coalesce(c12t.c12t, 0) + 1)::DOUBLE
+       |          / (coalesce(c1t.c1t, 0) + (SELECT vt FROM vt))::DOUBLE)
+       |      - ln((c12.c12 + 1)::DOUBLE
+       |          / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS log_w
+       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+       |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
+       |  GROUP BY 1),
+       |sel AS (SELECT clean.source, clean.doc_id, clean.n_chars,
+       |    row_number() OVER (PARTITION BY clean.source
+       |      ORDER BY dw.log_w DESC, clean.doc_id) AS rk
+       |  FROM clean JOIN dw ON clean.doc_id = dw.doc_id),
+       |kd AS (SELECT source, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+       |  FROM sel WHERE rk <= 40),
+       |pk AS (
+       |  SELECT source, doc_id, n_chars, rn,
+       |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
+       |  FROM kd WHERE rn = 1
+       |  UNION ALL
+       |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
+       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+       |         THEN p.bin + 1 ELSE p.bin END,
+       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+       |         THEN k.n_chars::BIGINT ELSE p.used + k.n_chars END
+       |  FROM pk p JOIN kd k ON k.source = p.source AND k.rn = p.rn + 1),
+       |hb AS (SELECT source, bin, doc_id, n_chars,
+       |    cast(list_sum(list_transform(range(1, 16), i ->
+       |      (strpos('0123456789abcdef',
+       |         substring(md5(source || ':' || CAST(bin AS VARCHAR)), i, 1)) - 1)::BIGINT
+       |        << (4 * (15 - i)))) AS BIGINT) % 4 AS shard,
+       |    cast(list_sum(list_transform(range(1, 16), i ->
+       |      (strpos('0123456789abcdef',
+       |         substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+       |        << (4 * (15 - i)))) AS BIGINT) AS hd
+       |  FROM pk)
+       |SELECT CAST(shard AS INT) AS shard,
+       |  count(DISTINCT source || ':' || CAST(bin AS VARCHAR)) AS n_bins,
+       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+       |  sum(hd & 1073741823)::BIGINT AS checksum
+       |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    import graft.operators.{ConnectedComponents, Decontamination, Dedup,
+      NgramLm, Sampling, SequencePacking, Sharding}
+    val t = Tables(s, dir)
+    val docs = t.documents.select($"doc_id", $"source", $"text", $"n_chars")
+    // 1. corpus-scale near-dup dedup (q61's chain)
+    val pairs = Dedup.minHashNearDups(t.documentsFanned, "doc_id", "text",
+        n = 3, minJaccard = 0.9)
+      .select($"da", $"db")
+    // pinned: the survivor corpus feeds the LM trainer (twice — raw and
+    // target models), the DSIR scorer and the decontamination probe;
+    // released by the harness's per-query clearCache (ParallelRank's
+    // discipline)
+    val surv = docs.join(ConnectedComponents.nonSurvivors(pairs)
+        .withColumnRenamed("id", "doc_id"),
+      Seq("doc_id"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // 2. self-trained bigram-LM quality filter on the deduped corpus
+    val scores = NgramLm.bigramScore(t.fanOut(surv), "doc_id", "text")
+    val qual = surv
+      .join(scores.filter($"avg_logp" >= lit(-3.40f)).select($"doc_id"),
+        Seq("doc_id"))
+      .filter($"doc_id" >= 20)
+    // 3. benchmark decontamination vs eval docs 0-19: any 3-gram hit drops
+    val report = Decontamination.report(qual, docs.filter($"doc_id" < 20),
+      "doc_id", "text", "text", n = 3, minHits = 1L)
+    val clean = qual.join(
+      report.filter(!$"contaminated").select($"doc_id"), Seq("doc_id"))
+    // 4. DSIR weights (target = doc_id % 7 == 0), per-source top-40 quota
+    val dw = NgramLm.dsirWeights(t.fanOut(surv), "doc_id", "text",
+      id => pmod(id, lit(7L)) === 0)
+    val sel = Sampling.qualityQuota(
+      clean.join(dw.select($"doc_id", $"log_w"), Seq("doc_id")),
+      Seq("source"), "log_w", "doc_id", quota = 40)
+    // 5. deterministic next-fit packing per source (q139)
+    val packed = SequencePacking.packGroupsSequential(
+      sel.select($"source", $"doc_id", $"n_chars"),
+      "source", "doc_id", "n_chars", budget = 2000L)
+    // 6. 4-shard delivery manifest with integrity checksums (q136/q141)
+    val keyed = packed.withColumn("bin_key", concat_ws(":", $"source", $"bin"))
+    Sharding.assign(keyed, "bin_key", n = 4)
+      .groupBy($"shard")
+      .agg(countDistinct($"bin_key").as("n_bins"),
+        count(lit(1)).as("n_docs"),
+        sum($"n_chars").as("chars"),
+        sum(Dedup.tokenHash60($"doc_id".cast("string"))
+          .bitwiseAND(lit((1L << 30) - 1))).as("checksum"))
+      .smallOrdered($"shard")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q136_shard_manifest" -> q136,
     "q139_source_packing" -> q139,
-    "q141_delivery_chain" -> q141
+    "q141_delivery_chain" -> q141,
+    "q174_curation_flagship" -> q174
   )
 }

@@ -52,9 +52,15 @@ object Stats {
   /** Exact OLS of price-cents on quantity per supplier nation: one
     * map-side-combined aggregate produces the five sufficient statistics
     * and the slope as an exact integer (num, den) pair — no doubles, no
-    * second pass. Long headroom: n·Σxy stays under 2^63 up to ~10^7 rows
-    * per group at these value ranges; beyond that the sums widen to
-    * DECIMAL(38,0) (same formula).
+    * second pass. Long headroom: the SUMS (Σxy ≈ rows·x·y) stay under 2^63
+    * past 10^10 rows at these value ranges, but the slope cross-terms
+    * (n·Σxy ≈ rows²·x·y) blow the long ceiling near 10^6 rows/group —
+    * found empirically by the sf1 gate (round 12), exactly as this
+    * scaladoc predicted. The cross-terms therefore widen to DECIMAL(38,0)
+    * (headroom past 10^15 rows/group) and travel as STRINGS: both engines
+    * render scale-0 integers identically, so the gate stays a hash
+    * compare, while DuckDB→pandas would collapse DECIMAL/HUGEINT columns
+    * to lossy float64.
     */
   private val q99 = QueryDef.sql(
     "exact per-nation OLS of price on quantity (integer sufficient stats)")(
@@ -67,11 +73,13 @@ object Stats {
       |         sum(x*y)::BIGINT AS sxy, sum(x*x)::BIGINT AS sxx
       |  FROM pts GROUP BY nk)
       |SELECT n_name AS nation, n, sx, sy, sxy, sxx,
-      |       n*sxy - sx*sy AS slope_num, n*sxx - sx*sx AS slope_den
+      |       (n::HUGEINT*sxy - sx::HUGEINT*sy)::VARCHAR AS slope_num,
+      |       (n::HUGEINT*sxx - sx::HUGEINT*sx)::VARCHAR AS slope_den
       |FROM a JOIN nation ON n_nationkey = nk
       |ORDER BY nation""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)
+    val dec = "decimal(38,0)"
     t.lineitem
       .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
       .select($"s_nationkey".as("nk"),
@@ -82,8 +90,10 @@ object Stats {
         sum($"x" * $"y").as("sxy"), sum($"x" * $"x").as("sxx"))
       .join(broadcast(t.nation), $"n_nationkey" === $"nk")
       .select($"n_name".as("nation"), $"n", $"sx", $"sy", $"sxy", $"sxx",
-        ($"n" * $"sxy" - $"sx" * $"sy").as("slope_num"),
-        ($"n" * $"sxx" - $"sx" * $"sx").as("slope_den"))
+        ($"n".cast(dec) * $"sxy" - $"sx".cast(dec) * $"sy")
+          .cast("string").as("slope_num"),
+        ($"n".cast(dec) * $"sxx" - $"sx".cast(dec) * $"sx")
+          .cast("string").as("slope_den"))
       .smallOrdered($"nation")
   }
 

@@ -430,11 +430,15 @@ object Temporal {
     import s.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"event_id")
     val w5 = w.rowsBetween(-4, 0)
-    Tables(s, dir).events.filter($"value".isNotNull)
-      .select($"user_id", $"event_id", $"value")
-      .withColumn("rn", row_number().over(w))
-      .withColumn("med5",
-        element_at(sort_array(collect_list($"value").over(w5)), 3))
+    // fault-gate probe ABOVE the frames (`window` scope): the retried task
+    // re-fetches the window exchange and re-runs sort + frame evaluation
+    graft.fault.FaultInjection.probe(
+      Tables(s, dir).events.filter($"value".isNotNull)
+        .select($"user_id", $"event_id", $"value")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("med5",
+          element_at(sort_array(collect_list($"value").over(w5)), 3)),
+      "window")
       .filter($"rn" >= 5)
       .select($"user_id", $"event_id", $"med5")
       .cachedOrdered($"event_id")

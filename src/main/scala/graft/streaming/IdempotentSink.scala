@@ -53,6 +53,12 @@ object IdempotentSink {
     fs.mkdirs(root)
     if (!fs.rename(tmp, dir))
       throw new java.io.IOException(s"idempotent sink rename to $dir failed")
+    // fault gate, `sink` scope (round 12, VERDICT r11 #2): crash HERE — after
+    // the batch directory became visible, before the commit marker — the
+    // exact window where a replay that trusts directory existence would
+    // double-count. The replay takes the torn-directory path above: no
+    // marker, so the directory is discarded and rewritten exactly once.
+    graft.fault.FaultInjection.driverFailOnce(spark, "sink", dir.toString)
     fs.create(marker, true).close()
     true
   }

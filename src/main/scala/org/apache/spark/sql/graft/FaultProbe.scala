@@ -49,4 +49,33 @@ object FaultOnce {
       extends RuntimeException(
         s"graft fault injection: scope=$scope stage=$stage " +
           s"partition=$partition attempt=0 (expected to be retried)")
+
+  /** Driver-side injected failure (the `sink` scope): thrown between a
+    * sink's side-effect write and its commit record — the dangerous half of
+    * an exactly-once protocol, where a crash leaves visible-but-uncommitted
+    * output that a replay must discard, not duplicate.
+    */
+  final class InjectedCommitFailure(scope: String, key: String)
+      extends RuntimeException(
+        s"graft fault injection: scope=$scope key=$key " +
+          "(crash after write, before commit — replay must not duplicate)")
+
+  /** Task-side scope check for imperative call sites that cannot host an
+    * expression — specifically a TypedImperativeAggregate's MERGE path,
+    * where re-execution flows through deserialized PARTIAL buffers rather
+    * than a rescanned input (round 12, VERDICT r11 #5). Throws once per
+    * task on attempt 0 when `spark.graft.fault.scopes` (read from the
+    * executor's SparkConf — Verify sets it at session build, so it reaches
+    * every executor) names the scope; the retried attempt passes. A no-op
+    * outside tasks and in production (conf absent).
+    */
+  def maybeFail(scope: String): Unit = {
+    val tc = TaskContext.get()
+    if (tc != null && tc.attemptNumber() == 0) {
+      val env = org.apache.spark.SparkEnv.get
+      if (env != null && env.conf.get("spark.graft.fault.scopes", "")
+            .split(",").map(_.trim).contains(scope))
+        throw new InjectedTaskFailure(scope, tc.partitionId(), tc.stageId())
+    }
+  }
 }

@@ -134,6 +134,10 @@ case class KllSketchAgg(
   }
 
   override def merge(buffer: KllBuffer, other: KllBuffer): KllBuffer = {
+    // fault gate, `agg` scope (round 12, VERDICT r11 #5): a retried FINAL
+    // aggregation task re-deserializes and re-merges the shuffled PARTIAL
+    // buffers — a re-execution path no scan/window probe crosses
+    FaultOnce.maybeFail("agg")
     buffer.merge(other)
     buffer
   }

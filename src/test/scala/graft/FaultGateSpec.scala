@@ -34,16 +34,22 @@ class FaultGateSpec extends SparkSpec {
   private val covered = Seq(
     "q54_percentile_rank", "q160_roc_auc", "q170_stratified_folds",
     "q44_neardup_clusters", "q141_delivery_chain", "q130_streaming_scd2",
-    "q12_summary_stats", "q78_weighted_quantiles", "q120_decile_binning")
+    "q12_summary_stats", "q78_weighted_quantiles", "q120_decile_binning",
+    // round 12 (VERDICT r11 #5): the window-frame exchanges and the
+    // TypedImperativeAggregate PARTIAL-merge path
+    "q41_rolling_windows", "q164_rolling_median", "q57_sketch_quantiles")
 
   test("injected first-attempt task failures: results identical to the " +
-    "no-fault build (scan/rank/cc/stream scopes, maxFailures=4)") {
+    "no-fault build (scan/rank/cc/stream/window/agg scopes, maxFailures=4)") {
     val out = java.nio.file.Files.createTempDirectory("graft-fault-gate-")
     try {
       val (rc, childLog) = ChildVerify.fork(sf(), out.toFile, Map(
         "SPARK_GRAFT_MASTER" -> "local[8,4]",
         "SPARK_GRAFT_CPUS" -> "8",
-        "SPARK_GRAFT_FAULT_SCOPES" -> "scan,rank,cc,stream",
+        "SPARK_GRAFT_FAULT_SCOPES" -> "scan,rank,cc,stream,window,agg",
+        // gate-sized graphs sit under the CC driver budget; pin it to 0 so
+        // the DISTRIBUTED label rounds run (the `cc` probe's only surface)
+        "SPARK_GRAFT_CONF" -> "spark.graft.cc.driverEdgeBudget=0",
         "SPARK_GRAFT_ONLY" -> covered.mkString(",")))
       assert(rc == 0, s"fault child failed rc=$rc; tail:\n" +
         childLog.takeRight(40).mkString("\n"))
@@ -55,6 +61,12 @@ class FaultGateSpec extends SparkSpec {
       val fired = childLog.count(_.contains("graft fault injection"))
       assert(fired >= covered.size,
         s"only $fired injected failures logged — probes not firing")
+      // per-scope firing: the suite-wide scan probe alone could satisfy the
+      // aggregate count while a refactor silently dropped a narrower probe
+      Seq("scan", "rank", "cc", "stream", "window", "agg").foreach { sc =>
+        assert(childLog.exists(_.contains(s"scope=$sc")),
+          s"scope '$sc' never fired — its probe is a no-op")
+      }
 
       val diverged = ChildVerify.diverged(spark, out.toFile, sf(), covered)
       assert(diverged.isEmpty,
@@ -92,5 +104,75 @@ class FaultGateSpec extends SparkSpec {
         s"${diverged.size} queries diverge after executor loss:\n" +
           diverged.mkString("\n"))
     } finally ChildVerify.deleteRecursively(out.toFile)
+  }
+
+  test("sink scope: injected crash between batch write and commit marker — " +
+    "every batch replays through the torn-directory path, zero duplicates") {
+    // round 12 (VERDICT r11 #2): the one at-least-once -> exactly-once
+    // claim never exercised under injected failure. The crash lands in the
+    // DANGEROUS half of the commit protocol — after the batch directory
+    // became visible, before the marker — so a replay that trusted
+    // directory existence would double-count, and a replay that blindly
+    // appended would duplicate. Keyed per batch dir, the stream crashes
+    // once per micro-batch: three batches, three crash/restart cycles, and
+    // the sink must still hold each input row exactly once.
+    val s = spark
+    val root = java.nio.file.Files.createTempDirectory("graft-sink-fault-")
+    val inDir = root.resolve("in")
+    java.nio.file.Files.createDirectory(inDir)
+    val sink = root.resolve("sink").toString
+    val ckpt = root.resolve("ckpt").toString
+    s.conf.set("spark.graft.fault.scopes", "sink")
+    try {
+      (0 until 3).foreach { i =>
+        val lines = (0 until 10).map(j => s"""{"v":${i * 10 + j}}""")
+        val p = java.nio.file.Files.write(inDir.resolve(s"f_$i.json"),
+          lines.mkString("\n").getBytes("UTF-8"))
+        // mtime spacing: batch order = file order (same trick as
+        // StreamRecoverySpec)
+        java.nio.file.Files.setLastModifiedTime(p,
+          java.nio.file.attribute.FileTime.fromMillis(
+            1000000000000L + i * 1000L))
+        ()
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.LongType)))
+      def start() = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").json(inDir.toString)
+        .writeStream
+        .foreachBatch(graft.streaming.IdempotentSink.intoPath(sink))
+        .option("checkpointLocation", ckpt).start()
+      def chain(t: Throwable): Seq[String] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(e => Option(e.getMessage).getOrElse("")).toSeq
+      var crashes = 0
+      var done = false
+      while (!done) {
+        val q = start()
+        try { q.processAllAvailable(); done = true }
+        catch {
+          case e: org.apache.spark.sql.streaming.StreamingQueryException =>
+            assert(chain(e).exists(_.contains("graft fault injection")),
+              s"stream died of a REAL failure, not the probe: ${chain(e)}")
+            crashes += 1
+            assert(crashes <= 10, "crash/restart loop not converging")
+        } finally q.stop()
+      }
+      assert(crashes == 3,
+        s"expected one injected commit crash per batch (3), got $crashes")
+      val out = graft.streaming.IdempotentSink.committedBatches(s, sink).get
+      assert(out.count() == 30, "sink must hold every input row exactly once")
+      assert(out.select("v").distinct().count() == 30,
+        "replay duplicated rows through the commit-crash window")
+      val batchDirs = new File(sink).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch=")).toSeq
+      assert(batchDirs.size == 3 && batchDirs.forall(d =>
+        new File(d, "_COMMITTED").exists()),
+        "every batch directory must exist and carry its commit marker")
+    } finally {
+      s.conf.unset("spark.graft.fault.scopes")
+      ChildVerify.deleteRecursively(root.toFile)
+    }
   }
 }
