@@ -78,6 +78,87 @@ object NgramLm {
         avg(col("lp")).cast("float").as("avg_logp"))
   }
 
+  /** (doc_id, w1, w2, w3) exploded trigrams of `textCol` — the same pure
+    * projection as [[bigrams]] one order up (three aligned slices zipped in
+    * the scan's codegen stage; no window, no per-document sort). Documents
+    * with fewer than 3 tokens contribute nothing.
+    */
+  def trigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = split(col(textCol), " ")
+    docs.select(col(idCol).as("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), explode(
+        zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 2),
+          zip_with(
+            slice(col("t"), lit(2), size(col("t")) - 2),
+            slice(col("t"), lit(3), size(col("t")) - 2),
+            (b: Column, c: Column) => struct(b.as("w2"), c.as("w3"))),
+          (a: Column, bc: Column) => struct(a.as("w1"),
+            bc.getField("w2").as("w2"), bc.getField("w3").as("w3")))).as("g"))
+      .select(col("doc_id"), col("g.w1").as("w1"), col("g.w2").as("w2"),
+        col("g.w3").as("w3"))
+  }
+
+  /** Trigram LM with stupid backoff (Brants et al. 2007, "Large Language
+    * Models in Machine Translation") — the corpus-scale n-gram score:
+    * bigram LMs saturate on short/templated documents, and stupid backoff
+    * is the smoothing that needs NO held-out tuning and no normalization
+    * pass, which is exactly why web-scale LM pipelines used it:
+    *
+    *   S(w3|w1 w2) = c(w1w2w3)/c(w1w2·)           when the trigram is seen
+    *               = λ · c(w2w3)/c(w2·)            else, when the bigram is
+    *               = λ² · (c(w3)+1)/(N+V)          else (add-one unigram
+    *                                                floor: unseen words
+    *                                                score finite, not −∞)
+    *
+    * with λ = 0.4 (the published constant), contexts counted over the
+    * n-gram frames themselves (c(w1w2·) = trigram contexts, c(w2·) =
+    * bigram contexts) so numerator ≤ denominator at every level. Score =
+    * mean ln S over the document's trigrams. Same plan discipline as
+    * [[bigramScore]]: extraction is a projection, training is three
+    * map-side-combined vocabulary-sized aggregates, scoring re-joins on
+    * token keys, N and V broadcast as one row.
+    */
+  def trigramBackoffScore(docs: DataFrame, idCol: String, textCol: String,
+      train: Option[DataFrame] = None, lambda: Double = 0.4): DataFrame = {
+    val scoreTg = trigrams(docs, idCol, textCol)
+    val trainDf = train.getOrElse(docs)
+    val trainTg = if (train.isEmpty) scoreTg
+      else trigrams(trainDf, idCol, textCol)
+    val trainBg = bigrams(trainDf, idCol, textCol)
+    val c123 = trainTg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = trainTg.groupBy("w1", "w2").agg(count(lit(1)).as("c12x"))
+    // backoff tables are keyed on the SCORED trigram's (w2, w3) / (w2)
+    val c23 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c23x"))
+      .select(col("w1").as("w2"), col("w2").as("w3"), col("c23x"))
+    val c2 = trainBg.groupBy("w1").agg(count(lit(1)).as("c2x"))
+      .select(col("w1").as("w2"), col("c2x"))
+    val toks = trainDf.select(explode(split(col(textCol), " ")).as("x"))
+    val c3 = toks.groupBy(col("x")).agg(count(lit(1)).as("c3x"))
+      .select(col("x").as("w3"), col("c3x"))
+    val nv = toks.agg(count(lit(1)).as("nn"), countDistinct(col("x")).as("v"))
+    scoreTg
+      .join(c123, Seq("w1", "w2", "w3"), "left")
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c23, Seq("w2", "w3"), "left")
+      .join(c2, Seq("w2"), "left")
+      .join(c3, Seq("w3"), "left")
+      .crossJoin(broadcast(nv))
+      .select(col("doc_id"),
+        when(col("c123").isNotNull,
+          log(col("c123").cast("double") / col("c12x")))
+        .when(col("c23x").isNotNull,
+          log(lit(lambda) * col("c23x").cast("double") / col("c2x")))
+        .otherwise(
+          log(lit(lambda) * lit(lambda) *
+            (coalesce(col("c3x"), lit(0L)) + 1).cast("double") /
+            (col("nn") + col("v")).cast("double"))).as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        avg(col("lp")).cast("float").as("avg_logp"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): log w(doc) = mean
     * ln P_target − mean ln P_raw per bigram, where P_target is trained on

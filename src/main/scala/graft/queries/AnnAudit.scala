@@ -468,42 +468,70 @@ object AnnAudit {
     import s.implicits._
     val emb = Tables(s, dir).embeddings
     val queries = emb.filter($"vec_id" < 10)
-    // consume the once-per-corpus assets (round 11): the q171 gate times
-    // the index build and refreshes the memo; the exact-L2 ground truth is
-    // the stored audit baseline. What this gate times is the QUERY path —
-    // probe ranking, residual tables, the probed-cell ADC scan, ranking,
-    // and the recall/scan-fraction audit itself.
+    // consume the once-per-corpus assets: the q171 gate times the index
+    // build+write, and THIS query reads the persisted cell-partitioned
+    // table — a genuine parquet scan of stored codes (round 12); the
+    // exact-L2 ground truth is the stored audit baseline. What this gate
+    // times is the QUERY path — probe ranking, residual tables, the
+    // probed-cell ADC scan over the on-disk index, ranking, and the
+    // recall/scan-fraction audit itself.
     Ann.ivfPqRecall(emb, queries, "vec_id", "embedding", k = 10,
         ivfCents, ivfCb, nProbe = 2,
-        prebuiltIndex = Some(memoizedIndex(s, dir)),
+        prebuiltIndex = Some(persistedIndex(s, dir)),
         groundTruth = Some(memoizedGroundTruth(s, dir)))
       .smallOrdered($"qid")
   }
 
-  /** Once-per-corpus IVFADC assets (round 11, VERDICT r10 #4): the INDEX
-    * (vec_id, cell, residual-PQ codes) and the exact-L2 ground truth are
-    * both pure functions of the corpus — a production deployment builds
-    * the index once (persisting it to a table) and audits recall against
-    * a stored ground truth, so re-encoding the corpus and re-running the
-    * exact scan on every q157 bench rep priced work the architecture
-    * amortizes away. Memo discipline is `auditMemo`'s: keyed on (dir,
-    * corpus fingerprint), stored as COLLECTED rows (cache-clear-proof —
-    * the bench clears the SQL cache between reps), rebuilt as a fanned
-    * local frame by consumers. The collected index is bounded by the
-    * BENCH corpus here (sf0.1: ~20k rows of (long, int, 8 ints)); at real
-    * scale this memo is a stand-in for the index TABLE the enc frame
-    * would be written to — the consumption plan (broadcast probe join
-    * against a scan of stored codes) is identical either way. q171 always
-    * re-times the build and refreshes the INDEX memo; the ground-truth memo
-    * is fingerprint-keyed and lazily built by q157's first run on a corpus
-    * (safe: a corpus change changes the key, never staling the entry).
+  /** Once-per-corpus IVFADC assets. The INDEX (vec_id, cell, residual-PQ
+    * codes) is now a REAL persisted table (round 12, VERDICT r11 #7 —
+    * killing the last collected-rows stand-in in the ANN chain): q171
+    * builds it and WRITES it as cell-partitioned parquet under a
+    * fingerprint-keyed path, and q157 consumes it through an actual scan
+    * of the stored codes. `partitionBy(cell)` is the IVF layout itself —
+    * every inverted list is its own directory, so a production probe with
+    * a literal cell list prunes statically to nProbe/nLists of the data
+    * (here the probe cells arrive by join, the same plan Catalyst serves
+    * a billion-vector table). The fingerprint key (corpus count ⊕ id
+    * hash) makes staleness impossible: a corpus change changes the path.
+    * q157 lazily builds the table when q171 has not run yet in this
+    * lifetime AND no prior run left one on disk.
+    *
+    * The exact-L2 ground truth stays a collected memo (bounded: k rows
+    * per query) — the stored audit baseline a deployment would keep in a
+    * tiny side table; it is fingerprint-keyed and lazily built by q157's
+    * first run on a corpus.
     */
-  private val indexMemo = scala.collection.concurrent.TrieMap[
-    (String, Long),
-    (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
   private val gtMemo = scala.collection.concurrent.TrieMap[
     (String, Long),
     (org.apache.spark.sql.types.StructType, Array[org.apache.spark.sql.Row])]()
+
+  private def indexPath(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val (d, fp) = corpusKey(s, dir)
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(d.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    s"${sys.props("java.io.tmpdir")}/graft-ivfadc/${h}_${java.lang.Long.toHexString(fp)}"
+  }
+
+  /** Encode the corpus and persist the index table; returns its path. */
+  private def writeIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val path = indexPath(s, dir)
+    Ann.ivfPqEncode(Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
+        ivfCents, ivfCb)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+    path
+  }
+
+  /** The on-disk index, built lazily if absent (q171 is the timed build;
+    * this covers q157-only runs and fresh JVMs reusing a prior write).
+    */
+  private def persistedIndex(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val path = indexPath(s, dir)
+    if (!new java.io.File(path, "_SUCCESS").isFile) writeIndex(s, dir): Unit
+    s.read.parquet(path)
+  }
 
   private def ivfCents = Ann.portableCentroids(dim = 64, nLists = 8)
   private def ivfCb = Ann.portableCodebook(dim = 64, subspaces = 8,
@@ -521,12 +549,6 @@ object AnnAudit {
     Tables(s, dir).fanOut(s.createDataFrame(
       java.util.Arrays.asList(v._2: _*), v._1))
 
-  private def memoizedIndex(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    rebuilt(s, indexMemo.getOrElseUpdate(corpusKey(s, dir), collected(
-      Ann.ivfPqEncode(Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
-        ivfCents, ivfCb))), dir)
-
   private def memoizedGroundTruth(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
     import s.implicits._
@@ -537,14 +559,16 @@ object AnnAudit {
         .select($"qid", $"vec_id"))), dir)
   }
 
-  /** IVFADC index-build gate (round 11): times the once-per-corpus encode
-    * — coarse assignment + residual-PQ codes for EVERY corpus vector —
-    * and certifies it with integer per-cell invariants the oracle replays
-    * through the identical routing/residual/encode chain: cell population
-    * and a code checksum Σ (s+1)·code over each cell's members (any
-    * divergence in assignment, residual arithmetic, codeword argmin or
-    * tie-break moves it). Refreshes the index memo q157 consumes, exactly
-    * as q131 refreshes the audit memo q140 consumes.
+  /** IVFADC index-build gate: times the once-per-corpus encode — coarse
+    * assignment + residual-PQ codes for EVERY corpus vector — INCLUDING
+    * the write of the cell-partitioned parquet index table (round 12: the
+    * build is priced as a deployment pays it, encode + persist), and
+    * certifies it with integer per-cell invariants computed FROM THE
+    * READ-BACK TABLE, so the gate also proves the disk round-trip: cell
+    * population and a code checksum Σ (s+1)·code over each cell's members
+    * (any divergence in assignment, residual arithmetic, codeword argmin,
+    * tie-break, or parquet round-trip moves it). q157 consumes the table
+    * this gate writes.
     */
   private val q171 = QueryDef.sql(
     "IVFADC index build: per-cell population + residual-code checksum")(
@@ -599,13 +623,11 @@ object AnnAudit {
       |  sum((s + 1) * c)::BIGINT AS code_sum
       |FROM enc GROUP BY cell ORDER BY cell""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val enc = Ann.ivfPqEncode(Tables(s, dir).embeddingsFanned, "vec_id",
-      "embedding", ivfCents, ivfCb)
-    // refresh the memo from ONE materialization, then aggregate the
-    // invariants from the collected rows' frame (no second encode pass)
-    val v = collected(enc)
-    indexMemo(corpusKey(s, dir)) = v
-    rebuilt(s, v, dir)
+    // ONE encode pass, persisted (the priced once-per-corpus build), then
+    // the invariants aggregate over the READ-BACK table — certifying the
+    // parquet round-trip along with the encode chain
+    val path = writeIndex(s, dir)
+    s.read.parquet(path)
       .select($"cell", aggregate(
         zip_with($"codes", sequence(lit(1), lit(8)),
           (c, i) => c.cast("long") * i),

@@ -632,6 +632,62 @@ object TextVector {
       .cachedOrdered($"doc_id")
   }
 
+  /** Trigram stupid-backoff LM (round 12, VERDICT r11 #4): bigram LMs
+    * saturate on short/templated documents; stupid backoff (Brants et al.
+    * 2007) is the no-tuning, no-normalization smoothing a corpus-scale
+    * filter runs. Trained on the EVEN doc_ids and scoring everything, so
+    * the odd documents genuinely exercise all three backoff levels
+    * (unseen trigram → λ·bigram, unseen bigram → λ²·add-one unigram); the
+    * integer n_trigrams pins the extraction, the float32 mean follows the
+    * parity rule, and every arithmetic step is parenthesized identically
+    * in both engines.
+    */
+  private val q175 = QueryDef.sql(
+    "trigram stupid-backoff LM score (λ=0.4, trained on even doc_ids)")(
+    """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |tge AS (SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> {'w1': t[i], 'w2': t[i + 1], 'w3': t[i + 2]})) AS g
+      |  FROM tok WHERE len(t) >= 3),
+      |tgf AS (SELECT doc_id, g.w1 AS w1, g.w2 AS w2, g.w3 AS w3 FROM tge),
+      |ttg AS (SELECT * FROM tgf WHERE doc_id % 2 = 0),
+      |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM tok WHERE len(t) >= 2 AND doc_id % 2 = 0),
+      |tbg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+      |c123 AS (SELECT w1, w2, w3, count(*) AS c123 FROM ttg GROUP BY 1, 2, 3),
+      |c12 AS (SELECT w1, w2, count(*) AS c12x FROM ttg GROUP BY 1, 2),
+      |c23 AS (SELECT w1 AS w2, w2 AS w3, count(*) AS c23x FROM tbg GROUP BY 1, 2),
+      |c2 AS (SELECT w1 AS w2, count(*) AS c2x FROM tbg GROUP BY 1),
+      |tt AS (SELECT unnest(t) AS x FROM tok WHERE doc_id % 2 = 0),
+      |c3 AS (SELECT x AS w3, count(*) AS c3x FROM tt GROUP BY 1),
+      |nv AS (SELECT count(*) AS nn, count(DISTINCT x) AS v FROM tt),
+      |sc AS (SELECT tgf.doc_id, count(*) AS n_trigrams,
+      |    avg(CASE
+      |      WHEN c123.c123 IS NOT NULL
+      |        THEN ln(c123.c123::DOUBLE / c12.c12x::DOUBLE)
+      |      WHEN c23.c23x IS NOT NULL
+      |        THEN ln((0.4::DOUBLE * c23.c23x::DOUBLE) / c2.c2x::DOUBLE)
+      |      ELSE ln(((0.4::DOUBLE * 0.4::DOUBLE)
+      |          * (coalesce(c3.c3x, 0) + 1)::DOUBLE)
+      |        / (nv.nn + nv.v)::DOUBLE)
+      |    END) AS lp
+      |  FROM tgf
+      |  LEFT JOIN c123 USING (w1, w2, w3)
+      |  LEFT JOIN c12 USING (w1, w2)
+      |  LEFT JOIN c23 USING (w2, w3)
+      |  LEFT JOIN c2 USING (w2)
+      |  LEFT JOIN c3 USING (w3)
+      |  CROSS JOIN nv
+      |  GROUP BY 1)
+      |SELECT doc_id, n_trigrams, CAST(lp AS REAL) AS avg_logp
+      |FROM sc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+    import s.implicits._
+    val docs = Tables(s, dir).documentsFanned
+    graft.operators.NgramLm.trigramBackoffScore(docs, "doc_id", "text",
+        train = Some(docs.filter(pmod($"doc_id", lit(2L)) === 0)))
+      .cachedOrdered($"doc_id")
+  }
+
   val defs: Seq[(String, QueryDef)] = Seq(
     "q16_text_features" -> q16,
     "q17_lang_id" -> q17,
@@ -649,6 +705,7 @@ object TextVector {
     "q43_ivf_ann" -> q43,
     "q64_embedding_dedup_survivors" -> q64,
     "q172_bigram_lm_quality" -> q172,
-    "q173_dsir_importance" -> q173
+    "q173_dsir_importance" -> q173,
+    "q175_trigram_backoff" -> q175
   )
 }

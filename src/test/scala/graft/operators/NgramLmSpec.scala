@@ -72,6 +72,38 @@ class NgramLmSpec extends SparkSpec {
     assert(target.forall(_ > 0f) && off.forall(_ < 0f), w.toString)
   }
 
+  test("trigram extraction: aligned slices, degenerate docs") {
+    import spark.implicits._
+    val tg = NgramLm.trigrams(
+      docs(0L -> "a b c d", 1L -> "x y", 2L -> ""), "doc_id", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(tg == Set((0L, "a", "b", "c"), (0L, "b", "c", "d")))
+  }
+
+  test("stupid backoff: all three levels match the hand computation") {
+    import spark.implicits._
+    // train: "a b c" x2, "a b d" -> c(abc)=2, c(abd)=1, c(ab·)=3
+    //   bigrams: (a,b)=3, (b,c)=2, (b,d)=1; contexts c(a·)=3, c(b·)=3
+    //   unigrams: a=3, b=3, c=2, d=1 -> N=9, V=4
+    val train = docs(0L -> "a b c", 1L -> "a b c", 2L -> "a b d")
+    // 10: seen trigram        -> ln(c(abc)/c(ab·))        = ln(2/3)
+    // 11: unseen trigram "c b d" but seen bigram (b,d)
+    //                         -> ln(0.4 · c(bd)/c(b·))    = ln(0.4·1/3)
+    // 12: unseen trigram+bigram, seen unigram d
+    //                         -> ln(0.16 · (1+1)/(9+4))   = ln(0.32/13)
+    // 13: wholly unseen word z -> ln(0.16 · (0+1)/13)
+    val got = NgramLm.trigramBackoffScore(
+      docs(10L -> "a b c", 11L -> "c b d", 12L -> "d a d", 13L -> "z z z"),
+      "doc_id", "text", train = Some(train))
+      .orderBy($"doc_id")
+      .as[(Long, Long, Float)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 1L, 1L, 1L))
+    assert(math.abs(got(0)._3 - math.log(2.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(1)._3 - math.log(0.4 * 1.0 / 3.0)) < 1e-6)
+    assert(math.abs(got(2)._3 - math.log(0.4 * 0.4 * 2.0 / 13.0)) < 1e-6)
+    assert(math.abs(got(3)._3 - math.log(0.4 * 0.4 * 1.0 / 13.0)) < 1e-6)
+  }
+
   test("plan: bigram extraction carries no window and no per-doc sort") {
     val p = NgramLm.bigramScore(
       graft.core.Tables(spark, sf()).documents, "doc_id", "text")

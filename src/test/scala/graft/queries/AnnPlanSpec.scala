@@ -55,6 +55,10 @@ class AnnPlanSpec extends SparkSpec {
     // encode leaked back into the per-rep query path
     assert(count(p, "array_min") == 0,
       "corpus encode (argmin) re-entered the q157 query path")
+    // round 12: the index is a PERSISTED cell-partitioned parquet table —
+    // the plan must read stored codes from disk, not a rebuilt local frame
+    assert(p.contains("graft-ivfadc"),
+      "q157 no longer scans the on-disk index table")
     assert(p.contains("InMemoryTableScan"),
       "candidate frame not pinned (rank and scanned-count must share it)")
     // census: qid window shuffle, hits-join shuffle pair collapses to

@@ -9,6 +9,12 @@ graft.Bench"` on the same box so the Spark-vs-DuckDB ratio is free of
 cross-box / cross-day noise (the round-5 adjudication problem).
 
 Usage: python3 tools/bench_duckdb.py [oracleJson] [sfDir] [reps]
+
+GRAFT_DUCKDB_TIMEOUT_SEC (optional): after any single rep exceeds this wall,
+the query keeps that rep's time as its median and skips its remaining reps —
+at sf1 a handful of oracles are single-node collapse queries (hours each);
+the exclusion-row protocol in BENCHCMP.md marks them, it does not wait on
+them. Unset = no cap (the sf0.1 driver protocol, unchanged).
 """
 import json, os, sys, time
 
@@ -18,6 +24,7 @@ oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify/oracle_sq
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 # 5 reps to mirror graft.Bench's default (matched median-of-N protocol)
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+cap = float(os.environ.get("GRAFT_DUCKDB_TIMEOUT_SEC", "0")) or None
 
 con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
@@ -28,6 +35,7 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
 
 oracle = json.load(open(oracle_path))
 results = {}
+capped = []
 for name, sql in sorted(oracle.items()):
     runs = []
     for _ in range(reps):
@@ -38,6 +46,11 @@ for name, sql in sorted(oracle.items()):
         except Exception as e:
             print(f"FAIL {name}: {e}", file=sys.stderr)
             runs.append(-1.0)
+        if cap and runs[-1] > cap:
+            capped.append(name)
+            print(f"DUCKDB CAPPED {name} at {runs[-1]:.1f}s (> {cap:.0f}s) — "
+                  f"skipping remaining reps", file=sys.stderr, flush=True)
+            break
     runs.sort()
     results[name] = runs[len(runs) // 2]
     # per-query progress (mirrors graft.Bench's BENCH DONE stderr lines) so
@@ -53,6 +66,7 @@ cpu = os.times()
 out = {
     "metric": "duckdb_total", "value": sum(ok.values()), "unit": "sec",
     "queries": results, "nqueries": len(results), "reps": reps,
+    "capped": capped, "cap_sec": cap,
     "threads": con.execute("SELECT current_setting('threads')").fetchone()[0],
     "cpu_total": cpu.user + cpu.system,
     "load_avg": os.getloadavg()[0], "ncpus": os.cpu_count(), "sf": sfdir,
