@@ -33,22 +33,49 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders",
     if os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
+def run_capped(sql):
+    """One timed execution; under a cap, a watchdog thread calls
+    con.interrupt() so a single collapse-class rep cannot block for hours
+    (the cap must be able to stop a rep IN PROGRESS, not just between
+    reps). Returns (seconds, interrupted?)."""
+    import threading
+    t0 = time.monotonic()
+    if not cap:
+        con.execute(sql).fetchall()
+        return time.monotonic() - t0, False
+    done = threading.Event()
+    def watchdog():
+        if not done.wait(cap):
+            con.interrupt()
+    w = threading.Thread(target=watchdog, daemon=True)
+    w.start()
+    try:
+        con.execute(sql).fetchall()
+        return time.monotonic() - t0, False
+    except duckdb.InterruptException:
+        return time.monotonic() - t0, True
+    finally:
+        done.set()
+
 oracle = json.load(open(oracle_path))
 results = {}
 capped = []
 for name, sql in sorted(oracle.items()):
     runs = []
     for _ in range(reps):
-        t0 = time.monotonic()
         try:
-            con.execute(sql).fetchall()
-            runs.append(time.monotonic() - t0)
+            t, interrupted = run_capped(sql)
+            runs.append(t)
         except Exception as e:
-            print(f"FAIL {name}: {e}", file=sys.stderr)
+            print(f"FAIL {name}: {e}", file=sys.stderr, flush=True)
             runs.append(-1.0)
-        if cap and runs[-1] > cap:
+            # under a cap, a hard failure (e.g. spill disk exhausted) is as
+            # terminal as an interrupt — retrying it twice more just burns
+            # another 2x the damage
+            interrupted = bool(cap)
+        if interrupted:
             capped.append(name)
-            print(f"DUCKDB CAPPED {name} at {runs[-1]:.1f}s (> {cap:.0f}s) — "
+            print(f"DUCKDB CAPPED {name} at {runs[-1]:.1f}s (cap {cap:.0f}s) — "
                   f"skipping remaining reps", file=sys.stderr, flush=True)
             break
     runs.sort()
