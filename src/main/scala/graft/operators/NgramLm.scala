@@ -159,6 +159,49 @@ object NgramLm {
         avg(col("lp")).cast("float").as("avg_logp"))
   }
 
+  /** Fused quality score + DSIR weight (round 12, for the q174 chain):
+    * the raw-model log-probability ln P_raw is a term of BOTH outputs —
+    * quality = mean ln P_raw, DSIR log w = mean (ln P_target − ln P_raw)
+    * — and both average over the SAME joined bigram rows, so one
+    * extraction, one set of count tables and one groupBy(doc) emit
+    * (doc_id, n_bigrams, avg_logp, log_w) together. Calling
+    * [[bigramScore]] and [[dsirWeights]] separately tokenizes the corpus
+    * twice and re-aggregates the raw count tables; at chain scale the
+    * fusion halves the LM stage. Values are identical to the unfused
+    * operators (same rows, same float32-cast means).
+    */
+  def bigramScoreWithDsir(docs: DataFrame, idCol: String, textCol: String,
+      isTargetId: Column => Column): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val tBg = bg.filter(isTargetId(col("doc_id")))
+    val c12r = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12r"))
+    val c1r = bg.groupBy("w1").agg(count(lit(1)).as("c1r"))
+    val c12t = tBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+    val c1t = tBg.groupBy("w1").agg(count(lit(1)).as("c1t"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("x"))
+    val vr = toks.agg(countDistinct(col("x")).as("vr"))
+    val vt = toks.filter(isTargetId(col("doc_id")))
+      .agg(countDistinct(col("x")).as("vt"))
+    def lp(c12: Column, c1: Column, v: Column): Column =
+      log((coalesce(c12, lit(0L)) + lit(1L)).cast("double") /
+        (coalesce(c1, lit(0L)) + v).cast("double"))
+    bg.join(c12r, Seq("w1", "w2"))
+      .join(c1r, Seq("w1"))
+      .join(c12t, Seq("w1", "w2"), "left")
+      .join(c1t, Seq("w1"), "left")
+      .crossJoin(broadcast(vr))
+      .crossJoin(broadcast(vt))
+      .select(col("doc_id"),
+        lp(col("c12r"), col("c1r"), col("vr")).as("lpr"),
+        (lp(col("c12t"), col("c1t"), col("vt")) -
+          lp(col("c12r"), col("c1r"), col("vr"))).as("dlp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(col("lpr")).cast("float").as("avg_logp"),
+        avg(col("dlp")).cast("float").as("log_w"))
+  }
+
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
     * Language Models via Importance Resampling"): log w(doc) = mean
     * ln P_target − mean ln P_raw per bigram, where P_target is trained on

@@ -302,30 +302,35 @@ object Delivery {
     val pairs = Dedup.minHashNearDups(t.documentsFanned, "doc_id", "text",
         n = 3, minJaccard = 0.9)
       .select($"da", $"db")
-    // pinned: the survivor corpus feeds the LM trainer (twice — raw and
-    // target models), the DSIR scorer and the decontamination probe;
-    // released by the harness's per-query clearCache (ParallelRank's
-    // discipline)
+    // pinned: the survivor corpus feeds the fused LM pass and the
+    // decontamination probe; released by the harness's per-query
+    // clearCache (ParallelRank's discipline)
     val surv = docs.join(ConnectedComponents.nonSurvivors(pairs)
         .withColumnRenamed("id", "doc_id"),
       Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // 2. self-trained bigram-LM quality filter on the deduped corpus
-    val scores = NgramLm.bigramScore(t.fanOut(surv), "doc_id", "text")
+    // 2+4. ONE fused LM pass over the deduped corpus emits the quality
+    // score AND the DSIR weight (ln P_raw is a term of both; same joined
+    // rows) — running q172's and q173's operators separately tokenized
+    // the survivors twice and re-built the raw count tables
+    val lm = NgramLm.bigramScoreWithDsir(t.fanOut(surv), "doc_id", "text",
+      id => pmod(id, lit(7L)) === 0)
+    // quality cut + eval-doc exclusion; pinned because BOTH the
+    // decontamination probe and the post-report join consume it (without
+    // the pin each consumer would re-run the whole LM stage)
     val qual = surv
-      .join(scores.filter($"avg_logp" >= lit(-3.40f)).select($"doc_id"),
+      .join(lm.filter($"avg_logp" >= lit(-3.40f))
+          .select($"doc_id", $"log_w"),
         Seq("doc_id"))
       .filter($"doc_id" >= 20)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 3. benchmark decontamination vs eval docs 0-19: any 3-gram hit drops
     val report = Decontamination.report(qual, docs.filter($"doc_id" < 20),
       "doc_id", "text", "text", n = 3, minHits = 1L)
     val clean = qual.join(
       report.filter(!$"contaminated").select($"doc_id"), Seq("doc_id"))
-    // 4. DSIR weights (target = doc_id % 7 == 0), per-source top-40 quota
-    val dw = NgramLm.dsirWeights(t.fanOut(surv), "doc_id", "text",
-      id => pmod(id, lit(7L)) === 0)
-    val sel = Sampling.qualityQuota(
-      clean.join(dw.select($"doc_id", $"log_w"), Seq("doc_id")),
+    // 5'. per-source top-40 quota by the DSIR weight already attached
+    val sel = Sampling.qualityQuota(clean,
       Seq("source"), "log_w", "doc_id", quota = 40)
     // 5. deterministic next-fit packing per source (q139)
     val packed = SequencePacking.packGroupsSequential(
