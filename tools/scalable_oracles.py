@@ -1,0 +1,283 @@
+#!/usr/bin/env python3
+"""Provably-equivalent scalable variants of the collapse-class oracles.
+
+The committed oracle SQL for the near-dup/fuzzy-join family is written as
+the TRANSPARENT spec — all-pairs shingle self-joins and a full transitive-
+closure recursive CTE — and stays the driver-facing gate + timing baseline
+(11 rounds of artifact continuity). That formulation is O(duplicate-
+multiplicity^2) in the pair step and O(|component|^2) in the closure, so at
+sf>=1 (where every doc has 10 exact copies by construction) the single-node
+replay collapses: q174's uncapped attempt exceeded 2.5 h / 57 GB
+(bench_artifacts/r12/sf1gate.md). DuckDB 1.0 additionally re-evaluates a
+non-recursive CTE at every reference (no materialization), so the closure's
+whole upstream pipeline re-runs once per referencing CTE — the committed
+shape pays that too, which is priced into the committed baseline.
+
+This tool derives, for each collapse-class oracle, an EQUIVALENT scalable
+formulation — a short multi-statement script staging the contraction and
+the closure through temp tables so each stage materializes exactly once —
+and proves the equivalence empirically (`prove` mode: exact cell-for-cell
+frame equality vs the committed SQL at the SFs where both run). The
+rewrites rest on two theorems, both machine-checked by `prove` at
+sf0.001/sf0.01/sf0.1:
+
+1. Exact-duplicate contraction (q44/q61/q141/q174, and q64 in embedding
+   space). Docs with identical text and >=3 tokens produce identical
+   non-empty 3-shingle sets, so every pair of them has Jaccard 1.0 >= 0.9 —
+   each identical-text group is a CLIQUE in the near-dup graph. Contracting
+   a clique to its min-id representative preserves connected components
+   exactly; cross-text edges depend only on the texts, so the rep graph
+   (one node per distinct text) carries them all. Component labels are
+   preserved too: reps are group minima, so min-over-reachable-reps equals
+   min-over-reachable-docs. Docs with <3 tokens emit no shingles and are
+   edge-free in the committed oracle (idx's range is empty); they are left
+   out of comp unless contracted-with-edges, matching committed semantics.
+   For q64: identical NONZERO embeddings share every sign-LSH bucket (the
+   bucket is a function of the vector) and have cosine 1.0 >= 0.35, so
+   identical-nonzero groups are cliques; zero vectors get singleton group
+   keys (cosine against a zero vector is never >= threshold in either
+   engine) and flow through the committed candidate path unchanged.
+
+2. Deletion-neighborhood blocking (q69, FastSS — Bocek et al. 2007, public
+   literature). lev(x,y) <= 1 implies x and y share a member of their
+   deletion neighborhoods (equal: the identity variant; substitution at i:
+   both strings minus position i; indel: the longer string minus the
+   inserted position equals the shorter string's identity variant), so an
+   equi-join on single-deletion variants generates a candidate superset and
+   the exact levenshtein verify keeps precisely the committed pairs.
+
+Usage:
+  python3 tools/scalable_oracles.py prove <dumpDir> <sfDir> [q1,q2,...]
+      Run committed vs scalable SQL over sfDir's tables; exact compare.
+  python3 tools/scalable_oracles.py patch <dumpDir>
+      Rewrite <dumpDir>/oracle_sql.json with the scalable variants
+      (committed originals saved to oracle_sql_committed.json), so
+      verify_local.py can gate a Verify dump at an SF where the committed
+      formulation cannot run. Never applied to the repo's oracleSql.
+  python3 tools/scalable_oracles.py time <dumpDir> <sfDir> [q1,...]
+      Time the scalable variants only (no committed run).
+"""
+import json
+import sys
+import time
+
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+# The committed clusterCtes block ends with this exact line
+# (graft.queries.Curation.clusterCtes); everything up to and including it is
+# replaced by CLUSTER_FINAL_PREFIX in the rewritten final statement.
+COMP_ANCHOR = "comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)"
+
+# tok/idx/sh verbatim from the committed clusterCtes — the final statement
+# keeps them (downstream CTEs reference them) and _redges re-derives them
+# internally (self-contained statement; reps-only rows survive the join).
+TOK_SH = """tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)"""
+
+# Staged contraction for the documents near-dup family. Each stage
+# materializes once; the fixpoint iterates over a materialized edge table.
+CLUSTER_STAGES = f"""CREATE OR REPLACE TEMP TABLE _grp AS
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+  count(*) OVER (PARTITION BY text) AS gsize,
+  len(string_split(text, ' ')) AS ntok
+FROM documents;
+CREATE OR REPLACE TEMP TABLE _redges AS
+WITH {TOK_SH},
+rsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN _grp g ON sh.doc_id = g.doc_id
+  WHERE g.doc_id = g.rep),
+rsizes AS (SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+rp0 AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+rnd AS (
+  SELECT da, db FROM rp0 JOIN rsizes na ON rp0.da = na.doc_id
+                         JOIN rsizes nb ON rp0.db = nb.doc_id
+  WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9)
+SELECT da AS src, db AS dst FROM rnd
+UNION SELECT db AS src, da AS dst FROM rnd;
+CREATE OR REPLACE TEMP TABLE _rcomp AS
+WITH RECURSIVE reach(id, r) AS (
+  SELECT src, src FROM _redges
+  UNION
+  SELECT e.src, w.r FROM _redges e JOIN reach w ON e.dst = w.id)
+SELECT id, min(r) AS component FROM reach GROUP BY 1;
+CREATE OR REPLACE TEMP TABLE _comp AS
+SELECT g.doc_id AS id, coalesce(rc.component, g.rep) AS component
+FROM _grp g LEFT JOIN _rcomp rc ON g.rep = rc.id
+WHERE rc.id IS NOT NULL OR (g.gsize >= 2 AND g.ntok >= 3);
+"""
+
+# What replaces the committed clusterCtes prefix inside the final statement.
+CLUSTER_FINAL_PREFIX = f"""WITH RECURSIVE {TOK_SH},
+comp AS (SELECT id, component FROM _comp)"""
+
+# q64: staged contraction in embedding space; pj/w/planes/bk/cand/nd are the
+# committed text verbatim with the corpus replaced by one representative per
+# distinct nonzero embedding.
+Q64_SCALABLE = """CREATE OR REPLACE TEMP TABLE _eg2 AS
+WITH grp AS (SELECT vec_id,
+    CASE WHEN list_sum(list_transform(embedding,
+           x -> (x::DOUBLE) * (x::DOUBLE))) > 0
+         THEN 'e:' || CAST(embedding AS VARCHAR)
+         ELSE 'z:' || CAST(vec_id AS VARCHAR) END AS gkey
+  FROM embeddings)
+SELECT vec_id, min(vec_id) OVER (PARTITION BY gkey) AS rep,
+  count(*) OVER (PARTITION BY gkey) AS gsize
+FROM grp;
+CREATE OR REPLACE TEMP TABLE _eredges AS
+WITH reps AS (SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN _eg2 g ON e.vec_id = g.vec_id WHERE g.vec_id = g.rep),
+pj AS (SELECT p.p AS p, j.j AS j
+  FROM (SELECT unnest(range(0, 48)) AS p) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+w AS (SELECT p, j,
+    ((cast(list_sum(list_transform(range(1, 16), i ->
+        (strpos('0123456789abcdef',
+           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+  FROM pj),
+planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+  FROM reps e CROSS JOIN planes pl
+  GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+nd AS (SELECT da, db FROM cand
+  JOIN reps ea ON cand.da = ea.vec_id
+  JOIN reps eb ON cand.db = eb.vec_id
+  WHERE list_cosine_similarity(
+      list_transform(ea.embedding, x -> x::DOUBLE),
+      list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35)
+SELECT da AS src, db AS dst FROM nd
+UNION SELECT db AS src, da AS dst FROM nd;
+CREATE OR REPLACE TEMP TABLE _ercomp AS
+WITH RECURSIVE reach(id, r) AS (
+  SELECT src, src FROM _eredges
+  UNION
+  SELECT e.src, w.r FROM _eredges e JOIN reach w ON e.dst = w.id)
+SELECT id, min(r) AS component FROM reach GROUP BY 1;
+CREATE OR REPLACE TEMP TABLE _ecomp AS
+SELECT g.vec_id AS id, coalesce(rc.component, g.rep) AS component
+FROM _eg2 g LEFT JOIN _ercomp rc ON g.rep = rc.id
+WHERE rc.id IS NOT NULL OR g.gsize >= 2;
+SELECT e.vec_id, e.label FROM embeddings e
+LEFT JOIN _ecomp c ON e.vec_id = c.id AND c.id <> c.component
+WHERE c.id IS NULL ORDER BY e.vec_id"""
+
+# q69: FastSS deletion-neighborhood blocking + exact levenshtein verify.
+Q69_SCALABLE = """CREATE OR REPLACE TEMP TABLE _dv AS
+WITH v AS (
+  SELECT c_custkey AS id, c_name AS nm,
+    unnest(range(0, length(c_name) + 1)) AS i
+  FROM customer)
+SELECT id, nm,
+  CASE WHEN i = 0 THEN nm
+       ELSE substr(nm, 1, CAST(i - 1 AS INT))
+            || substr(nm, CAST(i + 1 AS INT)) END AS var
+FROM v;
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+  cast(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+FROM _dv a JOIN _dv b ON a.var = b.var AND a.id < b.id
+WHERE levenshtein(a.nm, b.nm) <= 1
+ORDER BY id_a, id_b"""
+
+CLUSTER_QUERIES = ["q44_neardup_clusters", "q61_dedup_survivors",
+                   "q141_delivery_chain", "q174_curation_flagship"]
+STANDALONE = {"q64_embedding_dedup_survivors": Q64_SCALABLE,
+              "q69_fuzzy_name_join": Q69_SCALABLE}
+
+
+def scalable_sql(name, committed):
+    if name in STANDALONE:
+        return STANDALONE[name]
+    if name in CLUSTER_QUERIES:
+        i = committed.find(COMP_ANCHOR)
+        if i < 0:
+            raise RuntimeError(f"{name}: committed SQL lost its comp anchor "
+                               "— clusterCtes changed; update this tool")
+        return (CLUSTER_STAGES + CLUSTER_FINAL_PREFIX
+                + committed[i + len(COMP_ANCHOR):])
+    raise KeyError(name)
+
+
+def connect(sfdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sfdir}/{t}.parquet')")
+    return con
+
+
+def run(con, sql):
+    t0 = time.monotonic()
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    return cols, rows, time.monotonic() - t0
+
+
+def main():
+    mode = sys.argv[1]
+    dumpdir = sys.argv[2]
+    oracle = json.load(open(f"{dumpdir}/oracle_sql.json"))
+    names = sorted(set(CLUSTER_QUERIES) | set(STANDALONE))
+    if mode == "patch":
+        committed_path = f"{dumpdir}/oracle_sql_committed.json"
+        json.dump(oracle, open(committed_path, "w"), indent=1)
+        n = 0
+        for name in names:
+            if name in oracle:
+                oracle[name] = scalable_sql(name, oracle[name])
+                n += 1
+        json.dump(oracle, open(f"{dumpdir}/oracle_sql.json", "w"), indent=1)
+        print(f"patched {n} oracles in {dumpdir}/oracle_sql.json "
+              f"(committed originals -> {committed_path})")
+        return
+    sfdir = sys.argv[3]
+    if len(sys.argv) > 4:
+        names = [n for n in names if n in set(sys.argv[4].split(","))]
+    con = connect(sfdir)
+    fails = 0
+    for name in names:
+        if name not in oracle:
+            print(f"SKIP {name}: not in oracle_sql.json")
+            continue
+        new_sql = scalable_sql(name, oracle[name])
+        ncols, nrows, nt = run(con, new_sql)
+        if mode == "time":
+            print(f"TIME {name}: scalable {nt:.2f}s rows={len(nrows)}",
+                  flush=True)
+            continue
+        ccols, crows, ct = run(con, oracle[name])
+        if ccols != ncols:
+            print(f"FAIL {name}: columns {ncols} != committed {ccols}")
+            fails += 1
+            continue
+        if crows == nrows:
+            print(f"PASS {name}: {len(crows)} rows identical "
+                  f"(committed {ct:.2f}s, scalable {nt:.2f}s)", flush=True)
+        else:
+            bad = sum(1 for a, b in zip(crows, nrows) if a != b) \
+                + abs(len(crows) - len(nrows))
+            print(f"FAIL {name}: {bad} differing rows "
+                  f"(committed {len(crows)}, scalable {len(nrows)})")
+            for a, b in list(zip(crows, nrows))[:5]:
+                if a != b:
+                    print(f"  committed {a} != scalable {b}")
+            fails += 1
+    print(f"{'PROVE' if mode == 'prove' else mode} {sfdir}: "
+          f"{len(names) - fails}/{len(names)} equivalent")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
