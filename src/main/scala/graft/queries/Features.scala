@@ -88,8 +88,10 @@ object Features {
     * Scale shape: ranks come from ParallelRank's range exchange (no
     * single sort task); the bin arithmetic is per-row integer math on the
     * rank; the profile is one bounded hash aggregate. Key packing guards:
-    * |cents| < 2^24 and custkey < 2^20 keep the composite sort key inside
-    * a long with headroom (violations raise, not corrupt).
+    * |cents| < 2^24 and custkey < 2^31 keep the composite sort key inside
+    * a long — 56 bits — with headroom (violations raise, not corrupt; the
+    * original 2^20 custkey bound is the bug the sf10 gate caught at 1.5M
+    * customers).
     */
   private val q120 = QueryDef.sql(
     "exact equal-frequency deciles of customer balance + per-bin profile")(
@@ -108,10 +110,10 @@ object Features {
       .select(round($"c_acctbal" * 100).cast("long").as("cents"), $"c_custkey")
       .withColumn("sk",
         when($"cents" >= (1L << 24) || $"cents" <= -(1L << 24) ||
-            $"c_custkey" >= (1L << 20) || $"c_custkey" < 0L,
+            $"c_custkey" >= (1L << 31) || $"c_custkey" < 0L,
           raise_error(concat(lit("decile key out of packing range: "),
             $"cents", lit("/"), $"c_custkey")))
-          .otherwise(shiftleft($"cents" + (1L << 24), 20) + $"c_custkey"))
+          .otherwise(shiftleft($"cents" + (1L << 24), 31) + $"c_custkey"))
     ParallelRank.rowNumber(keyed, Seq.empty, "sk", rankCol = "rn",
         totalCol = Some("n"), smallGroupsHint = true)
       // NTILE: big = n div k, rem = n mod k; the first rem bins hold

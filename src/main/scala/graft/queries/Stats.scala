@@ -151,11 +151,16 @@ object Stats {
       // customer; the cast to long happens post-aggregate like the oracle
       .agg(round(sum($"l_extendedprice" * 100)).cast("long").as("r"))
       // strict total order (r, c) packed into one sort key; custkey is
-      // guarded < 2^20 and r·2^20 < 2^63 at any plausible revenue
+      // guarded < 2^31 (TPC-H sf1000's 150M customers fit; the 2^20 bound
+      // the sf10 gate broke at 1.5M) and r < 2^32 — $43M revenue per
+      // customer — so r·2^31 + c < 2^63 exactly (violations raise, not
+      // corrupt)
       .withColumn("k",
-        when($"c" >= (1L << 20) || $"c" < 0L,
-          raise_error(concat(lit("gini: custkey out of 2^20 range: "), $"c")))
-          .otherwise(shiftleft($"r", 20) + $"c"))
+        when($"c" >= (1L << 31) || $"c" < 0L ||
+            $"r" >= (1L << 32) || $"r" < 0L,
+          raise_error(concat(lit("gini: key out of packing range: "),
+            $"r", lit("/"), $"c")))
+          .otherwise(shiftleft($"r", 31) + $"c"))
     ParallelRank.rowNumber(rev, Seq.empty, "k", rankCol = "i",
         smallGroupsHint = true)
       .agg(count(lit(1)).as("n"), sum($"r").as("total_cents"),

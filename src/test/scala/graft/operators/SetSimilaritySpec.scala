@@ -67,6 +67,39 @@ class SetSimilaritySpec extends SparkSpec {
     assert(jac.count() == 0, "jaccard at the same threshold must miss the paste")
   }
 
+  test("exact-duplicate groups expand to every member pair (contraction path)") {
+    val s = spark
+    import s.implicits._
+    // 3 copies of a 10-token doc, 2 copies of a 60%-similar doc, and 2
+    // copies of a <3-token doc (empty 3-shingle set: identical copies must
+    // NOT pair — the committed semantics the expansion has to preserve)
+    val a = (1 to 10).map(i => s"w$i").mkString(" ")
+    val b = ((1 to 8).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
+    val df = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b),
+      (6L, "just two"), (7L, "just two")).toDF("id", "text")
+    // ground truth: the full-index join (no contraction), thresholded
+    val truth = Dedup.jaccardPairs(df, "id", "text", n = 3)
+      .filter(lit(2L) * col("inter") >= col("na") + col("nb") - col("inter"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val got = SetSimilarity.prefixJaccardPairs(df, "id", "text", 3, 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(got == truth)
+    // the expansion really fired: all 3+1 within-group pairs and all 6
+    // cross pairs, nothing from the shingle-less duplicates
+    assert(got.size == 10)
+    assert(got.contains((1L, 2L, 8L, 8L, 8L)) && got.contains((1L, 4L, 6L, 8L, 8L)))
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L || p._1 == 7L || p._2 == 7L))
+    // containment: ordered within pairs both ways + both cross directions
+    val cont = SetSimilarity.containmentPairs(df, "id", "text", 3, 7, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(cont.contains((2L, 1L, 8L)) && cont.contains((1L, 2L, 8L)))
+    assert(cont.contains((4L, 1L, 6L)) && cont.contains((1L, 4L, 6L)))
+    assert(cont.size == 6 + 2 + 12)
+    assert(!cont.exists(p => p._1 >= 6L || p._2 >= 6L))
+  }
+
   test("containmentPairs: prefix-filtered result equals the brute-force set") {
     // ground truth from the unthresholded full-index pair join: every
     // co-shingle pair, thresholded per direction

@@ -173,6 +173,240 @@ SELECT e.vec_id, e.label FROM embeddings e
 LEFT JOIN _ecomp c ON e.vec_id = c.id AND c.id <> c.component
 WHERE c.id IS NULL ORDER BY e.vec_id"""
 
+# ---- Pair-EMISSION oracles (sf10 class) -----------------------------------
+# The pair emitters' outputs grow ~quadratically in the duplicate
+# multiplicity (true output: every member pair), so at sf10 the committed
+# all-pairs formulations are unrunnable while the OUTPUT itself is still
+# only tens of millions of rows. Theorem 1 applies unchanged — every pair
+# predicate and every emitted aux column (inter/sizes/jaccard/hamming/
+# cosine/shared-fingerprints) is a pure function of the two payloads — so
+# the rewrite computes the committed pipeline on one representative per
+# distinct payload and EXPANDS rep pairs to member pairs (output-sized,
+# linear work). Within-group pairs (identical payloads) get the payload's
+# self-aux (full intersection / hamming 0 / self-cosine / own kept-
+# fingerprint count), emitted only when the committed predicate passes for
+# the identical pair. q108's keep filter is the one GLOBAL dependence
+# (fingerprint document-frequency BETWEEN 2 AND 50 counts member docs, not
+# distinct texts) — its rewrite weights each rep's fingerprints by group
+# size, so the member-level frequencies are exact.
+
+# Shared stages: text contraction + rep shingles + rep set sizes.
+DOC_PAIR_STAGES = """CREATE OR REPLACE TEMP TABLE _grp AS
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+  count(*) OVER (PARTITION BY text) AS gsize
+FROM documents;
+CREATE OR REPLACE TEMP TABLE _rsh AS
+WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+    JOIN _grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+SELECT doc_id, s FROM sh;
+CREATE OR REPLACE TEMP TABLE _rsizes AS
+SELECT doc_id, count(*) AS n FROM _rsh GROUP BY 1;
+"""
+
+# Unordered rep Jaccard pairs at a rational threshold; expansion keeps the
+# size columns aligned with the smaller member id exactly as committed.
+def _jaccard_members(tau_num, tau_den):
+    return f"""CREATE OR REPLACE TEMP TABLE _rpairs AS
+WITH p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM _rsh a JOIN _rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+FROM p JOIN _rsizes na ON p.da = na.doc_id
+       JOIN _rsizes nb ON p.db = nb.doc_id
+WHERE {tau_den} * p.inter >= {tau_num} * (na.n + nb.n - p.inter);
+CREATE OR REPLACE TEMP TABLE _members AS
+SELECT least(ga.doc_id, gb.doc_id) AS da,
+  greatest(ga.doc_id, gb.doc_id) AS db, r.inter,
+  CASE WHEN ga.doc_id < gb.doc_id THEN r.na ELSE r.nb END AS na,
+  CASE WHEN ga.doc_id < gb.doc_id THEN r.nb ELSE r.na END AS nb
+FROM _rpairs r JOIN _grp ga ON ga.rep = r.da JOIN _grp gb ON gb.rep = r.db
+UNION ALL
+SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+FROM _grp a JOIN _grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+JOIN _rsizes sz ON sz.doc_id = a.rep;
+"""
+
+Q19_SCALABLE = DOC_PAIR_STAGES + _jaccard_members(5, 10) + """
+SELECT da, db, inter, na, nb,
+  inter::DOUBLE / (na + nb - inter) AS jaccard
+FROM _members ORDER BY da, db"""
+
+Q20_SCALABLE = DOC_PAIR_STAGES + _jaccard_members(9, 10) + """
+SELECT da, db, inter::DOUBLE / (na + nb - inter) AS jaccard
+FROM _members ORDER BY da, db"""
+
+Q94_SCALABLE = DOC_PAIR_STAGES + _jaccard_members(7, 10) + """
+SELECT da, db, inter, na, nb FROM _members ORDER BY da, db"""
+
+# q122: ORDERED containment pairs (10*inter >= 8*na, na = subject's size);
+# within-group ordered pairs always qualify (inter = na), needing only a
+# non-empty shingle set.
+Q122_SCALABLE = DOC_PAIR_STAGES + """CREATE OR REPLACE TEMP TABLE _rp122 AS
+WITH p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+  FROM _rsh a JOIN _rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2)
+SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+FROM p JOIN _rsizes na ON p.da = na.doc_id
+       JOIN _rsizes nb ON p.db = nb.doc_id
+WHERE 10 * p.inter >= 8 * na.n;
+SELECT da, db, inter, na, nb FROM (
+  SELECT ga.doc_id AS da, gb.doc_id AS db, r.inter, r.na, r.nb
+  FROM _rp122 r JOIN _grp ga ON ga.rep = r.da JOIN _grp gb ON gb.rep = r.db
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+  FROM _grp a JOIN _grp b ON a.rep = b.rep AND a.doc_id <> b.doc_id
+  JOIN _rsizes sz ON sz.doc_id = a.rep)
+ORDER BY da, db"""
+
+# q21: simhash is a pure text function; identical texts pair at hamming 0.
+Q21_SCALABLE = """CREATE OR REPLACE TEMP TABLE _sgrp AS
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+  count(*) OVER (PARTITION BY text) AS gsize
+FROM documents;
+CREATE OR REPLACE TEMP TABLE _rsim AS
+WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+    JOIN _sgrp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM reps),
+th AS (SELECT doc_id,
+    cast(list_sum(list_transform(range(1, 16), i ->
+      (strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1)::BIGINT
+        << (4 * (15 - i)))) AS BIGINT) AS h
+  FROM tok),
+bits AS (SELECT doc_id, b,
+    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+  GROUP BY 1, 2)
+SELECT doc_id,
+  cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY 1;
+WITH ck AS (SELECT doc_id, simhash, (simhash >> (15 * ci)) & 32767 AS cv, ci
+  FROM _rsim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)),
+cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+  FROM ck a JOIN ck b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+rp AS (SELECT da, db,
+    cast(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+  FROM cand JOIN _rsim sa ON cand.da = sa.doc_id
+            JOIN _rsim sb ON cand.db = sb.doc_id
+  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)
+SELECT da, db, hamming FROM (
+  SELECT least(ga.doc_id, gb.doc_id) AS da,
+    greatest(ga.doc_id, gb.doc_id) AS db, r.hamming
+  FROM rp r JOIN _sgrp ga ON ga.rep = r.da JOIN _sgrp gb ON gb.rep = r.db
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+  FROM _sgrp a JOIN _sgrp b ON a.rep = b.rep AND a.doc_id < b.doc_id)
+ORDER BY da, db"""
+
+# q35: embedding contraction (nonzero guard as q64); within-group pairs
+# carry the payload's SELF-cosine computed by the committed expression, so
+# the emitted float is bit-identical.
+Q35_SCALABLE = """CREATE OR REPLACE TEMP TABLE _eg2 AS
+WITH grp AS (SELECT vec_id,
+    CASE WHEN list_sum(list_transform(embedding,
+           x -> (x::DOUBLE) * (x::DOUBLE))) > 0
+         THEN 'e:' || CAST(embedding AS VARCHAR)
+         ELSE 'z:' || CAST(vec_id AS VARCHAR) END AS gkey
+  FROM embeddings)
+SELECT vec_id, min(vec_id) OVER (PARTITION BY gkey) AS rep,
+  count(*) OVER (PARTITION BY gkey) AS gsize
+FROM grp;
+CREATE OR REPLACE TEMP TABLE _e35 AS
+WITH reps AS (SELECT e.vec_id, e.embedding FROM embeddings e
+  JOIN _eg2 g ON e.vec_id = g.vec_id WHERE g.vec_id = g.rep),
+pj AS (SELECT p.p AS p, j.j AS j
+  FROM (SELECT unnest(range(0, 48)) AS p) p
+  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+w AS (SELECT p, j,
+    ((cast(list_sum(list_transform(range(1, 16), i ->
+        (strpos('0123456789abcdef',
+           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+  FROM pj),
+planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+  FROM reps e CROSS JOIN planes pl
+  GROUP BY 1, 2),
+cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT da, db,
+  list_cosine_similarity(
+    list_transform(ea.embedding, x -> x::DOUBLE),
+    list_transform(eb.embedding, x -> x::DOUBLE)) AS sim
+FROM cand
+JOIN embeddings ea ON cand.da = ea.vec_id
+JOIN embeddings eb ON cand.db = eb.vec_id
+WHERE list_cosine_similarity(
+    list_transform(ea.embedding, x -> x::DOUBLE),
+    list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35;
+CREATE OR REPLACE TEMP TABLE _eself AS
+SELECT g.vec_id AS rep,
+  list_cosine_similarity(
+    list_transform(e.embedding, x -> x::DOUBLE),
+    list_transform(e.embedding, x -> x::DOUBLE)) AS sim
+FROM embeddings e JOIN _eg2 g ON e.vec_id = g.vec_id
+WHERE g.vec_id = g.rep
+  AND list_cosine_similarity(
+    list_transform(e.embedding, x -> x::DOUBLE),
+    list_transform(e.embedding, x -> x::DOUBLE)) >= 0.35;
+SELECT da, db, cast(sim AS REAL) AS sim FROM (
+  SELECT least(ga.vec_id, gb.vec_id) AS da,
+    greatest(ga.vec_id, gb.vec_id) AS db, r.sim
+  FROM _e35 r JOIN _eg2 ga ON ga.rep = r.da JOIN _eg2 gb ON gb.rep = r.db
+  UNION ALL
+  SELECT a.vec_id, b.vec_id, s.sim
+  FROM _eg2 a JOIN _eg2 b ON a.rep = b.rep AND a.vec_id < b.vec_id
+  JOIN _eself s ON s.rep = a.rep)
+ORDER BY da, db"""
+
+# q108: winnowing fingerprints are a pure text function, but the keep
+# filter counts MEMBER document frequency — rep fingerprints are weighted
+# by group size so the global frequencies are exact.
+Q108_SCALABLE = """CREATE OR REPLACE TEMP TABLE _wgrp AS
+SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+  count(*) OVER (PARTITION BY text) AS gsize
+FROM documents;
+CREATE OR REPLACE TEMP TABLE _rfp AS
+WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+    JOIN _wgrp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+gr AS (SELECT doc_id, list_transform(range(1, greatest(len(t) - 2, 1) + 1),
+         i -> array_to_string(t[i:i+2], ' ')) AS gs FROM tok),
+hs AS (SELECT doc_id, list_transform(gs, g ->
+         cast(list_sum(list_transform(range(1, 16), j ->
+           (strpos('0123456789abcdef', substring(md5(g), j, 1)) - 1)::BIGINT
+             << (4 * (15 - j)))) AS BIGINT)) AS hl FROM gr)
+SELECT doc_id, unnest(list_distinct(list_transform(
+         range(1, greatest(len(hl) - 7, 1) + 1),
+         j -> list_min(hl[j:j+7])))) AS f FROM hs;
+CREATE OR REPLACE TEMP TABLE _rfpk AS
+WITH keep AS (SELECT f FROM _rfp r JOIN _wgrp g ON g.doc_id = r.doc_id
+  GROUP BY f HAVING sum(g.gsize) BETWEEN 2 AND 50)
+SELECT r.doc_id, r.f FROM _rfp r JOIN keep USING (f);
+WITH rp AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+  FROM _rfpk a JOIN _rfpk b ON a.f = b.f AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+rself AS (SELECT doc_id, count(*) AS kept FROM _rfpk GROUP BY 1)
+SELECT da, db, shared FROM (
+  SELECT least(ga.doc_id, gb.doc_id) AS da,
+    greatest(ga.doc_id, gb.doc_id) AS db, r.shared
+  FROM rp r JOIN _wgrp ga ON ga.rep = r.da JOIN _wgrp gb ON gb.rep = r.db
+  WHERE r.shared >= 3
+  UNION ALL
+  SELECT a.doc_id, b.doc_id, s.kept
+  FROM _wgrp a JOIN _wgrp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+  JOIN rself s ON s.doc_id = a.rep
+  WHERE s.kept >= 3)
+ORDER BY da, db"""
+
 # q69: FastSS deletion-neighborhood blocking + exact levenshtein verify.
 Q69_SCALABLE = """CREATE OR REPLACE TEMP TABLE _dv AS
 WITH v AS (
@@ -193,7 +427,14 @@ ORDER BY id_a, id_b"""
 CLUSTER_QUERIES = ["q44_neardup_clusters", "q61_dedup_survivors",
                    "q141_delivery_chain", "q174_curation_flagship"]
 STANDALONE = {"q64_embedding_dedup_survivors": Q64_SCALABLE,
-              "q69_fuzzy_name_join": Q69_SCALABLE}
+              "q69_fuzzy_name_join": Q69_SCALABLE,
+              "q19_jaccard_pairs": Q19_SCALABLE,
+              "q20_minhash_neardups": Q20_SCALABLE,
+              "q21_simhash_neardups": Q21_SCALABLE,
+              "q35_cosine_pairs": Q35_SCALABLE,
+              "q94_prefix_setsim": Q94_SCALABLE,
+              "q108_winnowing_pairs": Q108_SCALABLE,
+              "q122_containment_pairs": Q122_SCALABLE}
 
 
 def scalable_sql(name, committed):
