@@ -127,7 +127,10 @@ object Stats {
     * come from `ParallelRank` (range-exchange row numbers — no
     * single-partition sort anywhere), the index as an exact integer
     * (num, den) pair: G = (2·Σ i·rᵢ − (n+1)·Σ rᵢ) / (n·Σ rᵢ) over revenues
-    * sorted ascending with custkey tie-break.
+    * sorted ascending with custkey tie-break. num/den are carried as
+    * DECIMAL(38,0)/HUGEINT STRINGS (the q99 pattern): Σ i·r ≈ n²·r̄/2
+    * blew int64 at sf10 (~1.35e19 > 2^63) — the second sf-dependent
+    * overflow of this exact shape the scale gates caught.
     */
   private val q101 = QueryDef.sql(
     "exact Gini concentration index of customer revenue (parallel ranks)")(
@@ -138,8 +141,9 @@ object Stats {
       |  GROUP BY 1),
       |rk AS (SELECT c, r, row_number() OVER (ORDER BY r, c) AS i FROM rev)
       |SELECT count(*) AS n, sum(r)::BIGINT AS total_cents,
-      |  (2*sum(i*r) - (count(*)+1)*sum(r))::BIGINT AS gini_num,
-      |  (count(*)*sum(r))::BIGINT AS gini_den
+      |  (2::HUGEINT*sum(i::HUGEINT*r) -
+      |   (count(*)+1)::HUGEINT*sum(r))::VARCHAR AS gini_num,
+      |  (count(*)::HUGEINT*sum(r))::VARCHAR AS gini_den
       |FROM rk""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)
@@ -161,14 +165,16 @@ object Stats {
           raise_error(concat(lit("gini: key out of packing range: "),
             $"r", lit("/"), $"c")))
           .otherwise(shiftleft($"r", 31) + $"c"))
+    val dec = "decimal(38,0)"
     ParallelRank.rowNumber(rev, Seq.empty, "k", rankCol = "i",
         smallGroupsHint = true)
       .agg(count(lit(1)).as("n"), sum($"r").as("total_cents"),
-        (lit(2L) * sum($"i" * $"r")).as("tw"),
-        sum($"r").as("tr"))
+        sum($"i".cast(dec) * $"r").as("sir"),
+        sum($"r".cast(dec)).as("sr"))
       .select($"n", $"total_cents",
-        ($"tw" - ($"n" + 1L) * $"tr").as("gini_num"),
-        ($"n" * $"tr").as("gini_den"))
+        (lit(2).cast(dec) * $"sir" - ($"n" + 1L).cast(dec) * $"sr")
+          .cast("string").as("gini_num"),
+        ($"n".cast(dec) * $"sr").cast("string").as("gini_den"))
   }
 
   /** Weighted curriculum interleave: per-source document ranks spread onto
