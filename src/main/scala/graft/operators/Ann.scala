@@ -624,7 +624,17 @@ object Ann {
       dim: Int = 64, seed: Long = 42L,
       maxBucketSize: Option[Int] = None,
       portable: Boolean = false): DataFrame = {
-    val base = data.select(col(idCol).as("id"), col(embCol).as("emb"))
+    // exact-duplicate contraction (operators.Contraction scaladoc): the
+    // bucket index, candidate explode and cosine verify run on one rep per
+    // distinct NONZERO embedding (identical nonzero vectors share every
+    // sign bucket at cosine exactly 1.0); zero vectors get singleton keys
+    // (no positive threshold admits them) and ride the committed path.
+    // 128-bit md5 over the json rendering — collision-free in practice,
+    // the 16-byte-fingerprint house pattern.
+    val base0 = data.select(col(idCol).as("id"), col(embCol).as("emb"))
+    val ckey = when(exists(col("emb"), x => x =!= lit(0.0f)),
+      md5(to_json(struct(col("emb"))))).otherwise(concat(lit("z:"), col("id")))
+    val (members, base) = Contraction.byKey(base0, "id", ckey)
     // one global plane family (portable: md5-derived, global plane index =
     // band * planesPerBand + bit, replayable in SQL; seeded: per-band
     // Gaussian draws concatenated). When the family fits a long (<= 63
@@ -660,18 +670,35 @@ object Ann {
       }
     val capped = maxBucketSize match {
       case Some(m) =>
-        val hot = banded.groupBy("band", "bucket").count()
-          .filter(col("count") > m).select("band", "bucket")
+        // member-weighted bucket size: each rep's row counts its whole
+        // duplicate group, so the cap's semantics are contraction-invariant
+        val wts = Contraction.repWeights(members)
+        val hot = banded.join(wts, col("id") === col("__wid"))
+          .groupBy("band", "bucket").agg(sum(col("__w")).as("cnt"))
+          .filter(col("cnt") > m).select("band", "bucket")
         banded.join(broadcast(hot), Seq("band", "bucket"), "left_anti")
       case None => banded
     }
     val cand = Dedup.pairsWithinGroups(capped, Seq("band", "bucket")).distinct()
-    cand
+    val repPairs = cand
       .join(base.select(col("id").as("da"), col("emb").as("ea")), "da")
       .join(base.select(col("id").as("db"), col("emb").as("eb")), "db")
       .select(col("da"), col("db"),
         VectorFunctions.cosineSim(col("ea"), col("eb")).as("sim"))
       .filter(col("sim") >= minSim)
+    // within-group pairs: the self-cosine (computed by the same kernel, so
+    // the emitted double is bit-identical to the uncontracted pair's) must
+    // clear the threshold, and under a cap the rep must retain >= 1 bucket
+    val selfOk = base.select(col("id").as("__rep0"),
+        VectorFunctions.cosineSim(col("emb"), col("emb")).as("sim"))
+      .filter(col("sim") >= minSim)
+    val withinAux = maxBucketSize match {
+      case Some(_) =>
+        selfOk.join(capped.select(col("id").as("__rep0")).distinct(), "__rep0")
+      case None => selfOk
+    }
+    Contraction.expandUndirected(repPairs, members)
+      .unionByName(Contraction.withinPairs(members, withinAux, ordered = false))
   }
 
   /** Config auto-pick over a recall audit frame (the q131 shape:

@@ -24,76 +24,29 @@ import graft.functions.TextAnalysis
   */
 object SetSimilarity {
 
-  /** Exact-duplicate contraction (round 12, found by the sf10 gate): both
+  /** Exact-duplicate contraction (round 12, found by the sf10 gate — see
+    * `operators.Contraction` for the theorem and the scale argument): both
     * joins in this object run their candidate + verify pipeline on one
-    * REPRESENTATIVE per distinct text and expand rep pairs to member pairs
-    * afterwards. Sound because every emitted number (inter, na, nb) and
-    * every threshold predicate is a pure function of the two TEXTS:
-    * identical texts have identical shingle sets, so a within-group pair
-    * passes any τ ≤ 1 once the set is non-empty, and a cross-group member
-    * pair carries exactly its rep pair's numbers. The prefix filter's
-    * zero-false-negative guarantee survives the rep-level document
-    * frequencies: the AllPairs/PPJoin proof needs only ONE fixed global
-    * token order shared by all sets — rarest-first is a performance
-    * heuristic, not a correctness requirement.
-    *
-    * Why it matters at scale: on duplicate-heavy corpora (the web-scale
-    * norm; the tiled sf10 gate = 100 copies per text) every posting list
-    * grows by the copy count, so candidate pairs grow by its SQUARE while
-    * true rep pairs do not — the uncontracted q122 verify join, which
-    * carries the two full shingle arrays per candidate, overflowed 78 GB
-    * of spill disk at sf10. Contracted, candidates and the array-carrying
-    * verify stay at rep scale; the expansion joins are output-sized
-    * (member pairs are the true result) and carry 40-byte rows.
-    *
-    * Returns (members(id, rep), repDf(idCol, textCol)) — rep = min member
-    * id per md5(text) group (the 16-byte-fingerprint house pattern; a
-    * collision would need two distinct corpus texts sharing an md5).
-    */
-  private def contraction(df: DataFrame, idCol: String, textCol: String)
-      : (DataFrame, DataFrame) = {
-    val fp = df.select(col(idCol).cast("long").as("id"),
-      md5(col(textCol).cast("binary")).as("__fp"))
-    val grp = fp.groupBy("__fp").agg(min(col("id")).as("rep"))
-    val members = fp.join(grp, "__fp").select(col("id"), col("rep"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val repDf = df.join(
-      members.filter(col("id") === col("rep"))
-        .select(col("id").as(idCol + "__r")),
-      col(idCol) === col(idCol + "__r"))
-      .select(col(idCol), col(textCol))
-    (members, repDf)
-  }
-
-  /** Expand rep-level pairs to member pairs. `ordered` = the rep frame is
-    * directed (containment); undirected frames re-orient so da < db and
-    * swap na/nb to follow the smaller member id. `within` pairs (same
-    * text, non-empty shingle set) carry the full set as the intersection.
+    * representative per distinct text and expand rep pairs to member pairs
+    * afterwards. Sound here because every emitted number (inter, na, nb)
+    * and every threshold predicate is a pure function of the two TEXTS,
+    * and the prefix filter's zero-false-negative guarantee survives the
+    * rep-level document frequencies: the AllPairs/PPJoin proof needs only
+    * ONE fixed global token order shared by all sets — rarest-first is a
+    * performance heuristic, not a correctness requirement. The
+    * uncontracted q122 verify join, which carried the two full shingle
+    * arrays per candidate, overflowed 78 GB of spill disk at sf10.
     */
   private def expand(repPairs: DataFrame, members: DataFrame,
       sets: DataFrame, ordered: Boolean): DataFrame = {
-    val ma = members.select(col("rep").as("da"), col("id").as("ma"))
-    val mb = members.select(col("rep").as("db"), col("id").as("mb"))
-    val joined = repPairs.join(ma, "da").join(mb, "db")
+    val withinAux = sets.filter(col("n") >= 1)
+      .select(col("id").as("__rep0"), col("n").cast("long").as("inter"),
+        col("n").cast("long").as("na"), col("n").cast("long").as("nb"))
     val cross =
-      if (ordered)
-        joined.select(col("ma").as("da"), col("mb").as("db"),
-          col("inter"), col("na"), col("nb"))
-      else
-        joined.select(least(col("ma"), col("mb")).as("da"),
-          greatest(col("ma"), col("mb")).as("db"), col("inter"),
-          when(col("ma") < col("mb"), col("na")).otherwise(col("nb")).as("na"),
-          when(col("ma") < col("mb"), col("nb")).otherwise(col("na")).as("nb"))
-    val pairCond =
-      if (ordered) col("x.id") =!= col("y.id") else col("x.id") < col("y.id")
-    val within = members.as("x")
-      .join(members.as("y"), col("x.rep") === col("y.rep") && pairCond)
-      .join(sets.filter(col("n") >= 1)
-          .select(col("id").as("__rep"), col("n").cast("long").as("__n")),
-        col("x.rep") === col("__rep"))
-      .select(col("x.id").as("da"), col("y.id").as("db"),
-        col("__n").as("inter"), col("__n").as("na"), col("__n").as("nb"))
-    cross.unionByName(within)
+      if (ordered) Contraction.expandDirected(repPairs, members)
+      else Contraction.expandUndirected(repPairs, members, Seq(("na", "nb")))
+    cross.unionByName(
+      Contraction.withinPairs(members, withinAux, ordered = ordered))
   }
 
   /** Document pairs (da < db) whose distinct word-`n`-gram shingle sets
@@ -101,7 +54,7 @@ object SetSimilarity {
     * longs, exact (the threshold compare is an integer cross-
     * multiplication; no doubles anywhere).
     *
-    * Plan shape: exact-duplicate contraction first (see `contraction`),
+    * Plan shape: exact-duplicate contraction first (Contraction.byKey),
     * then the corpus of distinct texts is shingled ONCE into
     * (id, n, hash64) postings (16-byte keys through every exchange — the
     * raw n-grams never leave their scan; a 64-bit collision between two
@@ -118,7 +71,8 @@ object SetSimilarity {
   def prefixJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"bad threshold $tauNum/$tauDen")
-    val (members, repDf) = contraction(df, idCol, textCol)
+    val (members, repDf) = Contraction.byKey(df, idCol,
+      md5(col(textCol).cast("binary")))
     // (id, shs, n) — feeds prefix generation AND both verify sides
     val sets = repDf.select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shs"))
@@ -184,7 +138,8 @@ object SetSimilarity {
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int, tauNum: Int, tauDen: Int): DataFrame = {
     require(tauNum > 0 && tauNum <= tauDen, s"bad threshold $tauNum/$tauDen")
-    val (members, repDf) = contraction(df, idCol, textCol)
+    val (members, repDf) = Contraction.byKey(df, idCol,
+      md5(col(textCol).cast("binary")))
     val sets = repDf.select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shs"))
       .withColumn("n", size(col("shs")))

@@ -407,6 +407,44 @@ SELECT da, db, shared FROM (
   WHERE s.kept >= 3)
 ORDER BY da, db"""
 
+# q139: next-fit packing is a sequential fold, but the RECURSION only needs
+# one step per BIN (not per row): with per-source prefix sums, a bin
+# starting at rn=s with base=cum(s-1) ends just before the first rn whose
+# cum(rn)-base exceeds the budget (fill is monotone, so "first" needs no
+# aggregate — the predecessor row not overflowing identifies it). Docs then
+# attach to the greatest bin start <= their rn via ASOF JOIN. Exactness
+# needs every n_chars >= 1 (the committed fold keeps an oversized doc in a
+# ZERO-fill bin; positive sizes make fill strictly increasing so the case
+# is unreachable) — the guard CTE makes the statement itself fail loudly if
+# the corpus ever violates that.
+Q139_SCALABLE = """CREATE OR REPLACE TEMP TABLE _cs AS
+WITH guard AS (SELECT CASE WHEN min(n_chars) >= 1 THEN 1
+    ELSE error('q139 scalable oracle requires n_chars >= 1') END AS g
+  FROM documents)
+SELECT source, doc_id, n_chars,
+  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+  sum(n_chars::BIGINT) OVER (PARTITION BY source ORDER BY doc_id
+    ROWS UNBOUNDED PRECEDING) AS cum
+FROM documents, guard;
+CREATE OR REPLACE TEMP TABLE _bins AS
+WITH RECURSIVE bins(source, bin, srn, base) AS (
+  SELECT source, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+  FROM _cs WHERE rn = 1
+  UNION ALL
+  SELECT b.source, b.bin + 1, c.rn, cp.cum
+  FROM bins b
+  JOIN _cs c ON c.source = b.source AND c.rn > b.srn
+  JOIN _cs cp ON cp.source = b.source AND cp.rn = c.rn - 1
+  WHERE c.cum - b.base > 2000
+    AND (c.rn = b.srn + 1 OR cp.cum - b.base <= 2000))
+SELECT source, bin, srn FROM bins;
+SELECT source, bin, count(*) AS n_docs, sum(n_chars)::BIGINT AS bin_chars
+FROM (
+  SELECT c.source, c.n_chars, b.bin
+  FROM _cs c ASOF JOIN _bins b
+    ON c.source = b.source AND b.srn <= c.rn)
+GROUP BY 1, 2 ORDER BY 1, 2"""
+
 # q69: FastSS deletion-neighborhood blocking + exact levenshtein verify.
 Q69_SCALABLE = """CREATE OR REPLACE TEMP TABLE _dv AS
 WITH v AS (
@@ -433,6 +471,7 @@ STANDALONE = {"q64_embedding_dedup_survivors": Q64_SCALABLE,
               "q21_simhash_neardups": Q21_SCALABLE,
               "q35_cosine_pairs": Q35_SCALABLE,
               "q94_prefix_setsim": Q94_SCALABLE,
+              "q139_source_packing": Q139_SCALABLE,
               "q108_winnowing_pairs": Q108_SCALABLE,
               "q122_containment_pairs": Q122_SCALABLE}
 
