@@ -46,8 +46,14 @@ object AsOfJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l2.columns.map(col): _*)
 
+    // __r as the final sort key pins the tie-break: among right rows with
+    // EQUAL timestamps the match is the largest payload tuple (lexicographic
+    // in rightPayload order) — without it the window order among ties is
+    // whatever the sort produced, and the sf10 gate's collided-user corpus
+    // (duplicate (key, ts) click rows) showed engine and oracle legally
+    // disagreeing on which tied row "the" latest prior is
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").desc)
+      .orderBy(col(tsCol).asc, col("__side").desc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val joined = l2.unionByName(r3)
       .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
@@ -85,8 +91,10 @@ object AsOfJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }.select(l2.columns.map(col): _*)
 
+    // __r pins the tie-break (see latestPrior): among right rows with
+    // equal timestamps the match is the SMALLEST payload tuple
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(col(tsCol).asc, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val joined = l2.unionByName(r3)
       .withColumn("__match", first(col("__r"), ignoreNulls = true).over(w))

@@ -52,8 +52,14 @@ OFFSETS = {
     "orders": {"o_orderkey": BASE["orders"], "o_custkey": BASE["customer"]},
     "lineitem": {"l_orderkey": BASE["orders"], "l_partkey": BASE["part"],
                  "l_suppkey": BASE["supplier"]},
-    # user_id domain is 0..1499 at sf0.1 (not the customer key space)
-    "events": {"event_id": BASE["events"], "user_id": 1500},
+    # user_id domain derives from the SOURCE data (0..1499 at sf0.1, 10x
+    # per tiling) — the round-12 sf10 run hardcoded 1500 and collided the
+    # copies' users when tiling FROM sf1, silently turning "10x users"
+    # into "10x duplicate events per user"
+    "events": {"event_id": BASE["events"],
+               "user_id": 1 + pc.max(
+                   pq.read_table(f"{src}/events.parquet",
+                                 columns=["user_id"])["user_id"]).as_py()},
     "documents": {"doc_id": BASE["documents"]},
     "embeddings": {"vec_id": BASE["embeddings"]},
 }
