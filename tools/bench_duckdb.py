@@ -20,6 +20,14 @@ import json, os, sys, time
 
 import duckdb
 
+# Baseline numbers in BENCHCMP.md/BASELINE.md are calibrated against
+# DuckDB 1.0.0 — see TESTDATA.md "Oracle instrument version".
+ORACLE_DUCKDB_VERSION = "1.0.0"
+if duckdb.__version__ != ORACLE_DUCKDB_VERSION:
+    print(f"WARN: baseline calibrated for DuckDB {ORACLE_DUCKDB_VERSION}, "
+          f"running {duckdb.__version__} — ratios are not comparable across "
+          f"instrument versions", file=sys.stderr)
+
 oracle_path = sys.argv[1] if len(sys.argv) > 1 else "/tmp/graft_verify/oracle_sql.json"
 sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 # 5 reps to mirror graft.Bench's default (matched median-of-N protocol)

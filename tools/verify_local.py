@@ -25,6 +25,14 @@ import json, sys, math
 import numpy as np
 import duckdb
 
+# The oracle contract (incl. the threads=1 recheck above) is calibrated
+# against DuckDB 1.0.0 — see TESTDATA.md "Oracle instrument version".
+ORACLE_DUCKDB_VERSION = "1.0.0"
+if duckdb.__version__ != ORACLE_DUCKDB_VERSION:
+    print(f"WARN: oracle calibrated for DuckDB {ORACLE_DUCKDB_VERSION}, "
+          f"running {duckdb.__version__} — parallel-window recheck behavior "
+          f"and collapse-query timings may differ", file=sys.stderr)
+
 TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]
 
