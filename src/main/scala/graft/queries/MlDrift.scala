@@ -144,14 +144,23 @@ object MlDrift {
     * user's latest prior click. Union+running-window implementation — one
     * sort per user, no range-join blowup (operators.AsOfJoin); DuckDB's
     * native ASOF JOIN is the oracle. No raw ts in the output (nanos
-    * truncation differs between engines).
+    * truncation differs between engines). DuckDB's pick among DUPLICATE
+    * (user_id, ts) right rows is unspecified, so the oracle pre-reduces
+    * the right side to exactly the engine's pinned tie-break row (the
+    * max payload tuple — AsOfJoin.latestPrior scaladoc): both sides are
+    * then deterministic by construction instead of coupled to whatever a
+    * given DuckDB version happens to emit.
     */
   private val q32 = QueryDef.sql(
     "as-of join: latest prior click per purchase")(
     """SELECT p.event_id AS purchase_id, p.user_id, p.value AS purchase_value,
       |  c.event_id AS click_id, c.value AS click_value
       |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |ASOF JOIN (
+      |  SELECT user_id, ts, event_id, value FROM (
+      |    SELECT user_id, ts, event_id, value, row_number() OVER (
+      |      PARTITION BY user_id, ts ORDER BY event_id DESC, value DESC) AS rn
+      |    FROM events WHERE event_type = 'click') WHERE rn = 1) c
       |  ON p.user_id = c.user_id AND p.ts >= c.ts
       |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
     import s.implicits._

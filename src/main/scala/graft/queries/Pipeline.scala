@@ -343,14 +343,21 @@ object Pipeline {
   /** Forward as-of join (`AsOfJoin.earliestAfter`): each signup matched to
     * the user's earliest purchase at-or-after it — conversion latency. One
     * union + one keyed window (same plan family as q32's backward as-of);
-    * latency is exact integer micros.
+    * latency is exact integer micros. As in q32, the oracle pre-reduces
+    * duplicate (user_id, ts) right rows to the engine's pinned tie-break
+    * (the MIN payload tuple for the forward direction) so both sides are
+    * deterministic by construction.
     */
   private val q83 = QueryDef.sql(
     "forward as-of join: earliest following purchase per signup + latency")(
     """SELECT s.event_id AS signup_id, s.user_id, p.event_id AS conv_id,
       |  epoch_us(p.ts) - epoch_us(s.ts) AS latency_us
       |FROM (SELECT * FROM events WHERE event_type = 'signup') s
-      |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF JOIN (
+      |  SELECT user_id, ts, event_id FROM (
+      |    SELECT user_id, ts, event_id, row_number() OVER (
+      |      PARTITION BY user_id, ts ORDER BY event_id ASC) AS rn
+      |    FROM events WHERE event_type = 'purchase') WHERE rn = 1) p
       |  ON s.user_id = p.user_id AND s.ts <= p.ts
       |ORDER BY signup_id""".stripMargin) { (s, dir) =>
     import s.implicits._
