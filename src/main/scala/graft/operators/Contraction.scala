@@ -35,6 +35,15 @@ object Contraction {
     */
   def byKey(df: DataFrame, idCol: String, key: Column)
       : (DataFrame, DataFrame) = {
+    // members carries the id as long; a non-integral id (e.g. string doc
+    // ids) would CAST to null silently and the expansion joins would then
+    // drop every pair — fail loudly instead (sf10-class silent-wrong
+    // guard; callers with string ids must zip a surrogate long first).
+    import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType, LongType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"Contraction.byKey requires an integral id column; '$idCol' is " +
+        s"$idType — map it to a surrogate long id before contracting")
     val w = Window.partitionBy(col("__ck"))
     val keyed = df.withColumn("__ck", key)
       .withColumn("__rep", min(col(idCol)).over(w))

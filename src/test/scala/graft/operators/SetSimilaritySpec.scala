@@ -77,9 +77,20 @@ class SetSimilaritySpec extends SparkSpec {
     val b = ((1 to 8).map(i => s"w$i") ++ Seq("x1", "x2")).mkString(" ")
     val df = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b),
       (6L, "just two"), (7L, "just two")).toDF("id", "text")
-    // ground truth: the full-index join (no contraction), thresholded
-    val truth = Dedup.jaccardPairs(df, "id", "text", n = 3)
-      .filter(lit(2L) * col("inter") >= col("na") + col("nb") - col("inter"))
+    // ground truth: a genuinely UNCONTRACTED brute-force crossJoin +
+    // array_intersect inline here (Dedup.jaccardPairs was itself rebuilt
+    // onto the contraction path in round 12, so comparing against it would
+    // be contracted-vs-contracted, not contracted-vs-direct)
+    val shingled = df.select(col("id"),
+        graft.functions.TextAnalysis.wordShingles(col("text"), 3).as("shs"))
+      .withColumn("n", size(col("shs")))
+    val truth = shingled.as("x").crossJoin(shingled.as("y"))
+      .filter(col("x.id") < col("y.id"))
+      .select(col("x.id").as("da"), col("y.id").as("db"),
+        size(array_intersect(col("x.shs"), col("y.shs"))).cast("long").as("inter"),
+        col("x.n").cast("long").as("na"), col("y.n").cast("long").as("nb"))
+      .filter(col("inter") > 0 &&
+        lit(2L) * col("inter") >= col("na") + col("nb") - col("inter"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     val got = SetSimilarity.prefixJaccardPairs(df, "id", "text", 3, 5, 10)
