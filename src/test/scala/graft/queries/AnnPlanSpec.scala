@@ -59,6 +59,11 @@ class AnnPlanSpec extends SparkSpec {
     // the plan must read stored codes from disk, not a rebuilt local frame
     assert(p.contains("graft-ivfadc"),
       "q157 no longer scans the on-disk index table")
+    // round 13: the exact-L2 ground truth is the SECOND on-disk side table
+    // (<index>_gt) — both once-per-corpus assets arrive via parquet scans,
+    // no collected memo anywhere in the ANN chain
+    assert(p.contains("_gt"),
+      "q157 no longer scans the on-disk ground-truth side table")
     assert(p.contains("InMemoryTableScan"),
       "candidate frame not pinned (rank and scanned-count must share it)")
     // census: qid window shuffle, hits-join shuffle pair collapses to
