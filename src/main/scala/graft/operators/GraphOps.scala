@@ -377,8 +377,17 @@ object GraphOps extends Logging {
       .join(deg.select(col("node").as("src"), col("deg").as("ds")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dd")), "dst")
     val fwd = struct(col("ds"), col("src")) < struct(col("dd"), col("dst"))
+    // the u endpoint rides unpacked, but its domain must match the packed
+    // side: without this check an id ≥ 2^42 whose degree keeps it forever
+    // on the u side would silently SUCCEED here while the driver dispatch
+    // raises — the two paths must agree that out-of-range ids fail loudly
+    // (found by PackedKeySpec's boundary sweep, round 13)
+    val chk = (n: org.apache.spark.sql.Column) =>
+      when(n >= (1L << 42) || n < 0L,
+        raise_error(concat(lit("triangleCounts: id/degree out of packing "),
+          lit("range: "), n, lit("/0")))).otherwise(n)
     val oriented = keyed.select(
-        when(fwd, col("src")).otherwise(col("dst")).as("u"),
+        chk(when(fwd, col("src")).otherwise(col("dst"))).as("u"),
         when(fwd, pack(col("dd"), col("dst")))
           .otherwise(pack(col("ds"), col("src"))).as("vk"))
       .persist(StorageLevel.MEMORY_AND_DISK)
