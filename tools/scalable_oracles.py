@@ -206,9 +206,10 @@ CREATE OR REPLACE TEMP TABLE _rsizes AS
 SELECT doc_id, count(*) AS n FROM _rsh GROUP BY 1;
 """
 
-# Unordered rep Jaccard pairs at a rational threshold; expansion keeps the
-# size columns aligned with the smaller member id exactly as committed.
-def _jaccard_members(tau_num, tau_den):
+# Unordered rep Jaccard pairs at a rational threshold (reused standalone by
+# q75's parity-split expansion); the full member expansion keeps the size
+# columns aligned with the smaller member id exactly as committed.
+def _rpairs_stage(tau_num, tau_den):
     return f"""CREATE OR REPLACE TEMP TABLE _rpairs AS
 WITH p AS (
   SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
@@ -218,7 +219,11 @@ SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
 FROM p JOIN _rsizes na ON p.da = na.doc_id
        JOIN _rsizes nb ON p.db = nb.doc_id
 WHERE {tau_den} * p.inter >= {tau_num} * (na.n + nb.n - p.inter);
-CREATE OR REPLACE TEMP TABLE _members AS
+"""
+
+
+def _jaccard_members(tau_num, tau_den):
+    return _rpairs_stage(tau_num, tau_den) + """CREATE OR REPLACE TEMP TABLE _members AS
 SELECT least(ga.doc_id, gb.doc_id) AS da,
   greatest(ga.doc_id, gb.doc_id) AS db, r.inter,
   CASE WHEN ga.doc_id < gb.doc_id THEN r.na ELSE r.nb END AS na,
@@ -241,6 +246,33 @@ FROM _members ORDER BY da, db"""
 
 Q94_SCALABLE = DOC_PAIR_STAGES + _jaccard_members(7, 10) + """
 SELECT da, db, inter, na, nb FROM _members ORDER BY da, db"""
+
+# q75: the incremental (reference x batch) near-dup join — committed form
+# splits documents by doc_id parity and all-pairs-joins the two shingle
+# sides, the same collapse shape as q19 (found COLLAPSING at sf10 in round
+# 13: its spill filled the 68 GB volume — the one pair emitter round 12's
+# sweep missed because its committed form still ran at sf1). Theorem 1
+# unchanged: jaccard/inter/sizes are payload-pure, so rep pairs expand to
+# (even member) x (odd member) pairs in both rep orientations, plus the
+# within-group even x odd pairs (identical non-empty texts: J = 1 >= 0.9;
+# empty-shingle reps have no _rsizes row, so the inner join drops them
+# exactly as the committed co-shingle requirement does).
+Q75_SCALABLE = DOC_PAIR_STAGES + _rpairs_stage(9, 10) + """
+CREATE OR REPLACE TEMP TABLE _m75 AS
+SELECT ga.doc_id AS da, gb.doc_id AS db, r.inter, r.na AS na, r.nb AS nb
+FROM _rpairs r JOIN _grp ga ON ga.rep = r.da AND ga.doc_id % 2 = 0
+               JOIN _grp gb ON gb.rep = r.db AND gb.doc_id % 2 = 1
+UNION ALL
+SELECT ga.doc_id, gb.doc_id, r.inter, r.nb, r.na
+FROM _rpairs r JOIN _grp ga ON ga.rep = r.db AND ga.doc_id % 2 = 0
+               JOIN _grp gb ON gb.rep = r.da AND gb.doc_id % 2 = 1
+UNION ALL
+SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+FROM _grp a JOIN _grp b ON a.rep = b.rep AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+JOIN _rsizes sz ON sz.doc_id = a.rep;
+SELECT da, db, inter, na, nb,
+  inter::DOUBLE / (na + nb - inter) AS jaccard
+FROM _m75 ORDER BY da, db"""
 
 # q122: ORDERED containment pairs (10*inter >= 8*na, na = subject's size);
 # within-group ordered pairs always qualify (inter = na), needing only a
@@ -470,6 +502,7 @@ STANDALONE = {"q64_embedding_dedup_survivors": Q64_SCALABLE,
               "q20_minhash_neardups": Q20_SCALABLE,
               "q21_simhash_neardups": Q21_SCALABLE,
               "q35_cosine_pairs": Q35_SCALABLE,
+              "q75_incremental_neardup": Q75_SCALABLE,
               "q94_prefix_setsim": Q94_SCALABLE,
               "q139_source_packing": Q139_SCALABLE,
               "q108_winnowing_pairs": Q108_SCALABLE,
