@@ -33,8 +33,19 @@ sfdir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
 # 5 reps to mirror graft.Bench's default (matched median-of-N protocol)
 reps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
 cap = float(os.environ.get("GRAFT_DUCKDB_TIMEOUT_SEC", "0")) or None
+# GRAFT_DUCKDB_MEMLIMIT (e.g. "48GB"): bound DuckDB's allocator so a
+# collapse-class oracle SPILLS (and the cap's interrupt can land) instead
+# of outgrowing RAM. Found at sf10: q44's recursive-closure CTE reached
+# 130 GB RSS and drew the kernel OOM killer before its 180 s watchdog
+# interrupt took effect — the default limit (80% of RAM) is no bound at
+# all once the box is the limit. Only collapse-class queries ever reach
+# such a limit, and those are capped-and-excluded rows by protocol, so a
+# limit does not perturb the measured (non-capped) surface.
+memlimit = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
 
 con = duckdb.connect()
+if memlimit:
+    con.execute(f"SET memory_limit='{memlimit}'")
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sfdir}/{t}.parquet"
