@@ -384,8 +384,8 @@ object GraphOps extends Logging {
     // (found by PackedKeySpec's boundary sweep, round 13)
     val chk = (n: org.apache.spark.sql.Column) =>
       when(n >= (1L << 42) || n < 0L,
-        raise_error(concat(lit("triangleCounts: id/degree out of packing "),
-          lit("range: "), n, lit("/0")))).otherwise(n)
+        raise_error(concat(lit("triangleCounts: id out of packing "),
+          lit("range: "), n))).otherwise(n)
     val oriented = keyed.select(
         chk(when(fwd, col("src")).otherwise(col("dst"))).as("u"),
         when(fwd, pack(col("dd"), col("dst")))

@@ -74,6 +74,26 @@ class AnnPlanSpec extends SparkSpec {
       "a cross join appeared in the probed-cell scan")
   }
 
+  test("q140: consumes the persisted audit side table through a scan") {
+    // round 14 (VERDICT r13 #4): the audit frame is the THIRD on-disk
+    // side table (<index>_audit) — q140's pick must read it via parquet
+    // scan, with no audit recompute (no cross join, no plane projection)
+    // and no collected-memo rebuild (a LocalTableScan of 6 rows)
+    val p = finalPlan(
+      SparkEntry.queries("q140_ann_config_pick")(spark, sf("sf0.01")))
+    assert(p.contains("_audit"),
+      "q140 no longer scans the on-disk audit side table")
+    // recompute markers: the pick's ONLY cross join is its own broadcast
+    // targets spine; the audit's brute-force ground truth would add a
+    // second, and its IVF assignment carries an argmin — neither may
+    // appear (the targets spine's LocalTableScan is likewise expected,
+    // so that token is not asserted on)
+    assert(count(p, "BroadcastNestedLoopJoin") == 1,
+      "q140 re-ran the brute-force audit ground truth")
+    assert(count(p, "array_min") == 0,
+      "q140 re-ran the IVF assignment (audit recompute)")
+  }
+
   test("q131 audit frame: candidate pin present; fused projections hold") {
     val p = finalPlan(AnnAudit.auditFrame(spark, sf("sf0.01")))
     val imr = p.indexOf("InMemoryTableScan")
