@@ -15,10 +15,18 @@ object Bench {
     // sizes this to data volume instead (GraftSession scaladoc).
     val shuffleParts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
       math.max(cpus.toInt / 8, 1).toString)
+    // Multi-JVM bench leg (round 14, VERDICT r13 #3): SPARK_GRAFT_MASTER=
+    // local-cluster[4,8,16384] times the suite with real executor
+    // processes — closure/result serialization and socket-crossing shuffle
+    // blocks are in the measured path, the one distortion single-JVM
+    // local[N] hides. Default stays local[cpus] (the driver's protocol).
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder = graft.core.GraftSession
       .configure(
-        SparkSession.builder().master(s"local[$cpus]"),
+        SparkSession.builder().master(master),
         shufflePartitions = shuffleParts.toInt)
+    if (master.startsWith("local-cluster"))
+      graft.core.GraftSession.configureLocalCluster(builder, master): Unit
     // AQE off by default FOR THE BENCH ONLY (GraftSession keeps it on —
     // it's the right default at scale): at sf0.1 there is nothing to
     // re-plan, and AQE's per-stage materialization + re-optimization adds

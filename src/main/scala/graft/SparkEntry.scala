@@ -31,5 +31,15 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    all.collect { case (name, QueryDef(_, Some(sql), _)) => name -> sql }.toMap
+    all.collect { case (name, QueryDef(_, Some(sql), _, _)) => name -> sql }.toMap
+
+  /** For the collapse-class queries whose committed oracle is the proven
+    * scalable formulation: the transparent all-pairs SEMANTIC definition.
+    * OracleEquivalenceSpec asserts committed ≡ semantic (exact frames, via
+    * DuckDB) at sf0.01 on every test run.
+    */
+  def semanticOracleSql: Map[String, String] =
+    all.collect {
+      case (name, QueryDef(_, _, _, Some(sql))) => name -> sql
+    }.toMap
 }

@@ -123,6 +123,13 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the collapse class's transparent all-pairs definitions, for tooling
+    // (tools/oracle_equiv_check.py) and inspection — the driver gate reads
+    // only oracle_sql.json, which since round 14 carries the proven
+    // scalable formulations directly (no patch step at any SF)
+    val semantic = SparkEntry.semanticOracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_semantic.json"), semantic)
     spark.stop()
   }
 }

@@ -39,7 +39,7 @@ object Delivery {
     * replays the sequential fold with a recursive CTE; the gated output
     * is per-bin document counts and weight totals.
     */
-  private val q139 = QueryDef.sql(
+  private val q139 = QueryDef.scalableSql(
     "per-source next-fit packing into 2000-char bins, deterministic layout")(
     """WITH RECURSIVE d AS (
       |  SELECT source, doc_id, n_chars,
@@ -57,7 +57,34 @@ object Delivery {
       |         THEN d.n_chars::BIGINT ELSE p.used + d.n_chars END
       |  FROM p JOIN d ON d.source = p.source AND d.rn = p.rn + 1)
       |SELECT source, bin, count(*) AS n_docs, sum(n_chars)::BIGINT AS bin_chars
-      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+    """WITH cs AS MATERIALIZED (
+      |WITH guard AS (SELECT CASE WHEN min(n_chars) >= 1 THEN 1
+      |    ELSE error('q139 scalable oracle requires n_chars >= 1') END AS g
+      |  FROM documents)
+      |SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn,
+      |  sum(n_chars::BIGINT) OVER (PARTITION BY source ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS cum
+      |FROM documents, guard),
+      |bins AS MATERIALIZED (
+      |WITH RECURSIVE bins(source, bin, srn, base) AS (
+      |  SELECT source, CAST(0 AS BIGINT), CAST(1 AS BIGINT), CAST(0 AS BIGINT)
+      |  FROM cs WHERE rn = 1
+      |  UNION ALL
+      |  SELECT b.source, b.bin + 1, c.rn, cp.cum
+      |  FROM bins b
+      |  JOIN cs c ON c.source = b.source AND c.rn > b.srn
+      |  JOIN cs cp ON cp.source = b.source AND cp.rn = c.rn - 1
+      |  WHERE c.cum - b.base > 2000
+      |    AND (c.rn = b.srn + 1 OR cp.cum - b.base <= 2000))
+      |SELECT source, bin, srn FROM bins)
+      |SELECT source, bin, count(*) AS n_docs, sum(n_chars)::BIGINT AS bin_chars
+      |FROM (
+      |  SELECT c.source, c.n_chars, b.bin
+      |  FROM cs c ASOF JOIN bins b
+      |    ON c.source = b.source AND b.srn <= c.rn)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.SequencePacking
     SequencePacking.packGroupsSequential(
@@ -82,56 +109,59 @@ object Delivery {
     * the 4-shard manifest: bins, docs, chars, and an order-independent
     * content checksum per shard.
     */
-  private val q141 = QueryDef.sql(
+  private val q141Tail =
+    s"""surv AS (SELECT d.doc_id, d.source, d.text, d.n_chars FROM documents d
+      |  LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
+      |  WHERE c.id IS NULL),
+      |sf AS (SELECT doc_id, source, n_chars, text,
+      |    string_split(text, ' ') AS t FROM surv),
+      |sg AS (SELECT doc_id, source, n_chars,
+      |  len(list_filter(t, x -> x IN (${Curation.stopList})))::DOUBLE / len(t) AS stop_ratio,
+      |  (length(text) - len(t) + 1)::DOUBLE / len(t) AS mean_tok_len,
+      |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
+      |FROM sf),
+      |sq AS (SELECT doc_id, source, n_chars,
+      |  (1.0::DOUBLE - least(1.0::DOUBLE, abs(stop_ratio - 0.35::DOUBLE) / 0.35::DOUBLE)) * 0.4::DOUBLE
+      |    + (1.0::DOUBLE - least(1.0::DOUBLE, abs(mean_tok_len - 5.0::DOUBLE) / 5.0::DOUBLE)) * 0.3::DOUBLE
+      |    + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio / 0.3::DOUBLE)) * 0.3::DOUBLE AS quality
+      |FROM sg),
+      |sr AS (SELECT doc_id, source, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
+      |FROM sq),
+      |kd AS (SELECT source, doc_id, n_chars,
+      |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |FROM sr WHERE rk <= 10),
+      |pk AS (
+      |  SELECT source, doc_id, n_chars, rn,
+      |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
+      |  FROM kd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
+      |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+      |         THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+      |         THEN k.n_chars::BIGINT ELSE p.used + k.n_chars END
+      |  FROM pk p JOIN kd k ON k.source = p.source AND k.rn = p.rn + 1),
+      |hb AS (SELECT source, bin, doc_id, n_chars,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef',
+      |         substring(md5(source || ':' || CAST(bin AS VARCHAR)), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) % 4 AS shard,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef',
+      |         substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) AS hd
+      |  FROM pk)
+      |SELECT CAST(shard AS INT) AS shard,
+      |  count(DISTINCT source || ':' || CAST(bin AS VARCHAR)) AS n_bins,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+      |  sum(hd & 1073741823)::BIGINT AS checksum
+      |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q141 = QueryDef.scalableSql(
     "end-to-end delivery: exactly-once ingest -> incremental dedup -> quota -> pack -> shard manifest")(
-    s"""${Curation.clusterCtes},
-       |surv AS (SELECT d.doc_id, d.source, d.text, d.n_chars FROM documents d
-       |  LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
-       |  WHERE c.id IS NULL),
-       |sf AS (SELECT doc_id, source, n_chars, text,
-       |    string_split(text, ' ') AS t FROM surv),
-       |sg AS (SELECT doc_id, source, n_chars,
-       |  len(list_filter(t, x -> x IN (${Curation.stopList})))::DOUBLE / len(t) AS stop_ratio,
-       |  (length(text) - len(t) + 1)::DOUBLE / len(t) AS mean_tok_len,
-       |  len(regexp_extract_all(text, '[^a-z0-9 ]'))::DOUBLE / length(text) AS punct_ratio
-       |FROM sf),
-       |sq AS (SELECT doc_id, source, n_chars,
-       |  (1.0::DOUBLE - least(1.0::DOUBLE, abs(stop_ratio - 0.35::DOUBLE) / 0.35::DOUBLE)) * 0.4::DOUBLE
-       |    + (1.0::DOUBLE - least(1.0::DOUBLE, abs(mean_tok_len - 5.0::DOUBLE) / 5.0::DOUBLE)) * 0.3::DOUBLE
-       |    + (1.0::DOUBLE - least(1.0::DOUBLE, punct_ratio / 0.3::DOUBLE)) * 0.3::DOUBLE AS quality
-       |FROM sg),
-       |sr AS (SELECT doc_id, source, n_chars,
-       |  row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rk
-       |FROM sq),
-       |kd AS (SELECT source, doc_id, n_chars,
-       |  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |FROM sr WHERE rk <= 10),
-       |pk AS (
-       |  SELECT source, doc_id, n_chars, rn,
-       |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
-       |  FROM kd WHERE rn = 1
-       |  UNION ALL
-       |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
-       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
-       |         THEN p.bin + 1 ELSE p.bin END,
-       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
-       |         THEN k.n_chars::BIGINT ELSE p.used + k.n_chars END
-       |  FROM pk p JOIN kd k ON k.source = p.source AND k.rn = p.rn + 1),
-       |hb AS (SELECT source, bin, doc_id, n_chars,
-       |    cast(list_sum(list_transform(range(1, 16), i ->
-       |      (strpos('0123456789abcdef',
-       |         substring(md5(source || ':' || CAST(bin AS VARCHAR)), i, 1)) - 1)::BIGINT
-       |        << (4 * (15 - i)))) AS BIGINT) % 4 AS shard,
-       |    cast(list_sum(list_transform(range(1, 16), i ->
-       |      (strpos('0123456789abcdef',
-       |         substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
-       |        << (4 * (15 - i)))) AS BIGINT) AS hd
-       |  FROM pk)
-       |SELECT CAST(shard AS INT) AS shard,
-       |  count(DISTINCT source || ':' || CAST(bin AS VARCHAR)) AS n_bins,
-       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
-       |  sum(hd & 1073741823)::BIGINT AS checksum
-       |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s"${Curation.clusterCtesSemantic},\n${q141Tail}")(
+    s"${Curation.clusterCtes},\n${q141Tail}") { (s, dir) =>
     import s.implicits._
     import graft.functions.TextAnalysis
     import graft.operators.{ConnectedComponents, Dedup, Sampling, SequencePacking}
@@ -218,81 +248,84 @@ object Delivery {
     * boundary materialization a per-query gate never exercises. Wall
     * budget: ≤ the sum of its parts (q61+q172+q173+q37+q139+q136).
     */
-  private val q174 = QueryDef.sql(
+  private val q174Tail =
+    s"""surv AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
+      |  LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
+      |  WHERE c.id IS NULL),
+      |stok AS (SELECT tok.doc_id, tok.t FROM tok
+      |  JOIN surv ON tok.doc_id = surv.doc_id),
+      |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
+      |  FROM stok WHERE len(t) >= 2),
+      |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+      |v AS (SELECT count(DISTINCT x) AS v
+      |  FROM (SELECT unnest(t) AS x FROM stok)),
+      |sc AS (SELECT bg.doc_id,
+      |    CAST(avg(ln((c12.c12 + 1)::DOUBLE
+      |      / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS avg_logp
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
+      |q AS (SELECT surv.doc_id, surv.source, surv.n_chars
+      |  FROM surv JOIN sc ON surv.doc_id = sc.doc_id
+      |  WHERE sc.avg_logp >= CAST(-3.40 AS REAL) AND surv.doc_id >= 20),
+      |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
+      |qsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN q ON sh.doc_id = q.doc_id),
+      |hits AS (SELECT qsh.doc_id, count(b.s) AS n_hits
+      |  FROM qsh LEFT JOIN bench b ON qsh.s = b.s GROUP BY 1),
+      |clean AS (SELECT q.doc_id, q.source, q.n_chars
+      |  FROM q JOIN hits ON q.doc_id = hits.doc_id WHERE hits.n_hits = 0),
+      |tbg AS (SELECT * FROM bg WHERE doc_id % 7 = 0),
+      |c12t AS (SELECT w1, w2, count(*) AS c12t FROM tbg GROUP BY 1, 2),
+      |c1t AS (SELECT w1, count(*) AS c1t FROM tbg GROUP BY 1),
+      |vt AS (SELECT count(DISTINCT x) AS vt
+      |  FROM (SELECT unnest(t) AS x FROM stok WHERE doc_id % 7 = 0)),
+      |dw AS (SELECT bg.doc_id,
+      |    CAST(avg(ln((coalesce(c12t.c12t, 0) + 1)::DOUBLE
+      |          / (coalesce(c1t.c1t, 0) + (SELECT vt FROM vt))::DOUBLE)
+      |      - ln((c12.c12 + 1)::DOUBLE
+      |          / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS log_w
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+      |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
+      |  GROUP BY 1),
+      |sel AS (SELECT clean.source, clean.doc_id, clean.n_chars,
+      |    row_number() OVER (PARTITION BY clean.source
+      |      ORDER BY dw.log_w DESC, clean.doc_id) AS rk
+      |  FROM clean JOIN dw ON clean.doc_id = dw.doc_id),
+      |kd AS (SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      |  FROM sel WHERE rk <= 40),
+      |pk AS (
+      |  SELECT source, doc_id, n_chars, rn,
+      |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
+      |  FROM kd WHERE rn = 1
+      |  UNION ALL
+      |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
+      |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+      |         THEN p.bin + 1 ELSE p.bin END,
+      |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
+      |         THEN k.n_chars::BIGINT ELSE p.used + k.n_chars END
+      |  FROM pk p JOIN kd k ON k.source = p.source AND k.rn = p.rn + 1),
+      |hb AS (SELECT source, bin, doc_id, n_chars,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef',
+      |         substring(md5(source || ':' || CAST(bin AS VARCHAR)), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) % 4 AS shard,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef',
+      |         substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) AS hd
+      |  FROM pk)
+      |SELECT CAST(shard AS INT) AS shard,
+      |  count(DISTINCT source || ':' || CAST(bin AS VARCHAR)) AS n_bins,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
+      |  sum(hd & 1073741823)::BIGINT AS checksum
+      |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private val q174 = QueryDef.scalableSql(
     "curation flagship: dedup -> LM quality -> decontaminate -> DSIR quota -> pack -> shard")(
-    s"""${Curation.clusterCtes},
-       |surv AS (SELECT d.doc_id, d.source, d.n_chars FROM documents d
-       |  LEFT JOIN comp c ON d.doc_id = c.id AND c.id <> c.component
-       |  WHERE c.id IS NULL),
-       |stok AS (SELECT tok.doc_id, tok.t FROM tok
-       |  JOIN surv ON tok.doc_id = surv.doc_id),
-       |bge AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
-       |    i -> {'w1': t[i], 'w2': t[i + 1]})) AS b
-       |  FROM stok WHERE len(t) >= 2),
-       |bg AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bge),
-       |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
-       |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-       |v AS (SELECT count(DISTINCT x) AS v
-       |  FROM (SELECT unnest(t) AS x FROM stok)),
-       |sc AS (SELECT bg.doc_id,
-       |    CAST(avg(ln((c12.c12 + 1)::DOUBLE
-       |      / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS avg_logp
-       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) GROUP BY 1),
-       |q AS (SELECT surv.doc_id, surv.source, surv.n_chars
-       |  FROM surv JOIN sc ON surv.doc_id = sc.doc_id
-       |  WHERE sc.avg_logp >= CAST(-3.40 AS REAL) AND surv.doc_id >= 20),
-       |bench AS (SELECT DISTINCT s FROM sh WHERE doc_id < 20),
-       |qsh AS (SELECT sh.doc_id, sh.s FROM sh JOIN q ON sh.doc_id = q.doc_id),
-       |hits AS (SELECT qsh.doc_id, count(b.s) AS n_hits
-       |  FROM qsh LEFT JOIN bench b ON qsh.s = b.s GROUP BY 1),
-       |clean AS (SELECT q.doc_id, q.source, q.n_chars
-       |  FROM q JOIN hits ON q.doc_id = hits.doc_id WHERE hits.n_hits = 0),
-       |tbg AS (SELECT * FROM bg WHERE doc_id % 7 = 0),
-       |c12t AS (SELECT w1, w2, count(*) AS c12t FROM tbg GROUP BY 1, 2),
-       |c1t AS (SELECT w1, count(*) AS c1t FROM tbg GROUP BY 1),
-       |vt AS (SELECT count(DISTINCT x) AS vt
-       |  FROM (SELECT unnest(t) AS x FROM stok WHERE doc_id % 7 = 0)),
-       |dw AS (SELECT bg.doc_id,
-       |    CAST(avg(ln((coalesce(c12t.c12t, 0) + 1)::DOUBLE
-       |          / (coalesce(c1t.c1t, 0) + (SELECT vt FROM vt))::DOUBLE)
-       |      - ln((c12.c12 + 1)::DOUBLE
-       |          / (c1.c1 + (SELECT v FROM v))::DOUBLE)) AS REAL) AS log_w
-       |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
-       |  LEFT JOIN c12t USING (w1, w2) LEFT JOIN c1t USING (w1)
-       |  GROUP BY 1),
-       |sel AS (SELECT clean.source, clean.doc_id, clean.n_chars,
-       |    row_number() OVER (PARTITION BY clean.source
-       |      ORDER BY dw.log_w DESC, clean.doc_id) AS rk
-       |  FROM clean JOIN dw ON clean.doc_id = dw.doc_id),
-       |kd AS (SELECT source, doc_id, n_chars,
-       |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
-       |  FROM sel WHERE rk <= 40),
-       |pk AS (
-       |  SELECT source, doc_id, n_chars, rn,
-       |    CAST(0 AS BIGINT) AS bin, n_chars::BIGINT AS used
-       |  FROM kd WHERE rn = 1
-       |  UNION ALL
-       |  SELECT k.source, k.doc_id, k.n_chars, k.rn,
-       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
-       |         THEN p.bin + 1 ELSE p.bin END,
-       |    CASE WHEN p.used + k.n_chars > 2000 AND p.used > 0
-       |         THEN k.n_chars::BIGINT ELSE p.used + k.n_chars END
-       |  FROM pk p JOIN kd k ON k.source = p.source AND k.rn = p.rn + 1),
-       |hb AS (SELECT source, bin, doc_id, n_chars,
-       |    cast(list_sum(list_transform(range(1, 16), i ->
-       |      (strpos('0123456789abcdef',
-       |         substring(md5(source || ':' || CAST(bin AS VARCHAR)), i, 1)) - 1)::BIGINT
-       |        << (4 * (15 - i)))) AS BIGINT) % 4 AS shard,
-       |    cast(list_sum(list_transform(range(1, 16), i ->
-       |      (strpos('0123456789abcdef',
-       |         substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1)::BIGINT
-       |        << (4 * (15 - i)))) AS BIGINT) AS hd
-       |  FROM pk)
-       |SELECT CAST(shard AS INT) AS shard,
-       |  count(DISTINCT source || ':' || CAST(bin AS VARCHAR)) AS n_bins,
-       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars,
-       |  sum(hd & 1073741823)::BIGINT AS checksum
-       |FROM hb GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
+    s"${Curation.clusterCtesSemantic},\n${q174Tail}")(
+    s"${Curation.clusterCtes},\n${q174Tail}") { (s, dir) =>
     import s.implicits._
     import graft.operators.{ConnectedComponents, Decontamination, Dedup,
       NgramLm, Sampling, SequencePacking, Sharding}

@@ -329,7 +329,7 @@ object Features {
     * dilutes with the container's size and misses exactly these). See
     * `SetSimilarity.containmentPairs` for the asymmetric prefix filter.
     */
-  private val q122 = QueryDef.sql(
+  private val q122 = QueryDef.scalableSql(
     "containment pairs: docs >=80% shingle-contained in another doc")(
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -345,6 +345,36 @@ object Features {
       |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
       |           JOIN sizes nb ON pairs.db = nb.doc_id
       |WHERE 10*inter >= 8*na.n
+      |ORDER BY da, db""".stripMargin)(
+    """WITH grp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsh AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+      |SELECT doc_id, s FROM sh),
+      |rsizes AS MATERIALIZED (
+      |SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |rp122 AS MATERIALIZED (
+      |WITH p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+      |FROM p JOIN rsizes na ON p.da = na.doc_id
+      |       JOIN rsizes nb ON p.db = nb.doc_id
+      |WHERE 10 * p.inter >= 8 * na.n)
+      |SELECT da, db, inter, na, nb FROM (
+      |  SELECT ga.doc_id AS da, gb.doc_id AS db, r.inter, r.na, r.nb
+      |  FROM rp122 r JOIN grp ga ON ga.rep = r.da JOIN grp gb ON gb.rep = r.db
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+      |  FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id <> b.doc_id
+      |  JOIN rsizes sz ON sz.doc_id = a.rep)
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     graft.operators.SetSimilarity.containmentPairs(

@@ -105,7 +105,7 @@ object Graphs {
     * negatives); the oracle is the exact full-index computation with the
     * threshold as an integer cross-multiplication.
     */
-  private val q94 = QueryDef.sql(
+  private val q94 = QueryDef.scalableSql(
     "prefix-filtered set-similarity join: shingle Jaccard >= 0.7 pairs")(
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i
@@ -121,7 +121,40 @@ object Graphs {
       |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
       |           JOIN sizes nb ON pairs.db = nb.doc_id
       |WHERE 10*inter >= 7*(na.n + nb.n - inter)
-      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      |ORDER BY da, db""".stripMargin)(
+    """WITH grp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsh AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+      |SELECT doc_id, s FROM sh),
+      |rsizes AS MATERIALIZED (
+      |SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |rpairs AS MATERIALIZED (
+      |WITH p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+      |FROM p JOIN rsizes na ON p.da = na.doc_id
+      |       JOIN rsizes nb ON p.db = nb.doc_id
+      |WHERE 10 * p.inter >= 7 * (na.n + nb.n - p.inter)),
+      |members AS MATERIALIZED (
+      |SELECT least(ga.doc_id, gb.doc_id) AS da,
+      |  greatest(ga.doc_id, gb.doc_id) AS db, r.inter,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.na ELSE r.nb END AS na,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.nb ELSE r.na END AS nb
+      |FROM rpairs r JOIN grp ga ON ga.rep = r.da JOIN grp gb ON gb.rep = r.db
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+      |FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+      |JOIN rsizes sz ON sz.doc_id = a.rep)
+      |SELECT da, db, inter, na, nb FROM members ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     SetSimilarity.prefixJaccardPairs(
         Tables(s, dir).documentsFanned, "doc_id", "text", n = 3,

@@ -53,7 +53,7 @@ object Pipeline {
     * exact-verifies. The oracle is the exact cross-pair Jaccard (q20's
     * recall argument: ≥ 1 − 4e-8 at j ≥ 0.9 under 16×4 banding).
     */
-  private val q75 = QueryDef.sql(
+  private val q75 = QueryDef.scalableSql(
     "incremental near-dup: odd-id batch vs even-id reference, j >= 0.9")(
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
@@ -69,7 +69,44 @@ object Pipeline {
       |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
       |           JOIN sizes nb ON pairs.db = nb.doc_id
       |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9
-      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      |ORDER BY da, db""".stripMargin)(
+    """WITH grp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsh AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+      |SELECT doc_id, s FROM sh),
+      |rsizes AS MATERIALIZED (
+      |SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |rpairs AS MATERIALIZED (
+      |WITH p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+      |FROM p JOIN rsizes na ON p.da = na.doc_id
+      |       JOIN rsizes nb ON p.db = nb.doc_id
+      |WHERE 10 * p.inter >= 9 * (na.n + nb.n - p.inter)),
+      |m75 AS MATERIALIZED (
+      |SELECT ga.doc_id AS da, gb.doc_id AS db, r.inter, r.na AS na, r.nb AS nb
+      |FROM rpairs r JOIN grp ga ON ga.rep = r.da AND ga.doc_id % 2 = 0
+      |               JOIN grp gb ON gb.rep = r.db AND gb.doc_id % 2 = 1
+      |UNION ALL
+      |SELECT ga.doc_id, gb.doc_id, r.inter, r.nb, r.na
+      |FROM rpairs r JOIN grp ga ON ga.rep = r.db AND ga.doc_id % 2 = 0
+      |               JOIN grp gb ON gb.rep = r.da AND gb.doc_id % 2 = 1
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+      |FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+      |JOIN rsizes sz ON sz.doc_id = a.rep)
+      |SELECT da, db, inter, na, nb,
+      |  inter::DOUBLE / (na + nb - inter) AS jaccard
+      |FROM m75 ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     val docs = Tables(s, dir).documentsFanned
     Dedup.crossNearDups(

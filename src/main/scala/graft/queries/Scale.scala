@@ -157,7 +157,7 @@ object Scale {
     * test file that stage is ONE task without the fan-out (measured 11.9 s
     * serial vs ~1 s fanned at sf0.1).
     */
-  private val q69 = QueryDef.sql(
+  private val q69 = QueryDef.scalableSql(
     "fuzzy self-join: customer-name pairs within edit distance 1")(
     """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
       |  cast(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
@@ -165,6 +165,21 @@ object Scale {
       |  ON a.c_custkey < b.c_custkey
       |  AND abs(length(a.c_name) - length(b.c_name)) <= 1
       |WHERE levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY id_a, id_b""".stripMargin)(
+    """WITH dv AS MATERIALIZED (
+      |WITH v AS (
+      |  SELECT c_custkey AS id, c_name AS nm,
+      |    unnest(range(0, length(c_name) + 1)) AS i
+      |  FROM customer)
+      |SELECT id, nm,
+      |  CASE WHEN i = 0 THEN nm
+      |       ELSE substr(nm, 1, CAST(i - 1 AS INT))
+      |            || substr(nm, CAST(i + 1 AS INT)) END AS var
+      |FROM v)
+      |SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+      |  cast(levenshtein(a.nm, b.nm) AS BIGINT) AS dist
+      |FROM dv a JOIN dv b ON a.var = b.var AND a.id < b.id
+      |WHERE levenshtein(a.nm, b.nm) <= 1
       |ORDER BY id_a, id_b""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)

@@ -107,7 +107,7 @@ object TextVector {
   /** Exact pairwise n-gram Jaccard near-dups (threshold 0.5) via the shingle
     * inverted-index self-join — the correctness oracle for the LSH path.
     */
-  private val q19 = QueryDef.sql(
+  private val q19 = QueryDef.scalableSql(
     "exact 3-gram Jaccard near-dup pairs (j >= 0.5)")(
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
@@ -122,7 +122,42 @@ object TextVector {
       |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
       |           JOIN sizes nb ON pairs.db = nb.doc_id
       |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.5
-      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      |ORDER BY da, db""".stripMargin)(
+    """WITH grp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsh AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+      |SELECT doc_id, s FROM sh),
+      |rsizes AS MATERIALIZED (
+      |SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |rpairs AS MATERIALIZED (
+      |WITH p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+      |FROM p JOIN rsizes na ON p.da = na.doc_id
+      |       JOIN rsizes nb ON p.db = nb.doc_id
+      |WHERE 10 * p.inter >= 5 * (na.n + nb.n - p.inter)),
+      |members AS MATERIALIZED (
+      |SELECT least(ga.doc_id, gb.doc_id) AS da,
+      |  greatest(ga.doc_id, gb.doc_id) AS db, r.inter,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.na ELSE r.nb END AS na,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.nb ELSE r.na END AS nb
+      |FROM rpairs r JOIN grp ga ON ga.rep = r.da JOIN grp gb ON gb.rep = r.db
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+      |FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+      |JOIN rsizes sz ON sz.doc_id = a.rep)
+      |SELECT da, db, inter, na, nb,
+      |  inter::DOUBLE / (na + nb - inter) AS jaccard
+      |FROM members ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     Dedup.jaccardPairs(Tables(s, dir).documentsFanned, "doc_id", "text", n = 3)
       .filter($"jaccard" >= 0.5)
@@ -134,7 +169,7 @@ object TextVector {
     * oracle is the exact pairwise computation (LSH false-negative probability
     * at j=0.9 with 16 bands x 4 rows is ~4e-8).
     */
-  private val q20 = QueryDef.sql(
+  private val q20 = QueryDef.scalableSql(
     "MinHash+LSH near-dup pairs (j >= 0.9), exact-verified")(
     """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
@@ -148,7 +183,41 @@ object TextVector {
       |FROM pairs JOIN sizes na ON pairs.da = na.doc_id
       |           JOIN sizes nb ON pairs.db = nb.doc_id
       |WHERE inter::DOUBLE / (na.n + nb.n - inter) >= 0.9
-      |ORDER BY da, db""".stripMargin) { (s, dir) =>
+      |ORDER BY da, db""".stripMargin)(
+    """WITH grp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsh AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN grp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM reps),
+      |idx AS (SELECT doc_id, t, unnest(range(1, greatest(len(t) - 1, 1))) AS i FROM tok),
+      |sh AS (SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s FROM idx)
+      |SELECT doc_id, s FROM sh),
+      |rsizes AS MATERIALIZED (
+      |SELECT doc_id, count(*) AS n FROM rsh GROUP BY 1),
+      |rpairs AS MATERIALIZED (
+      |WITH p AS (
+      |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+      |  FROM rsh a JOIN rsh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT p.da, p.db, p.inter, na.n AS na, nb.n AS nb
+      |FROM p JOIN rsizes na ON p.da = na.doc_id
+      |       JOIN rsizes nb ON p.db = nb.doc_id
+      |WHERE 10 * p.inter >= 9 * (na.n + nb.n - p.inter)),
+      |members AS MATERIALIZED (
+      |SELECT least(ga.doc_id, gb.doc_id) AS da,
+      |  greatest(ga.doc_id, gb.doc_id) AS db, r.inter,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.na ELSE r.nb END AS na,
+      |  CASE WHEN ga.doc_id < gb.doc_id THEN r.nb ELSE r.na END AS nb
+      |FROM rpairs r JOIN grp ga ON ga.rep = r.da JOIN grp gb ON gb.rep = r.db
+      |UNION ALL
+      |SELECT a.doc_id, b.doc_id, sz.n, sz.n, sz.n
+      |FROM grp a JOIN grp b ON a.rep = b.rep AND a.doc_id < b.doc_id
+      |JOIN rsizes sz ON sz.doc_id = a.rep)
+      |SELECT da, db, inter::DOUBLE / (na + nb - inter) AS jaccard
+      |FROM members ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     Dedup.minHashNearDups(Tables(s, dir).documentsFanned, "doc_id", "text",
         n = 3, minJaccard = 0.9)
@@ -163,7 +232,7 @@ object TextVector {
     * range, pigeonhole 4x15-bit chunk banding, bit_count(xor) verify. All
     * integer arithmetic — bit-exact across engines.
     */
-  private val q21 = QueryDef.sql(
+  private val q21 = QueryDef.scalableSql(
     "SimHash near-dup pairs (hamming <= 3) via pigeonhole chunk banding")(
     """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
       |th AS (SELECT doc_id,
@@ -187,6 +256,43 @@ object TextVector {
       |FROM cand JOIN sim sa ON cand.da = sa.doc_id
       |          JOIN sim sb ON cand.db = sb.doc_id
       |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+      |ORDER BY da, db""".stripMargin)(
+    """WITH sgrp AS MATERIALIZED (
+      |SELECT doc_id, min(doc_id) OVER (PARTITION BY text) AS rep,
+      |  count(*) OVER (PARTITION BY text) AS gsize
+      |FROM documents),
+      |rsim AS MATERIALIZED (
+      |WITH reps AS (SELECT d.doc_id, d.text FROM documents d
+      |    JOIN sgrp g ON d.doc_id = g.doc_id WHERE g.doc_id = g.rep),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM reps),
+      |th AS (SELECT doc_id,
+      |    cast(list_sum(list_transform(range(1, 16), i ->
+      |      (strpos('0123456789abcdef', substring(md5(t), i, 1)) - 1)::BIGINT
+      |        << (4 * (15 - i)))) AS BIGINT) AS h
+      |  FROM tok),
+      |bits AS (SELECT doc_id, b,
+      |    sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM th CROSS JOIN (SELECT unnest(range(0, 60)) AS b)
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  cast(sum(CASE WHEN s > 0 THEN 1::BIGINT << b ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY 1),
+      |ck AS (SELECT doc_id, simhash, (simhash >> (15 * ci)) & 32767 AS cv, ci
+      |  FROM rsim CROSS JOIN (SELECT unnest(range(0, 4)) AS ci)),
+      |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+      |  FROM ck a JOIN ck b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id),
+      |rp AS (SELECT da, db,
+      |    cast(bit_count(xor(sa.simhash, sb.simhash)) AS INT) AS hamming
+      |  FROM cand JOIN rsim sa ON cand.da = sa.doc_id
+      |            JOIN rsim sb ON cand.db = sb.doc_id
+      |  WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3)
+      |SELECT da, db, hamming FROM (
+      |  SELECT least(ga.doc_id, gb.doc_id) AS da,
+      |    greatest(ga.doc_id, gb.doc_id) AS db, r.hamming
+      |  FROM rp r JOIN sgrp ga ON ga.rep = r.da JOIN sgrp gb ON gb.rep = r.db
+      |  UNION ALL
+      |  SELECT a.doc_id, b.doc_id, CAST(0 AS INT)
+      |  FROM sgrp a JOIN sgrp b ON a.rep = b.rep AND a.doc_id < b.doc_id)
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     // persist the signatures: (id, long) per doc — 16 bytes/doc at any
@@ -431,7 +537,7 @@ object TextVector {
     * cosine; the double-precision threshold compare happens pre-cast in
     * both engines.
     */
-  private val q35 = QueryDef.sql(
+  private val q35 = QueryDef.scalableSql(
     "embedding cosine near-neighbor pairs via multi-band portable sign-LSH")(
     """WITH pj AS (SELECT p.p AS p, j.j AS j
       |  FROM (SELECT unnest(range(0, 48)) AS p) p
@@ -462,6 +568,67 @@ object TextVector {
       |WHERE list_cosine_similarity(
       |    list_transform(ea.embedding, x -> x::DOUBLE),
       |    list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35
+      |ORDER BY da, db""".stripMargin)(
+    """WITH eg2 AS MATERIALIZED (
+      |WITH grp AS (SELECT vec_id,
+      |    CASE WHEN list_sum(list_transform(embedding,
+      |           x -> (x::DOUBLE) * (x::DOUBLE))) > 0
+      |         THEN 'e:' || CAST(embedding AS VARCHAR)
+      |         ELSE 'z:' || CAST(vec_id AS VARCHAR) END AS gkey
+      |  FROM embeddings)
+      |SELECT vec_id, min(vec_id) OVER (PARTITION BY gkey) AS rep,
+      |  count(*) OVER (PARTITION BY gkey) AS gsize
+      |FROM grp),
+      |e35 AS MATERIALIZED (
+      |WITH reps AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      |  JOIN eg2 g ON e.vec_id = g.vec_id WHERE g.vec_id = g.rep),
+      |pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 48)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM reps e CROSS JOIN planes pl
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT da, db,
+      |  list_cosine_similarity(
+      |    list_transform(ea.embedding, x -> x::DOUBLE),
+      |    list_transform(eb.embedding, x -> x::DOUBLE)) AS sim
+      |FROM cand
+      |JOIN embeddings ea ON cand.da = ea.vec_id
+      |JOIN embeddings eb ON cand.db = eb.vec_id
+      |WHERE list_cosine_similarity(
+      |    list_transform(ea.embedding, x -> x::DOUBLE),
+      |    list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35),
+      |eself AS MATERIALIZED (
+      |SELECT g.vec_id AS rep,
+      |  list_cosine_similarity(
+      |    list_transform(e.embedding, x -> x::DOUBLE),
+      |    list_transform(e.embedding, x -> x::DOUBLE)) AS sim
+      |FROM embeddings e JOIN eg2 g ON e.vec_id = g.vec_id
+      |WHERE g.vec_id = g.rep
+      |  AND list_cosine_similarity(
+      |    list_transform(e.embedding, x -> x::DOUBLE),
+      |    list_transform(e.embedding, x -> x::DOUBLE)) >= 0.35)
+      |SELECT da, db, cast(sim AS REAL) AS sim FROM (
+      |  SELECT least(ga.vec_id, gb.vec_id) AS da,
+      |    greatest(ga.vec_id, gb.vec_id) AS db, r.sim
+      |  FROM e35 r JOIN eg2 ga ON ga.rep = r.da JOIN eg2 gb ON gb.rep = r.db
+      |  UNION ALL
+      |  SELECT a.vec_id, b.vec_id, s.sim
+      |  FROM eg2 a JOIN eg2 b ON a.rep = b.rep AND a.vec_id < b.vec_id
+      |  JOIN eself s ON s.rep = a.rep)
       |ORDER BY da, db""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.Ann
@@ -480,7 +647,7 @@ object TextVector {
     * recursive CTE, and keeps rows whose id is absent from the non-min
     * member set.
     */
-  private val q64 = QueryDef.sql(
+  private val q64 = QueryDef.scalableSql(
     "embedding-cosine dedup survivors: vectors minus non-min near-dup members")(
     """WITH RECURSIVE pj AS (SELECT p.p AS p, j.j AS j
       |  FROM (SELECT unnest(range(0, 48)) AS p) p
@@ -516,6 +683,59 @@ object TextVector {
       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY 1)
       |SELECT e.vec_id, e.label FROM embeddings e
       |LEFT JOIN comp c ON e.vec_id = c.id AND c.id <> c.component
+      |WHERE c.id IS NULL ORDER BY e.vec_id""".stripMargin)(
+    """WITH eg2 AS MATERIALIZED (
+      |WITH grp AS (SELECT vec_id,
+      |    CASE WHEN list_sum(list_transform(embedding,
+      |           x -> (x::DOUBLE) * (x::DOUBLE))) > 0
+      |         THEN 'e:' || CAST(embedding AS VARCHAR)
+      |         ELSE 'z:' || CAST(vec_id AS VARCHAR) END AS gkey
+      |  FROM embeddings)
+      |SELECT vec_id, min(vec_id) OVER (PARTITION BY gkey) AS rep,
+      |  count(*) OVER (PARTITION BY gkey) AS gsize
+      |FROM grp),
+      |eredges AS MATERIALIZED (
+      |WITH reps AS (SELECT e.vec_id, e.embedding FROM embeddings e
+      |  JOIN eg2 g ON e.vec_id = g.vec_id WHERE g.vec_id = g.rep),
+      |pj AS (SELECT p.p AS p, j.j AS j
+      |  FROM (SELECT unnest(range(0, 48)) AS p) p
+      |  CROSS JOIN (SELECT unnest(range(0, 64)) AS j) j),
+      |w AS (SELECT p, j,
+      |    ((cast(list_sum(list_transform(range(1, 16), i ->
+      |        (strpos('0123456789abcdef',
+      |           substring(md5('plane_' || p || '_' || j), i, 1)) - 1)::BIGINT
+      |          << (4 * (15 - i)))) AS BIGINT) % 2001) - 1000) / 1000.0 AS wv
+      |  FROM pj),
+      |planes AS (SELECT p, list(wv ORDER BY j) AS wl FROM w GROUP BY p),
+      |bk AS (SELECT e.vec_id, pl.p // 6 AS band,
+      |    cast(sum(CASE WHEN list_sum(list_transform(range(1, 65), j ->
+      |        e.embedding[j]::DOUBLE * pl.wl[j])) >= 0
+      |      THEN 1::BIGINT << (pl.p % 6) ELSE 0 END) AS BIGINT) AS bucket
+      |  FROM reps e CROSS JOIN planes pl
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS da, b.vec_id AS db
+      |  FROM bk a JOIN bk b
+      |    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      |nd AS (SELECT da, db FROM cand
+      |  JOIN reps ea ON cand.da = ea.vec_id
+      |  JOIN reps eb ON cand.db = eb.vec_id
+      |  WHERE list_cosine_similarity(
+      |      list_transform(ea.embedding, x -> x::DOUBLE),
+      |      list_transform(eb.embedding, x -> x::DOUBLE)) >= 0.35)
+      |SELECT da AS src, db AS dst FROM nd
+      |UNION SELECT db AS src, da AS dst FROM nd),
+      |ercomp AS MATERIALIZED (
+      |WITH RECURSIVE reach(id, r) AS (
+      |  SELECT src, src FROM eredges
+      |  UNION
+      |  SELECT e.src, w.r FROM eredges e JOIN reach w ON e.dst = w.id)
+      |SELECT id, min(r) AS component FROM reach GROUP BY 1),
+      |ecomp AS MATERIALIZED (
+      |SELECT g.vec_id AS id, coalesce(rc.component, g.rep) AS component
+      |FROM eg2 g LEFT JOIN ercomp rc ON g.rep = rc.id
+      |WHERE rc.id IS NOT NULL OR g.gsize >= 2)
+      |SELECT e.vec_id, e.label FROM embeddings e
+      |LEFT JOIN ecomp c ON e.vec_id = c.id AND c.id <> c.component
       |WHERE c.id IS NULL ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
     import s.implicits._
     import graft.operators.{Ann, ConnectedComponents}

@@ -68,33 +68,42 @@ NAMES = {"customer": ("c_name", "c_custkey", "Customer#%09d"),
 ROW_GROUP = 262_144  # bounded row groups: both engines split the scan
 
 
-def tile(name: str) -> pa.Table:
-    base = pq.read_table(f"{src}/{name}.parquet")
-    if name in ("region", "nation"):
-        return base  # fixed dimensions at every sf, like TPC-H
-    parts = []
-    for k in range(copies):
-        t = base
-        for col, width in OFFSETS.get(name, {}).items():
-            i = t.schema.get_field_index(col)
-            shifted = pc.add(t.column(col), pa.scalar(k * width,
-                                                      t.schema.field(col).type))
-            t = t.set_column(i, t.schema.field(col), shifted.cast(
-                t.schema.field(col).type))
-        if name in NAMES:
-            ncol, kcol, fmt = NAMES[name]
-            i = t.schema.get_field_index(ncol)
-            keys = t.column(kcol).to_pylist()
-            t = t.set_column(i, t.schema.field(ncol),
-                             pa.array([fmt % v for v in keys], pa.string()))
-        parts.append(t)
-    return pa.concat_tables(parts)
+def tile_copy(base: pa.Table, name: str, k: int) -> pa.Table:
+    t = base
+    for col, width in OFFSETS.get(name, {}).items():
+        i = t.schema.get_field_index(col)
+        shifted = pc.add(t.column(col), pa.scalar(k * width,
+                                                  t.schema.field(col).type))
+        t = t.set_column(i, t.schema.field(col), shifted.cast(
+            t.schema.field(col).type))
+    if name in NAMES:
+        ncol, kcol, fmt = NAMES[name]
+        i = t.schema.get_field_index(ncol)
+        keys = t.column(kcol).to_pylist()
+        t = t.set_column(i, t.schema.field(ncol),
+                         pa.array([fmt % v for v in keys], pa.string()))
+    return t
 
 
 import os
 os.makedirs(out, exist_ok=True)
 for name in ["region", "nation", "customer", "supplier", "part", "orders",
              "lineitem", "events", "documents", "embeddings"]:
-    t = tile(name)
-    pq.write_table(t, f"{out}/{name}.parquet", row_group_size=ROW_GROUP)
-    print(f"{name}: {t.num_rows} rows -> {out}/{name}.parquet")
+    base = pq.read_table(f"{src}/{name}.parquet")
+    path = f"{out}/{name}.parquet"
+    if name in ("region", "nation"):
+        # fixed dimensions at every sf, like TPC-H
+        pq.write_table(base, path, row_group_size=ROW_GROUP)
+        print(f"{name}: {base.num_rows} rows -> {path}")
+        continue
+    # stream one copy at a time (round 14: 1000x tiling would otherwise
+    # hold the whole concatenated table in memory — ~60 GB for lineitem);
+    # per-copy writes keep peak memory at one copy and produce the same
+    # bounded row-group layout
+    rows = 0
+    with pq.ParquetWriter(path, base.schema) as w:
+        for k in range(copies):
+            t = tile_copy(base, name, k)
+            w.write_table(t, row_group_size=ROW_GROUP)
+            rows += t.num_rows
+    print(f"{name}: {rows} rows -> {path}")

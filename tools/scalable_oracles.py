@@ -1,6 +1,17 @@
 #!/usr/bin/env python3
 """Provably-equivalent scalable variants of the collapse-class oracles.
 
+ROUND 14 STATUS — DOCUMENTATION / DERIVATION REFERENCE. The scalable
+formulations derived here were promoted INTO the committed `oracleSql`
+(as single-statement `AS MATERIALIZED` forms — see
+tools/promote_oracles.py and QueryDef.scalableSql): the driver gate and
+verify_local.py now run them directly at every SF with zero patch steps,
+and the committed-vs-semantic equivalence is machine-checked on every
+`sbt test` by OracleEquivalenceSpec via tools/oracle_equiv_check.py.
+This tool remains as the staged temp-table derivation (the theorems
+below are the proof narrative) and still works against PRE-round-14
+dumps whose oracle_sql.json carries the all-pairs forms.
+
 The committed oracle SQL for the near-dup/fuzzy-join family is written as
 the TRANSPARENT spec — all-pairs shingle self-joins and a full transitive-
 closure recursive CTE — and stays the driver-facing gate + timing baseline
