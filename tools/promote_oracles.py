@@ -13,14 +13,19 @@ mechanically — every `CREATE OR REPLACE TEMP TABLE _x AS <body>;` becomes a
 statement's own WITH-list merges after them — then proves the result
 cell-identical to the COMMITTED all-pairs SQL at the SFs where both run.
 
+NOTE: prove/print need a PRE-promotion dump (oracle_sql.json carrying the
+all-pairs forms — the cluster rewrite keys off scalable_oracles.COMP_ANCHOR,
+which the promoted committed SQL no longer contains). Post-promotion, the
+living machine-check is OracleEquivalenceSpec + tools/oracle_equiv_check.py
+over the in-tree (committed, semantic) pairs; this tool documents the
+derivation and reproduces the r14 promotion evidence from the r13 dumps.
+
 Modes:
   python3 tools/promote_oracles.py print <name>          # show converted SQL
   python3 tools/promote_oracles.py prove <dumpDir> <sfDir> [names]
   python3 tools/promote_oracles.py time <dumpDir> <sfDir> [names]
       prove: converted vs committed SQL (exact frame compare)
-      time:  run converted only (for sf>=1 where committed collapses);
-             dumpDir's oracle_sql.json may already BE the converted SQL —
-             pass 'self' to read each query's SQL straight from the dump.
+      time:  run converted only (for sf>=1 where committed collapses)
 """
 import json
 import re
