@@ -11,6 +11,13 @@ import graft.core.Tables
   */
 object Clustering {
 
+  // The iteration joints (q, a_r, c_r) are AS MATERIALIZED: DuckDB 1.0
+  // re-evaluates a plain CTE at every reference, so the chained Lloyd
+  // rounds otherwise compound re-evaluations exponentially in the
+  // iteration depth — at sf10 the un-hinted form ballooned past 66 GB RSS
+  // / 40 GB of spill (round 14, found by the shared-box OOM kill). The
+  // hints change evaluation only, not semantics; d_r/s_r are referenced
+  // once and stay plain.
   private def assignRound(qv: String, cents: String, r: Int): String =
     s"""d$r AS (SELECT $qv.vec_id, c.cell,
        |    (-2 * list_sum(list_transform(range(1, 65),
@@ -18,7 +25,7 @@ object Clustering {
        |      + list_sum(list_transform(c.sv, s -> s * s))::DOUBLE
        |        / (c.n::DOUBLE * c.n) AS d
        |  FROM $qv CROSS JOIN $cents c),
-       |a$r AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+       |a$r AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT vec_id, cell,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cell) AS rn
        |  FROM d$r) WHERE rn = 1)""".stripMargin
 
@@ -26,7 +33,7 @@ object Clustering {
     s"""s$r AS (SELECT a.cell, jj.j AS j, sum(q.v[jj.j])::BIGINT AS s
        |  FROM a$r a JOIN q USING (vec_id)
        |  CROSS JOIN (SELECT unnest(range(1, 65)) AS j) jj GROUP BY 1, 2),
-       |c$r AS (SELECT s$r.cell, list(s ORDER BY j) AS sv, n FROM s$r
+       |c$r AS MATERIALIZED (SELECT s$r.cell, list(s ORDER BY j) AS sv, n FROM s$r
        |  JOIN (SELECT cell, count(*) AS n FROM a$r GROUP BY 1) cn$r
        |    USING (cell)
        |  GROUP BY s$r.cell, n)""".stripMargin
@@ -34,7 +41,7 @@ object Clustering {
   /** k=4, two Lloyd updates, dim 64, grid scale 1000. */
   private val q163 = QueryDef.sql(
     "distributed k-means: 2 exact Lloyd updates, final partition stats")(
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+    s"""WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding,
        |    x -> CAST(floor(x::DOUBLE * 1000 + 0.5) AS BIGINT)) AS v
        |  FROM embeddings),
        |c0 AS (SELECT vec_id::INT AS cell, v AS sv, 1::BIGINT AS n

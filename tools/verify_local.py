@@ -43,6 +43,14 @@ only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
 
 def connect(threads=None):
     c = duckdb.connect()
+    # GRAFT_DUCKDB_MEMLIMIT (e.g. "24GB"): bound the allocator so a heavy
+    # oracle SPILLS instead of drawing the kernel OOM killer when the box
+    # is shared (round 14: the sf10 leg at default 80%-of-RAM died at
+    # 66 GB RSS next to a large probe JVM). Same knob as bench_duckdb.py.
+    import os
+    ml = os.environ.get("GRAFT_DUCKDB_MEMLIMIT")
+    if ml:
+        c.execute(f"SET memory_limit='{ml}'")
     if threads:
         c.execute(f"SET threads={threads}")
     for t in TABLES:
