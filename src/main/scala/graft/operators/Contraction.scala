@@ -86,6 +86,24 @@ object Contraction {
     repPairs.join(ma, "da").join(mb, "db").select(outCols: _*)
   }
 
+  /** Expand CROSS-corpus rep pairs (da from side A's reps, db from side
+    * B's) to member pairs keeping the orientation — the q75 shape, where
+    * the two sides are contracted independently and identical texts ACROSS
+    * sides already meet as a rep-level pair (each side's rep carries the
+    * text, so the banded join emits the pair and the exact verify scores
+    * it 1.0), leaving no within-group special case at all. Aux columns are
+    * payload-pure and ride unchanged.
+    */
+  def expandCross(repPairs: DataFrame, membersA: DataFrame,
+      membersB: DataFrame): DataFrame = {
+    val ma = membersA.select(col("rep").as("da"), col("id").as("__ma"))
+    val mb = membersB.select(col("rep").as("db"), col("id").as("__mb"))
+    val aux = repPairs.columns.toSeq.filterNot(c => c == "da" || c == "db")
+    repPairs.join(ma, "da").join(mb, "db")
+      .select(col("__ma").as("da") +: col("__mb").as("db") +:
+        aux.map(col): _*)
+  }
+
   /** Expand DIRECTED rep pairs: member pairs keep the rep orientation. */
   def expandDirected(repPairs: DataFrame, members: DataFrame): DataFrame = {
     val ma = members.select(col("rep").as("da"), col("id").as("__ma"))

@@ -215,6 +215,40 @@ class ContractionSpec extends SparkSpec {
     }
   }
 
+  test("crossNearDups equals the uncontracted cross-band pipeline (r14 contraction)") {
+    val s = spark
+    import s.implicits._
+    // the round-14 rebuild (found by the sf100 probe: uncontracted, the
+    // even x odd candidate join exploded quadratically in the duplicate
+    // multiplicity). Reference = the pre-r14 pipeline over the FULL member
+    // sides; thresholds below the design point make LSH misses legal, and
+    // cross-side identical texts must still pair at jaccard 1.0 through
+    // the rep-level candidate (no within-group special case exists here).
+    for (seed <- Seq(41, 42); tau <- Seq(0.3, 0.8)) {
+      val corpus = textCorpus(seed, 8)
+      val df = corpus.toDF("id", "text")
+      val ref = df.filter(col("id") % 2 === 0)
+      val batch = df.filter(col("id") % 2 === 1)
+      val refSets = Dedup.shingleSets(ref, "id", "text", n = 3)
+      val batchSets = Dedup.shingleSets(batch, "id", "text", n = 3)
+      def keys(sets: DataFrame) = Dedup.bandKeys(Dedup.minHashSignatures(
+        sets.select(col("id"), explode(col("shs")).as("s"))))
+      val cand = keys(refSets).as("a")
+        .join(keys(batchSets).as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key"))
+        .select(col("a.id").as("da"), col("b.id").as("db"))
+        .distinct()
+      val expected = collectRows(
+        Dedup.verifyPairsAcross(cand, refSets, batchSets)
+          .filter(col("jaccard") >= tau),
+        "da", "db", "inter", "na", "nb", "jaccard")
+      val got = collectRows(
+        Dedup.crossNearDups(ref, batch, "id", "text", n = 3, minJaccard = tau),
+        "da", "db", "inter", "na", "nb", "jaccard")
+      assert(got == expected, s"seed=$seed tau=$tau")
+    }
+  }
+
   // ---- simHash ---------------------------------------------------------------
 
   test("simHashNearDups equals brute force; NULL signatures never pair") {
