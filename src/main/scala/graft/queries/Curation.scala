@@ -113,10 +113,13 @@ object Curation {
     s"$clusterCtesSemantic\n$q44Tail")(
     s"$clusterCtes\n$q44Tail") { (s, dir) =>
     import s.implicits._
-    val pairs = Dedup.minHashNearDups(Tables(s, dir).documentsFanned,
-        "doc_id", "text", n = 3, minJaccard = 0.9)
-      .select($"da", $"db")
-    ConnectedComponents.clusters(pairs)
+    // contraction path (round 14, sf100 probe): components over VERIFIED
+    // rep pairs + one member-attach join — never a member-pair edge list
+    // (O(multiplicity²) rows per CC label round, ~3e9 at sf100)
+    val comp = Dedup.nearDupComponents(Tables(s, dir).documentsFanned,
+      "doc_id", "text", n = 3, minJaccard = 0.9)
+    val sizes = comp.groupBy($"component").agg(count(lit(1)).as("csize"))
+    comp.join(sizes, "component")
       .select($"id".as("doc_id"), $"component", $"csize")
       .cachedOrdered($"doc_id")
   }
@@ -465,10 +468,10 @@ object Curation {
     s"$clusterCtes\n$q61Tail") { (s, dir) =>
     import s.implicits._
     val docs = Tables(s, dir).documents
-    val pairs = Dedup.minHashNearDups(Tables(s, dir).documentsFanned,
-        "doc_id", "text", n = 3, minJaccard = 0.9)
-      .select($"da", $"db")
-    docs.join(ConnectedComponents.nonSurvivors(pairs)
+    // contraction path (round 14): non-survivors from the rep graph, no
+    // member-pair edge list — see nearDupComponents
+    docs.join(Dedup.nearDupNonSurvivors(Tables(s, dir).documentsFanned,
+          "doc_id", "text", n = 3, minJaccard = 0.9)
         .withColumnRenamed("id", "doc_id"),
       Seq("doc_id"), "left_anti")
       .select($"doc_id", $"source")

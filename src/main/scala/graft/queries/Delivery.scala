@@ -331,15 +331,16 @@ object Delivery {
       NgramLm, Sampling, SequencePacking, Sharding}
     val t = Tables(s, dir)
     val docs = t.documents.select($"doc_id", $"source", $"text", $"n_chars")
-    // 1. corpus-scale near-dup dedup (q61's chain)
-    val pairs = Dedup.minHashNearDups(t.documentsFanned, "doc_id", "text",
-        n = 3, minJaccard = 0.9)
-      .select($"da", $"db")
+    // 1. corpus-scale near-dup dedup (q61's chain) — contraction path
+    //    (round 14): non-survivors from the rep graph, never the
+    //    O(multiplicity²) member-pair edge list
     // pinned: the survivor corpus feeds the fused LM pass and the
     // decontamination probe; released by the harness's per-query
     // clearCache (ParallelRank's discipline)
-    val surv = docs.join(ConnectedComponents.nonSurvivors(pairs)
-        .withColumnRenamed("id", "doc_id"),
+    val surv = docs.join(
+        Dedup.nearDupNonSurvivors(t.documentsFanned, "doc_id", "text",
+            n = 3, minJaccard = 0.9)
+          .withColumnRenamed("id", "doc_id"),
       Seq("doc_id"), "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 2+4. ONE fused LM pass over the deduped corpus emits the quality

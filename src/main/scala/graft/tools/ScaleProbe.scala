@@ -46,6 +46,23 @@ object ScaleProbe {
     df.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Probe-only unordered builders. A gated query whose OUTPUT is itself
+    * corpus-quadratic may end in an ordering exchange that is correct at
+    * the gate's SFs but single-box-impossible at sf100 (q122's smallOrdered
+    * funnels 5.5e9 rows through one partition — ~50 GB of shuffle for rows
+    * the invariant aggregate then collapses). The invariant frame is
+    * order-independent, so probing the same operator expression WITHOUT
+    * the final ordering gates identical math; the gate itself still runs
+    * the ordered form at sf<=10 (hash-exact there).
+    */
+  private def rawBuilders: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+      "q122_containment_pairs" -> ((s, dir) =>
+        graft.operators.SetSimilarity.containmentPairs(
+          graft.core.Tables(s, dir).documentsFanned, "doc_id", "text",
+          n = 3, tauNum = 8, tauDen = 10))
+    )
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, queriesCsv, aggCsv) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -68,7 +85,10 @@ object ScaleProbe {
     val agg = aggCsv.split(",").filter(_.nonEmpty).toSet
     queriesCsv.split(",").filter(_.nonEmpty).foreach { name =>
       val t0 = System.nanoTime()
-      val df = graft.SparkEntry.queries(name)(spark, sfDir)
+      val df =
+        if (agg.contains(name) && rawBuilders.contains(name))
+          rawBuilders(name)(spark, sfDir)
+        else graft.SparkEntry.queries(name)(spark, sfDir)
       val (out, suffix) =
         if (agg.contains(name)) (invariantFrame(df), "__inv") else (df, "")
       out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name$suffix")

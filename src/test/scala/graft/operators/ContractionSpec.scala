@@ -249,6 +249,32 @@ class ContractionSpec extends SparkSpec {
     }
   }
 
+  test("nearDupComponents equals CC over the expanded member pair list (r14)") {
+    val s = spark
+    import s.implicits._
+    // the round-14 rebuild of the cluster family (found by the sf100
+    // probe: CC over member pairs shuffles O(multiplicity²) edges).
+    // Reference = the pre-r14 path: expand ALL member pairs, run the CC
+    // operator on them. Must match label-for-label, including edge-free
+    // short docs (absent), singleton groups (absent), and duplicate
+    // groups with no cross-text edges (own clique, labelled by min id).
+    for (seed <- Seq(51, 52, 53); tau <- Seq(0.3, 0.9)) {
+      val corpus = textCorpus(seed, 8)
+      val df = corpus.toDF("id", "text")
+      val pairs = Dedup.minHashNearDups(df, "id", "text", n = 3,
+          minJaccard = tau)
+        .select(col("da"), col("db"))
+      val expected = collectRows(
+        ConnectedComponents.assign(pairs)
+          .select(col("id"), col("comp").as("component")),
+        "id", "component")
+      val got = collectRows(
+        Dedup.nearDupComponents(df, "id", "text", n = 3, minJaccard = tau),
+        "id", "component")
+      assert(got == expected, s"seed=$seed tau=$tau")
+    }
+  }
+
   // ---- simHash ---------------------------------------------------------------
 
   test("simHashNearDups equals brute force; NULL signatures never pair") {
