@@ -619,11 +619,16 @@ object Ann {
     * drops over-occupied buckets entirely (standard, slightly lossy,
     * off by default) — the skew cap for near-duplicate-heavy corpora.
     */
-  def cosineNearDupPairs(data: DataFrame, idCol: String, embCol: String,
-      minSim: Double, bands: Int = 4, planesPerBand: Int = 12,
-      dim: Int = 64, seed: Long = 42L,
-      maxBucketSize: Option[Int] = None,
-      portable: Boolean = false): DataFrame = {
+  /** Rep-level machinery shared by the pair emitter (cosineNearDupPairs)
+    * and the component family (cosineNearDupComponents): contraction,
+    * fused sign-LSH banding, bucket cap, candidate generation, exact
+    * cosine verify. Returns (members, verified rep pairs at minSim,
+    * within-group aux = reps whose group SELF-pairs qualify).
+    */
+  private def repCosineNearDups(data: DataFrame, idCol: String,
+      embCol: String, minSim: Double, bands: Int, planesPerBand: Int,
+      dim: Int, seed: Long, maxBucketSize: Option[Int],
+      portable: Boolean): (DataFrame, DataFrame, DataFrame) = {
     // exact-duplicate contraction (operators.Contraction scaladoc): the
     // bucket index, candidate explode and cosine verify run on one rep per
     // distinct NONZERO embedding (identical nonzero vectors share every
@@ -697,9 +702,59 @@ object Ann {
         selfOk.join(capped.select(col("id").as("__rep0")).distinct(), "__rep0")
       case None => selfOk
     }
+    (members, repPairs, withinAux)
+  }
+
+  def cosineNearDupPairs(data: DataFrame, idCol: String, embCol: String,
+      minSim: Double, bands: Int = 4, planesPerBand: Int = 12,
+      dim: Int = 64, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None,
+      portable: Boolean = false): DataFrame = {
+    val (members, repPairs, withinAux) = repCosineNearDups(data, idCol,
+      embCol, minSim, bands, planesPerBand, dim, seed, maxBucketSize,
+      portable)
     Contraction.expandUndirected(repPairs, members)
       .unionByName(Contraction.withinPairs(members, withinAux, ordered = false))
   }
+
+  /** Cosine near-dup connected components WITHOUT materializing the member
+    * pair list (round 14, the q64 face of the sf100-probe defect: CC over
+    * expanded member pairs shuffles O(multiplicity²) edges). Identical
+    * nonzero embeddings are cliques at cosine 1.0, so components over the
+    * VERIFIED rep pairs plus one member-attach join reproduce CC over the
+    * expanded pairs exactly — the same theorem the committed q64 oracle's
+    * scalable form uses. Returns (id, component).
+    */
+  def cosineNearDupComponents(data: DataFrame, idCol: String,
+      embCol: String, minSim: Double, bands: Int = 4,
+      planesPerBand: Int = 12, dim: Int = 64, seed: Long = 42L,
+      maxBucketSize: Option[Int] = None,
+      portable: Boolean = false): DataFrame = {
+    val (members, repPairs, withinAux) = repCosineNearDups(data, idCol,
+      embCol, minSim, bands, planesPerBand, dim, seed, maxBucketSize,
+      portable)
+    val repComp = ConnectedComponents
+      .assign(repPairs.select(col("da"), col("db")))
+      .select(col("id").as("__rid"), col("comp"))
+    members
+      .join(repComp, col("rep") === col("__rid"), "left")
+      .join(withinAux.select(col("__rep0")), col("rep") === col("__rep0"),
+        "left")
+      .filter(col("comp").isNotNull ||
+        (col("gsize") >= 2 && col("__rep0").isNotNull))
+      .select(col("id"), coalesce(col("comp"), col("rep")).as("component"))
+  }
+
+  /** Non-minimum members of cosine near-dup components — the embedding-
+    * space dedup drop set (see cosineNearDupComponents).
+    */
+  def cosineNearDupNonSurvivors(data: DataFrame, idCol: String,
+      embCol: String, minSim: Double, bands: Int = 4,
+      planesPerBand: Int = 12, portable: Boolean = false): DataFrame =
+    cosineNearDupComponents(data, idCol, embCol, minSim, bands,
+        planesPerBand, portable = portable)
+      .filter(col("id") =!= col("component"))
+      .select(col("id"))
 
   /** Config auto-pick over a recall audit frame (the q131 shape:
     * `(method, param, k, hits, candidates)` per configuration): for each

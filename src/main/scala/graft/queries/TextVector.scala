@@ -738,12 +738,13 @@ object TextVector {
       |LEFT JOIN ecomp c ON e.vec_id = c.id AND c.id <> c.component
       |WHERE c.id IS NULL ORDER BY e.vec_id""".stripMargin) { (s, dir) =>
     import s.implicits._
-    import graft.operators.{Ann, ConnectedComponents}
-    val pairs = Ann.cosineNearDupPairs(
+    import graft.operators.Ann
+    // contraction path (round 14, sf100 probe): components over verified
+    // rep pairs + one member-attach join, never the O(multiplicity^2)
+    // member-pair edge list
+    val nonSurvivors = Ann.cosineNearDupNonSurvivors(
         Tables(s, dir).embeddingsFanned, "vec_id", "embedding",
         minSim = 0.35, bands = 8, planesPerBand = 6, portable = true)
-      .select($"da", $"db")
-    val nonSurvivors = ConnectedComponents.nonSurvivors(pairs)
       .withColumnRenamed("id", "vec_id")
     Tables(s, dir).embeddings
       .join(nonSurvivors, Seq("vec_id"), "left_anti")

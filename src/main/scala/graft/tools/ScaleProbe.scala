@@ -109,6 +109,11 @@ object ScaleProbe {
       System.err.println(f"[probe] $name done in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       spark.catalog.clearCache()
+      // release the finished query's shuffle files NOW: ContextCleaner
+      // only deletes them once the shuffle dependencies are GC'd, and at
+      // sf100 the accumulated spill of completed queries (40+ GB) pushed
+      // a later query over the box's disk
+      System.gc()
     }
     spark.stop()
   }

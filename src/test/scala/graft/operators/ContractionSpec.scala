@@ -275,6 +275,39 @@ class ContractionSpec extends SparkSpec {
     }
   }
 
+  test("cosineNearDupComponents equals CC over the expanded member pair list (r14)") {
+    val s = spark
+    import s.implicits._
+    // the q64 face of the same rebuild, in embedding space: zero vectors
+    // (never pair), scaled copies (cosine 1.0 across distinct payloads)
+    // and exact-duplicate groups, against CC over the operator's own
+    // expanded pair output
+    for (seed <- Seq(61, 62)) {
+      val rnd = new Random(seed)
+      val base = (0 until 8).map(_ =>
+        Array.fill(8)((rnd.nextInt(9) - 4).toFloat))
+      val vecs = base.flatMap { v =>
+        val copies = 1 + rnd.nextInt(6)
+        Seq.fill(copies)(v) ++
+          (if (rnd.nextBoolean()) Seq(v.map(_ * 2.0f)) else Nil)
+      } ++ Seq(Array.fill(8)(0.0f), Array.fill(8)(0.0f))
+      val rows = rnd.shuffle(vecs.indices.toList).map(_.toLong).zip(vecs)
+      val df = rows.toDF("id", "emb")
+      val pairs = Ann.cosineNearDupPairs(df, "id", "emb", minSim = 0.35,
+          bands = 4, planesPerBand = 6, dim = 8, portable = true)
+        .select(col("da"), col("db"))
+      val expected = collectRows(
+        ConnectedComponents.assign(pairs)
+          .select(col("id"), col("comp").as("component")),
+        "id", "component")
+      val got = collectRows(
+        Ann.cosineNearDupComponents(df, "id", "emb", minSim = 0.35,
+          bands = 4, planesPerBand = 6, dim = 8, portable = true),
+        "id", "component")
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
   // ---- simHash ---------------------------------------------------------------
 
   test("simHashNearDups equals brute force; NULL signatures never pair") {
