@@ -99,7 +99,15 @@ for name in names:
         sql = invariant_sql(oracle[name], schema)
     else:
         sql = oracle[name]
-    cur, dt, was_capped = run_capped(con, sql)
+    try:
+        cur, dt, was_capped = run_capped(con, sql)
+    except Exception as e:
+        # a spill-volume or memory failure is an ORACLE-capacity finding,
+        # not a comparison failure — report and fall back like a cap
+        print(f"CAPPED {name}: oracle error: {str(e).splitlines()[0]} "
+              f"(fall back to tiling invariants)", flush=True)
+        capped_n += 1
+        continue
     if was_capped:
         print(f"CAPPED {name}: oracle exceeded {cap:.0f}s "
               f"(fall back to tiling invariants)", flush=True)
