@@ -58,8 +58,22 @@ object StreamGate {
   private def withDripConf[T](s: org.apache.spark.sql.SparkSession,
       partitions: Option[Int] = None)(body: => T): T = {
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val prevNoData =
-      s.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    val scoped = Seq(
+      // Optimization round 14 (guide §1 measured; NioCheckpointFileManager
+      // scaladoc has the full story): Hadoop's local checkpoint FS forks a
+      // child process per create/rename (shelled chmod/readlink without
+      // the native library) and the 4.1 checksum wrapper doubles the file
+      // count — together they dominated every gate's per-micro-batch
+      // floor (q147 state commit 313 ms -> 6 ms, drip wall 6.8 -> 3.9 s).
+      // The gates' checkpoints are fresh LOCAL temp dirs by construction;
+      // production checkpoints live on HDFS/S3 and keep Spark's default
+      // manager + checksums, so this scope changes no durability story
+      // that exists off-box.
+      "spark.sql.streaming.checkpointFileManagerClass" ->
+        "graft.streaming.NioCheckpointFileManager",
+      "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
+      "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
+    val prevScoped = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
     // partition count is a TRADEOFF, measured per gate shape at sf0.1:
     // store-commit overhead grows with partitions x stores-per-partition,
     // handler parallelism shrinks with fewer. The 4-store stream-stream
@@ -68,15 +82,13 @@ object StreamGate {
     // the session default.
     partitions.foreach(p =>
       s.conf.set("spark.sql.shuffle.partitions", p.toString))
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    scoped.foreach { case (k, v) => s.conf.set(k, v) }
     try body
     finally {
       s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prevNoData match {
-        case Some(v) =>
-          s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
-        case None =>
-          s.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+      prevScoped.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
       }
     }
   }
