@@ -103,9 +103,24 @@ object Scale {
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
     val t = Tables(s, dir)
+    // Optimization round 14 (guide §2.3 + §3.1; plans/r14/q67_*.txt):
+    // (a) the salt hashes ALL left columns, so feeding the full lineitem
+    // row made the scan read 11 columns solely to salt them — project to
+    // the three the query uses (salt = hash of those three: still
+    // deterministic and retry-stable, all the operator requires);
+    // (b) Catalyst broadcast the 8x-replicated dim (1.2M rows), whose
+    // single-threaded driver-side HashedRelation build WAS the query
+    // (ProfileJobs: taskSec 1.04 vs wall 2.34) — and a broadcast join is
+    // the one shape salting exists to avoid (no skew under broadcast).
+    // The shuffle_hash hint restores the production salted shape: both
+    // sides exchange on (key, salt), the hot key spreads over `salt`
+    // tasks by construction. Result identical (the gate certifies
+    // salted == plain join); solo 5-rep wall 1.73 -> 1.09 s at sf0.1.
     SkewJoin.saltedEquiJoin(
-      t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
-      t.orders.select($"o_orderkey", $"o_orderpriority"),
+      t.lineitem.select($"l_orderkey".as("o_orderkey"),
+        $"l_extendedprice", $"l_discount"),
+      t.orders.select($"o_orderkey", $"o_orderpriority")
+        .hint("shuffle_hash"),
       Seq("o_orderkey"), salt = 8)
       .groupBy($"o_orderpriority")
       .agg(sum($"l_extendedprice" * (lit(1) - $"l_discount")).cast("float")
