@@ -50,9 +50,19 @@ object WeightedQuantiles {
     *           column is computed as double (the quantile contracts here
     *           are numeric); weights may be any numeric type.
     */
+  /** `groupCountHint`: expected number of distinct groups — the same plan
+    * hint `DistributedQuantiles.exact` already takes. When absent, an
+    * `approx_count_distinct` pre-pass estimates it for the two-job-vs-
+    * declarative dispatch; that probe is a FULL extra pass over the input
+    * (guide §1.2 — at lake scale a real scan), so callers whose group
+    * column has schema-bounded cardinality (a flag, an enum) should pass
+    * the bound. Dispatch-only: results are identical on every path
+    * (WeightedQuantilesSpec asserts it).
+    */
   def byGroup(df: DataFrame, groupCols: Seq[String], valueCol: String,
       weight: Column, qs: Seq[(String, Int, Int)],
-      distinctValueHint: Option[Long] = None): DataFrame = {
+      distinctValueHint: Option[Long] = None,
+      groupCountHint: Option[Long] = None): DataFrame = {
     val gcols = groupCols.map(col)
     val base = df.select(
       (gcols :+ col(valueCol).cast("double").as(valueCol) :+
@@ -111,7 +121,8 @@ object WeightedQuantiles {
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val estGroups: Long =
       if (groupCols.isEmpty) 1L
-      else df.agg(approx_count_distinct(struct(gcols: _*))).first().getLong(0)
+      else groupCountHint.getOrElse(
+        df.agg(approx_count_distinct(struct(gcols: _*))).first().getLong(0))
     if (estGroups * parts > DistributedQuantiles.DriverPartialsBudget) {
       log.info(s"WeightedQuantiles: ~$estGroups groups x $parts partitions " +
         "exceeds driver-partials budget; running the declarative " +

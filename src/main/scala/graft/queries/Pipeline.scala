@@ -203,11 +203,15 @@ object Pipeline {
     // fan the single-row-group scan out before the range exchange: the
     // boundary-sampling pass and the exchange write otherwise serialize
     // through one task (Tables.fanOut rationale)
+    // groupCountHint (round 14): l_returnflag has 3 values at every SF
+    // (schema invariant) — the hint removes the approx_count_distinct
+    // dispatch probe, a full extra pass over lineitem (guide §1.2)
     WeightedQuantiles.byGroup(
         t.fanOut(t.lineitem
           .select($"l_returnflag", $"l_extendedprice", $"l_quantity")),
         Seq("l_returnflag"), "l_extendedprice", $"l_quantity",
-        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)))
+        Seq(("p25", 1, 4), ("p50", 1, 2), ("p75", 3, 4)),
+        groupCountHint = Some(3L))
       .smallOrdered($"l_returnflag")
   }
 
@@ -670,8 +674,10 @@ object Pipeline {
       .select($"event_type", $"gap")
     val summary = gaps.groupBy($"event_type")
       .agg(count(lit(1)).as("n_gaps"), max($"gap").as("max_gap_us"))
+    // event_type is a 5-value enum at every SF: the hint removes the
+    // dispatch probe's full extra pass over the gap frame (round 14)
     val med = WeightedQuantiles.byGroup(gaps, Seq("event_type"), "gap",
-      lit(1L), Seq(("p50_gap_us", 1, 2)))
+      lit(1L), Seq(("p50_gap_us", 1, 2)), groupCountHint = Some(8L))
     summary.join(med, "event_type")
       .select($"event_type", $"n_gaps", $"max_gap_us", $"p50_gap_us")
       .smallOrdered($"event_type")
