@@ -87,7 +87,18 @@ final case class Tables(spark: SparkSession, dir: String) {
       .getOrElse(math.max(spark.sparkContext.defaultParallelism / 2,
         spark.sessionState.conf.numShufflePartitions))
     if (df.rdd.getNumPartitions * 2 > target) df
-    else df.repartition(target)
+    // hash-partition on the full row rather than round-robin: a keyless
+    // repartition(n) must LOCALLY SORT its input first so retried tasks
+    // reproduce the same row-to-partition assignment (SPARK-23207,
+    // spark.sql.execution.sortBeforeRepartition) — an O(n log n) pass
+    // serialized inside the very single-task scan this fan-out exists to
+    // relieve. Hashing every column is deterministic per row (the
+    // guide-§2.5 prescription), needs no sort, and spreads exact-copy
+    // amplified corpora too (ids differ). Measured round 14 (7-query
+    // fanned-family A/B, 5-rep solo at sf0.1): 9.27 -> 8.29 s suite, with
+    // the CPU drop that proves the sort left (q122 10.9 -> 8.0 s cpu,
+    // q94 12.2 -> 9.2 s cpu).
+    else df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
