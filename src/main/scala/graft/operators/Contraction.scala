@@ -44,6 +44,14 @@ object Contraction {
     require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
       s"Contraction.byKey requires an integral id column; '$idCol' is " +
         s"$idType — map it to a surrogate long id before contracting")
+    // Round-14 A/B note: widening this window's exchange to the fan-out
+    // conf (the Dedup.pairsWithinGroups pattern) was measured and
+    // REJECTED — the contraction shuffle moves full payloads (texts,
+    // vectors) for EVERY family operator, and at 16-wide the family
+    // regressed 8.28 -> 8.93 s (7 of 9 queries slower, CPU +40%): the
+    // reps frame is consumed by one downstream persist, so the wider
+    // window only buys width the operators' own kernel exchanges already
+    // provide, while paying more per-task setup on the biggest shuffle.
     val w = Window.partitionBy(col("__ck"))
     val keyed = df.withColumn("__ck", key)
       .withColumn("__rep", min(col(idCol)).over(w))

@@ -24,6 +24,28 @@ import graft.functions.TextAnalysis
   */
 object SetSimilarity {
 
+  /** Width for the CPU-bound candidate+verify pipeline (round 14, guide
+    * §2): everything downstream of the prefix-rank window — pair
+    * generation, the candidate distinct, the exact `array_intersect`
+    * verify and the member expansion — runs in ONE stage (the joins are
+    * all broadcast and the distinct's (da, db) clustering is already
+    * satisfied by the window's hash-by-id), so the window's exchange is
+    * the single width knob for the whole kernel. That stage wants the
+    * machine's kernel width (the `spark.graft.fanout` convention
+    * `Tables.fanOut` documents), not the session's post-aggregation
+    * shuffle sizing — profiled at sf0.1, q122's verify stage held 59% of
+    * the query's wall at 8 tasks / 3.3× parallelism on 32 cores. The
+    * explicit `repartition(width, $"id")` REPLACES the window's implicit
+    * ENSURE_REQUIREMENTS exchange (hash-by-id either way: same shuffle
+    * count, same bytes, wider), never adds one.
+    */
+  private def verifyWidth(df: DataFrame): Int = {
+    val s = df.sparkSession
+    s.conf.getOption("spark.graft.fanout").map(_.toInt)
+      .getOrElse(math.max(s.sparkContext.defaultParallelism / 2,
+        s.sessionState.conf.numShufflePartitions))
+  }
+
   /** Exact-duplicate contraction (round 12, found by the sf10 gate — see
     * `operators.Contraction` for the theorem and the scale argument): both
     * joins in this object run their candidate + verify pipeline on one
@@ -112,6 +134,7 @@ object SetSimilarity {
       ((lit(tauNum) * col("n") + lit(tauDen) - 1) / lit(tauDen)).cast("int") + lit(1)
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     val prefix = postings.join(freq, "s")
+      .repartition(verifyWidth(sets), col("id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefLen)
       .select(col("id"), col("s"))
@@ -152,6 +175,7 @@ object SetSimilarity {
       ((lit(tauNum) * col("n") + lit(tauDen) - 1) / lit(tauDen)).cast("int") + lit(1)
     val w = Window.partitionBy("id").orderBy(col("df"), col("s"))
     val prefix = postings.join(freq, "s")
+      .repartition(verifyWidth(df), col("id"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= prefLen)
       .select(col("id").as("da"), col("n").cast("long").as("na"), col("s"))

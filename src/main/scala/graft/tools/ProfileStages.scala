@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Per-STAGE anatomy for one query (optimization round 14): task count,
@@ -36,15 +36,27 @@ object ProfileStages {
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "q174_curation_flagship")
       .split(",")
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val taskDur = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        taskDur.computeIfAbsent(t.stageId,
+            _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(Option(t.taskInfo).map(_.duration).getOrElse(0L))
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
         val span = (for {
           a <- i.completionTime; b <- i.submissionTime
         } yield (a - b) / 1000.0).getOrElse(-1.0)
+        val durs = Option(taskDur.get(i.stageId))
+          .map(q => { val a = q.toArray(Array.empty[java.lang.Long])
+            .map(_.longValue); java.util.Arrays.sort(a); a })
+          .getOrElse(Array.empty[Long])
+        val mx = if (durs.isEmpty) 0.0 else durs.last / 1000.0
+        val md = if (durs.isEmpty) 0.0 else durs(durs.length / 2) / 1000.0
         stages.add(f"  stage=${i.stageId}%4d tasks=${i.numTasks}%4d " +
           f"taskSec=${i.taskMetrics.executorRunTime / 1000.0}%7.2f " +
-          f"span=$span%6.2f  ${i.name.take(80)}")
+          f"span=$span%6.2f maxT=$mx%5.2f medT=$md%5.2f  ${i.name.take(60)}")
       }
     })
     names.foreach { name =>
