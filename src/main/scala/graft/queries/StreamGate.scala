@@ -74,12 +74,13 @@ object StreamGate {
       "spark.sql.streaming.checkpoint.fileChecksum.enabled" -> "false",
       "spark.sql.streaming.noDataMicroBatches.enabled" -> "false")
     val prevScoped = scoped.map { case (k, _) => k -> s.conf.getOption(k) }
-    // partition count is a TRADEOFF, measured per gate shape at sf0.1:
-    // store-commit overhead grows with partitions x stores-per-partition,
-    // handler parallelism shrinks with fewer. The 4-store stream-stream
-    // join wins big at 2 (10.6 -> 7.0 s); the 1-store CPU-bound
-    // flatMapGroupsWithState folds LOSE at 2 (q130 2.0 -> 3.4 s) and keep
-    // the session default.
+    // partition count: all gates now follow the session's scale-adaptive
+    // shuffle sizing. q147's old pin at 2 was a TRADEOFF measured when
+    // every store commit forked processes (10.6 -> 7.0 s at 2); with the
+    // NIO checkpoint manager the per-partition commit is ~free and the
+    // re-measured optimum flipped (round 14, 5-rep: 4.10 s at 2, 3.50 at
+    // 4 = session default, 3.44 at 8 with +17% CPU) — the pin is gone,
+    // the hook stays for future per-gate measurements.
     partitions.foreach(p =>
       s.conf.set("spark.sql.shuffle.partitions", p.toString))
     scoped.foreach { case (k, v) => s.conf.set(k, v) }
@@ -414,7 +415,7 @@ object StreamGate {
     // measured 10.6 s at sf0.1 for a few thousand state rows; see
     // withDripConf
     try {
-      withDripConf(s, partitions = Some(2)) {
+      withDripConf(s) {
         val q = joined
           .select($"t_user".as("user_id"), $"touch", $"p_id")
           .writeStream.format("memory").queryName(sink)
