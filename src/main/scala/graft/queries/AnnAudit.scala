@@ -351,10 +351,16 @@ object AnnAudit {
       |FROM exk e LEFT JOIN pqk p ON p.qid = e.qid AND p.vec_id = e.vec_id
       |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, dir) =>
     import s.implicits._
-    val emb = Tables(s, dir).embeddings
-    val queries = emb.filter($"vec_id" < 10)
+    val t = Tables(s, dir)
+    // data side fanned (round 14): pqAdcRecall persists the PQ encode of
+    // the data frame, and over the single-row-group corpus the 128-block
+    // argmin encode plus the ADC scan of the cached frame otherwise run
+    // in ONE task (profiled: one 0.43 s task holding 40% of the wall);
+    // the broadcast query side stays on the raw scan (10 rows).
+    val queries = t.embeddings.filter($"vec_id" < 10)
     val cb = Ann.portableCodebook(dim = 64, subspaces = 8, codewords = 16)
-    Ann.pqAdcRecall(emb, queries, "vec_id", "embedding", k = 10, cb)
+    Ann.pqAdcRecall(t.embeddingsFanned, queries, "vec_id", "embedding",
+        k = 10, cb)
       .smallOrdered($"qid")
   }
 
