@@ -206,10 +206,20 @@ object Scale {
           |  ELSE concat(substring(nm, 1, i - 1), substring(nm, i + 1)) END)"""
           .stripMargin)).as("v"))
       .select($"id", $"nm", xxhash64($"v").as("hv"))
+    val kernelWidth = s.conf.getOption("spark.graft.fanout").map(_.toInt)
+      .getOrElse(math.max(s.sparkContext.defaultParallelism / 2,
+        s.sessionState.conf.numShufflePartitions))
     vars.as("a").join(vars.as("b"),
         $"a.hv" === $"b.hv" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),
         $"a.nm".as("nm_a"), $"b.nm".as("nm_b"))
+      // widen the candidate-distinct exchange to the kernel width (round
+      // 14, the q122 pattern): the exact levenshtein verify runs in the
+      // stage AFTER this exchange, and at the post-agg shuffle sizing it
+      // held 0.41 s of the wall in 4 tasks (1.55 taskSec, even). The
+      // repartition REPLACES the distinct's implicit exchange — same keys,
+      // same bytes, wider stage.
+      .repartition(kernelWidth, $"id_a", $"id_b")
       .distinct()
       .withColumn("dist", levenshtein($"nm_a", $"nm_b").cast("long"))
       .filter($"dist" <= 1)
