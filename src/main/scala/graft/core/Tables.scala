@@ -55,14 +55,23 @@ final case class Tables(spark: SparkSession, dir: String) {
     * (measured at sf0.1: fanning `documents` for every query regressed the
     * one-pass fingerprint profile 0.5→1.2 s).
     */
-  def documentsFanned: DataFrame  = fanOut(t("documents"))
-  def embeddingsFanned: DataFrame = fanOut(t("embeddings"))
+  // keyed on the table's unique id (round 14): a full-row hash would force
+  // EVERY column into the exchange expression, blocking column pruning
+  // through the repartition — fanned consumers that touch two columns were
+  // reading and shuffling all five. A unique id spreads identically
+  // (uniform, deterministic per row, retry-stable, and distinct even under
+  // exact-copy amplified corpora) while the untouched columns prune away.
+  def documentsFanned: DataFrame  =
+    fanOut(t("documents"), Seq(org.apache.spark.sql.functions.col("doc_id")))
+  def embeddingsFanned: DataFrame =
+    fanOut(t("embeddings"), Seq(org.apache.spark.sql.functions.col("vec_id")))
 
   /** For per-row JSON parsing over events (the one events kernel heavy
     * enough to out-cost the fan-out exchange — from_json/get_json_object
     * is ~1 µs/row of Jackson work that otherwise runs inside the single
     * row-group scan task). */
-  def eventsFanned: DataFrame = fanOut(events)
+  def eventsFanned: DataFrame =
+    fanOut(events, Seq(org.apache.spark.sql.functions.col("event_id")))
 
   /** Fan an under-split scan out to the session's parallelism: the test
     * files are single-row-group parquet, which reads as ONE task no matter
@@ -73,7 +82,8 @@ final case class Tables(spark: SparkSession, dir: String) {
     * compute-heavy query paths (e.g. the q12 melt) can opt in for other
     * tables.
     */
-  def fanOut(df: DataFrame): DataFrame = {
+  def fanOut(df: DataFrame,
+      keys: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
     // fan to HALF the executor cores: measured at sf0.1 on 32 cores,
     // 16-way fan-out beats 32-way on BOTH wall and CPU (16 heavier tasks
     // amortize per-task kernel setup better than 32 slivers). Deliberately
@@ -87,18 +97,22 @@ final case class Tables(spark: SparkSession, dir: String) {
       .getOrElse(math.max(spark.sparkContext.defaultParallelism / 2,
         spark.sessionState.conf.numShufflePartitions))
     if (df.rdd.getNumPartitions * 2 > target) df
-    // hash-partition on the full row rather than round-robin: a keyless
-    // repartition(n) must LOCALLY SORT its input first so retried tasks
-    // reproduce the same row-to-partition assignment (SPARK-23207,
+    // hash-partition rather than round-robin: a keyless repartition(n)
+    // must LOCALLY SORT its input first so retried tasks reproduce the
+    // same row-to-partition assignment (SPARK-23207,
     // spark.sql.execution.sortBeforeRepartition) — an O(n log n) pass
     // serialized inside the very single-task scan this fan-out exists to
-    // relieve. Hashing every column is deterministic per row (the
-    // guide-§2.5 prescription), needs no sort, and spreads exact-copy
-    // amplified corpora too (ids differ). Measured round 14 (7-query
+    // relieve. Hashing is deterministic per row (the guide-§2.5
+    // prescription) and needs no sort. Measured round 14 (7-query
     // fanned-family A/B, 5-rep solo at sf0.1): 9.27 -> 8.29 s suite, with
     // the CPU drop that proves the sort left (q122 10.9 -> 8.0 s cpu,
-    // q94 12.2 -> 9.2 s cpu).
-    else df.repartition(target, df.columns.map(org.apache.spark.sql.functions.col): _*)
+    // q94 12.2 -> 9.2 s cpu). `keys` picks the hash columns: the fanned
+    // table accessors pass their unique id so the other columns stay
+    // prunable through the exchange; generic callers (who project the
+    // exact columns they need first) default to the full row.
+    else df.repartition(target,
+      (if (keys.nonEmpty) keys
+       else df.columns.toSeq.map(org.apache.spark.sql.functions.col)): _*)
   }
 
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",

@@ -406,7 +406,12 @@ class PlanSpec extends SparkSpec {
     assert(scans == 1, s"$scans documents scans (want 1)")
     assert(p.contains("partial_count") || p.contains("partial_sum"),
       "per-source aggregate not map-side combined")
-    assert(!p.contains("hashpartitioning(doc_id"), "per-doc exchange planned")
+    // no per-doc ENSURE_REQUIREMENTS exchange; the scan fan-out (hash by
+    // doc_id, REPARTITION_BY_NUM — round 14) is width, not clustering
+    assert(!p.linesIterator.exists(l =>
+        l.contains("hashpartitioning(doc_id") &&
+          !l.contains("REPARTITION_BY_NUM")),
+      "per-doc exchange planned")
   }
 
   test("q126: per-customer spans come from ONE orders scan; the max-date " +
@@ -532,5 +537,39 @@ class PlanSpec extends SparkSpec {
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     } finally Seq("graft_q153_lineitem", "graft_q153_orders")
       .foreach(graft.operators.Bucketing.dropWithLocation(spark, _))
+  }
+
+  // ---- round 14: kernel-width exchanges (optimization round) ----------
+  // The pair operators' CPU-bound verify pipelines hang off ONE exchange
+  // each; round 14 replaced those implicit ENSURE_REQUIREMENTS exchanges
+  // with explicit repartitions at the kernel-width conv. These pins keep
+  // the plan shape honest: if a refactor drops the explicit exchange the
+  // verify stage silently collapses back to the post-agg shuffle width.
+
+  test("q122/q94: prefix-rank window exchange is the explicit " +
+    "kernel-width repartition") {
+    for (q <- Seq("q122_containment_pairs", "q94_prefix_setsim")) {
+      val p = plan(q)
+      val hit = p.linesIterator.exists(l =>
+        l.contains("REPARTITION_BY_NUM") && l.contains("hashpartitioning(id#"))
+      assert(hit, s"$q: prefix window exchange not the explicit " +
+        "repartition-by-id:\n" + p.linesIterator.filter(
+          _.contains("hashpartitioning")).mkString("\n"))
+    }
+  }
+
+  test("q69: candidate-distinct exchange is the explicit kernel-width " +
+    "repartition on the pair key") {
+    val p = plan("q69_fuzzy_name_join")
+    val hit = p.linesIterator.exists(l =>
+      l.contains("REPARTITION_BY_NUM") && l.contains("hashpartitioning(id_a#"))
+    assert(hit, "q69: distinct exchange not the explicit repartition:\n" +
+      p.linesIterator.filter(_.contains("hashpartitioning")).mkString("\n"))
+  }
+
+  test("q156: the PQ-ADC data side is fanned (encode not single-task)") {
+    val p = plan("q156_pq_adc_recall")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      "q156: embeddings data side lost its fan-out exchange")
   }
 }
