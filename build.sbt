@@ -16,6 +16,13 @@ Test / fork := true
 // explicitly so a future parallelization doesn't reintroduce the flake.
 Test / testForkedParallel := false
 run / fork := true
+// Forked `run` output goes straight to this process's stdout/stderr instead
+// of through sbt's logger, which prefixes every line with `[info] ` — the
+// reason the driver's bench parser has read `parsed: null` since round 1
+// (BENCH_r*.json archives `[info] {"metric":...}`, which is not JSON).
+// Measurement-path unchanged: same forked JVM, same flags; only the pipe
+// the contract line travels through. (VERDICT r14 "next round" #3.)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

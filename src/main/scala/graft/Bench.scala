@@ -48,6 +48,20 @@ object Bench {
     builder
       .config("spark.sql.execution.ui.enabled", "false")
       .config("spark.sql.constraintPropagation.enabled", "false")
+      // Janino compile cache (STATIC conf, must precede the first session):
+      // the default 100-entry LRU thrashes under a 175-query suite — every
+      // rep recompiled every codegen unit (~500 distinct generated classes
+      // per pass), and each fresh class also re-enters JIT cold. 10k
+      // entries make the sf0.001 warm-up pass populate the cache once and
+      // every timed rep hit it (generated source is schema-dependent, not
+      // data-dependent, so warm-up and timed plans share entries).
+      // Measured round 15 (full-suite 5-rep A/B at sf0.1): total
+      // 84.09 -> 77.69 s, process CPU 297 -> 268 s. Scale-independent:
+      // the compile cache is a driver-side win on any cluster — a real
+      // deployment running a diverse query load wants the same headroom
+      // (~50 KB/entry of class metadata; bounded by distinct plan shapes,
+      // not data).
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
       // the one partitioned table in the corpus (q143's date layout) prunes

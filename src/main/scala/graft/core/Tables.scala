@@ -81,6 +81,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     * groups per executor and the guard makes this a no-op. Public so
     * compute-heavy query paths (e.g. the q12 melt) can opt in for other
     * tables.
+    *
+    * Keyless callers beware (ADVICE r14): the full-row default hashes
+    * `df.columns`, which throws `AnalysisException` on frames with
+    * duplicate column names (e.g. post-join) and sends exact-duplicate
+    * rows to one partition (skew under amplified corpora). Callers with
+    * ambiguous names or heavy duplication must pass explicit `keys`
+    * (ideally a unique id) after projecting the columns they need.
     */
   def fanOut(df: DataFrame,
       keys: Seq[org.apache.spark.sql.Column] = Seq.empty): DataFrame = {
@@ -93,9 +100,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     // explicit conf exists because the bench pins default.parallelism to
     // its (small) shuffle sizing — without it the fan-out silently follows
     // and kernel stages collapse to the shuffle width.
-    val target = spark.conf.getOption("spark.graft.fanout").map(_.toInt)
-      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 2,
-        spark.sessionState.conf.numShufflePartitions))
+    val target = Tables.kernelWidth(spark)
     if (df.rdd.getNumPartitions * 2 > target) df
     // hash-partition rather than round-robin: a keyless repartition(n)
     // must LOCALLY SORT its input first so retried tasks reproduce the
@@ -128,6 +133,18 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  /** Width for CPU-bound scan/verify kernels: the `spark.graft.fanout`
+    * override when set, else half the executor cores (but never below the
+    * session's shuffle sizing). ONE definition (ADVICE r14): `fanOut`,
+    * `SetSimilarity.verifyWidth` and the q69 candidate-distinct width all
+    * used to inline this formula and would have drifted under future
+    * tuning.
+    */
+  def kernelWidth(spark: SparkSession): Int =
+    spark.conf.getOption("spark.graft.fanout").map(_.toInt)
+      .getOrElse(math.max(spark.sparkContext.defaultParallelism / 2,
+        spark.sessionState.conf.numShufflePartitions))
 
   /** Exact epoch microseconds, tolerant of the timestamp flavor the scan
     * produced. Parquet writers vary: the test corpus has shipped `events.ts`

@@ -39,12 +39,8 @@ object SetSimilarity {
     * ENSURE_REQUIREMENTS exchange (hash-by-id either way: same shuffle
     * count, same bytes, wider), never adds one.
     */
-  private def verifyWidth(df: DataFrame): Int = {
-    val s = df.sparkSession
-    s.conf.getOption("spark.graft.fanout").map(_.toInt)
-      .getOrElse(math.max(s.sparkContext.defaultParallelism / 2,
-        s.sessionState.conf.numShufflePartitions))
-  }
+  private def verifyWidth(df: DataFrame): Int =
+    graft.core.Tables.kernelWidth(df.sparkSession)
 
   /** Exact-duplicate contraction (round 12, found by the sf10 gate — see
     * `operators.Contraction` for the theorem and the scale argument): both

@@ -682,8 +682,10 @@ object Pipeline {
       .select($"event_type", $"gap")
     val summary = gaps.groupBy($"event_type")
       .agg(count(lit(1)).as("n_gaps"), max($"gap").as("max_gap_us"))
-    // event_type is a 5-value enum at every SF: the hint removes the
-    // dispatch probe's full extra pass over the gap frame (round 14)
+    // event_type is a 5-value enum at every SF; the hint removes the
+    // dispatch probe's full extra pass over the gap frame (round 14). 8 is
+    // a deliberate safety margin over the 5 known values — overestimating
+    // is the safe direction (dispatch-only, results identical either way).
     val med = WeightedQuantiles.byGroup(gaps, Seq("event_type"), "gap",
       lit(1L), Seq(("p50_gap_us", 1, 2)), groupCountHint = Some(8L))
     summary.join(med, "event_type")

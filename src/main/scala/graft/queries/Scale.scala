@@ -206,9 +206,7 @@ object Scale {
           |  ELSE concat(substring(nm, 1, i - 1), substring(nm, i + 1)) END)"""
           .stripMargin)).as("v"))
       .select($"id", $"nm", xxhash64($"v").as("hv"))
-    val kernelWidth = s.conf.getOption("spark.graft.fanout").map(_.toInt)
-      .getOrElse(math.max(s.sparkContext.defaultParallelism / 2,
-        s.sessionState.conf.numShufflePartitions))
+    val kernelWidth = Tables.kernelWidth(s)
     vars.as("a").join(vars.as("b"),
         $"a.hv" === $"b.hv" && $"a.id" < $"b.id")
       .select($"a.id".as("id_a"), $"b.id".as("id_b"),

@@ -92,12 +92,16 @@ class NioCheckpointFileManager(root: Path, conf: Configuration)
     override def seek(pos: Long): Unit = raf.seek(pos)
     override def getPos: Long = raf.getFilePointer
     override def seekToNewSource(targetPos: Long): Boolean = false
+    // positioned reads go through FileChannel.read(ByteBuffer, position),
+    // which neither moves nor reads the channel/RAF position — honoring
+    // Hadoop's PositionedReadable thread-safety contract (ADVICE r14: the
+    // previous seek/restore dance would corrupt concurrent positioned
+    // reads sharing one stream; Spark's current readers are
+    // single-threaded per stream, but the contract says thread-safe)
     override def read(position: Long, buffer: Array[Byte], offset: Int,
-        length: Int): Int = {
-      val mark = raf.getFilePointer
-      try { raf.seek(position); raf.read(buffer, offset, length) }
-      finally raf.seek(mark)
-    }
+        length: Int): Int =
+      raf.getChannel.read(java.nio.ByteBuffer.wrap(buffer, offset, length),
+        position)
     override def readFully(position: Long, buffer: Array[Byte], offset: Int,
         length: Int): Unit = {
       var done = 0
