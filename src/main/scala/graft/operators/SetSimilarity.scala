@@ -42,6 +42,25 @@ object SetSimilarity {
   private def verifyWidth(df: DataFrame): Int =
     graft.core.Tables.kernelWidth(df.sparkSession)
 
+  /** The contracted reps frame, projected to (id, text) and fanned to the
+    * kernel width before shingling (round 15, VERDICT r14 #4): the sets
+    * frame's persisted partitioning bounds the width of BOTH the shingle
+    * kernel and the exact verify stage — the candidate side broadcasts, so
+    * the verify streams over the cached sets frame, which inherited the
+    * contraction window's post-agg shuffle sizing (profiled at sf0.1:
+    * q94's verify = 47% of wall in a 4-partition stream). Guarded like
+    * `Tables.fanOut`: fires only when the reps frame is under-split
+    * relative to the kernel width, so a lake-scale read (already wide)
+    * never pays the extra (id, text) exchange.
+    */
+  private def fannedReps(repDf: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val slim = repDf.select(col(idCol), col(textCol))
+    val width = verifyWidth(repDf)
+    if (slim.rdd.getNumPartitions * 2 > width) slim
+    else slim.repartition(width, col(idCol))
+  }
+
   /** Exact-duplicate contraction (round 12, found by the sf10 gate — see
     * `operators.Contraction` for the theorem and the scale argument): both
     * joins in this object run their candidate + verify pipeline on one
@@ -92,7 +111,7 @@ object SetSimilarity {
     val (members, repDf) = Contraction.byKey(df, idCol,
       md5(col(textCol).cast("binary")))
     // (id, shs, n) — feeds prefix generation AND both verify sides
-    val sets = repDf.select(col(idCol).as("id"),
+    val sets = fannedReps(repDf, idCol, textCol).select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shs"))
       .withColumn("n", size(col("shs")))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -159,7 +178,7 @@ object SetSimilarity {
     require(tauNum > 0 && tauNum <= tauDen, s"bad threshold $tauNum/$tauDen")
     val (members, repDf) = Contraction.byKey(df, idCol,
       md5(col(textCol).cast("binary")))
-    val sets = repDf.select(col(idCol).as("id"),
+    val sets = fannedReps(repDf, idCol, textCol).select(col(idCol).as("id"),
         TextAnalysis.wordShingles(col(textCol), n).as("shs"))
       .withColumn("n", size(col("shs")))
       .persist(StorageLevel.MEMORY_AND_DISK)

@@ -196,11 +196,25 @@ object SubstringDedup {
   def repeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int = 10): DataFrame = {
     val grams = windowHashes(docs, idCol, textCol, minLen)
-    // corpus-repeated window hashes (count >= 2 across ALL positions,
-    // including repeats within one document)
-    val rep = grams.groupBy(col("h")).agg(count(lit(1)).as("c"))
-      .filter(col("c") >= 2).select(col("h"))
-    val pos = grams.join(rep, "h").select(col("id"), col("i"))
+    // corpus-repeated positions (window count >= 2 across ALL positions,
+    // including repeats within one document) in ONE pass: count() OVER
+    // (PARTITION BY h) replaces the old groupBy(h) + join-back, which
+    // planned the window-hash explode TWICE — once under the aggregate,
+    // once under the join's probe side (round 15 profile: two ~3.6-taskSec
+    // explode stages for one 1.3 s query; guide §1.2 "don't compute things
+    // twice"). At lake scale the join-back is strictly worse: repeated
+    // hashes are too many to broadcast, so it becomes a second full
+    // shuffle of the (id, i, h) rows ON TOP of the aggregate's. The
+    // explicit kernel-width repartition replaces the window's implicit
+    // ENSURE_REQUIREMENTS exchange (hash-by-h either way — the q122
+    // prefix-window pattern); groups per h are tiny, so the window buffer
+    // is bounded.
+    val byHash = Window.partitionBy(col("h"))
+    val pos = grams
+      .repartition(graft.core.Tables.kernelWidth(docs.sparkSession), col("h"))
+      .withColumn("__c", count(lit(1)).over(byHash))
+      .filter(col("__c") >= 2)
+      .select(col("id"), col("i"))
     // gaps-and-islands: positions whose windows overlap or touch
     // (i' - i <= minLen) merge into one span
     val byDoc = Window.partitionBy(col("id")).orderBy(col("i"))

@@ -640,10 +640,15 @@ object Pipeline {
       |  sum(cnt)::DOUBLE / count(*) AS avg_per_key
       |FROM c""".stripMargin) { (s, dir) =>
     import s.implicits._
-    // fan the projected key column out of the single-row-group scan task
-    // before the per-key count (round 14; exact integer counts, reorder-safe)
+    // Round-14 fanned the key column out of the scan task before the
+    // per-key count; round 15's interleaved suite-context A/B REVERTED it
+    // (VERDICT r14 #2, matching the driver's r14 line): l_orderkey is
+    // near-unique (~4 rows/key), so the scan task's map-side partial
+    // shrinks the exchange ~4x, while the fan-out shipped EVERY row to buy
+    // scan parallelism worth less than the extra bytes (2+2 interleaved
+    // legs: 0.585 s reverted vs 0.655 s fanned).
     val t90 = Tables(s, dir)
-    val counts = t90.fanOut(t90.lineitem.select($"l_orderkey"))
+    val counts = t90.lineitem.select($"l_orderkey")
       .groupBy($"l_orderkey").agg(count(lit(1)).as("cnt"))
     val summary = counts.agg(count(lit(1)).as("n_keys"),
       max($"cnt").as("max_per_key"), sum($"cnt").as("__tot"))

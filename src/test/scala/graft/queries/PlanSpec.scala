@@ -335,8 +335,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q112_repeated_substrings")
     assert(p.contains("hashpartitioning(h"), "no exchange keyed on the hash")
     assert(!p.contains("hashpartitioning(text"), "raw text shuffles")
-    assert(p.contains("partial_count") || p.contains("partial"),
-      "repeated-hash aggregate not map-side combined")
+    // round 15: corpus-repeat detection is count() OVER (PARTITION BY h)
+    // in ONE pass — the old groupBy(h)+join-back planned the window-hash
+    // explode twice. Exactly one Generate (the posexplode) may appear.
+    val gens = "\\(\\d+\\) Generate".r.findAllIn(p).length
+    assert(gens == 1, s"$gens Generates (want 1 — the window-hash explode " +
+      "must be planned once, not once per consumer)")
+    assert(p.contains("partial"),
+      "span aggregates not map-side combined")
   }
 
   test("q108: winnowing pair generation shuffles fingerprints, not text") {
