@@ -29,6 +29,14 @@ object ProfileStream {
       .config("spark.shuffle.spill.compress", "false")
       .config("spark.default.parallelism", shuffleParts.toString)
       .config("spark.locality.wait", "0")
+      // Mirror StreamGate.withDripConf (round 15): without these the tool
+      // times Hadoop's forking checkpoint path (~300 ms/commit) that the
+      // GATES no longer use — exactly the misleading read that stalled
+      // this round's streaming investigation until spotted. Override via
+      // SPARK_GRAFT_CONF to measure the unfixed path deliberately.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.streaming.NioCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").filter(_.contains("="))
       .foreach { kv =>
         val Array(k, v) = kv.split("=", 2)
