@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   * docs); the audit here reports the spans.
   *
   * Scale shape: one corpus scan explodes (hash, doc, pos) rows — 8+8+4
-  * bytes per token position, never text; repeated hashes come from one
-  * count aggregate (map-side combined) joined back on the hash; span
-  * assembly is one exchange by document. All three shuffles carry
-  * fixed-width rows, and the window-hash join is the exact published
-  * dedup-at-scale topology. minLen windows overlap, so a shared passage
+  * bytes per token position, never text; repeated positions come from
+  * ONE count-over-window pass by hash (round 15 — the former
+  * aggregate + join-back planned the explode twice and becomes a second
+  * full shuffle once repeated hashes outgrow a broadcast); span
+  * assembly is one exchange by document. Both shuffles carry
+  * fixed-width rows. minLen windows overlap, so a shared passage
   * of length S >= minLen yields S - minLen + 1 hits that merge into one
   * span — coverage is exact, not approximate.
   *
